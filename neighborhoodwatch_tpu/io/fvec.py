@@ -1,0 +1,142 @@
+"""fvec / ivec binary codecs.
+
+Byte layout (little-endian), identical to the reference's struct-based codec
+(reference: neighborhoodwatch/parquet_to_format.py:71-89, 37-68):
+
+    per vector: int32 dim | dim * 4-byte payload (float32 for fvec, int32 for ivec)
+
+Unlike the reference's per-row Python loop, reading and writing here are
+vectorized through numpy (single buffer view + one `tofile`/`fromfile`),
+which is ~1000x faster for the 10M-row exports and produces identical bytes.
+An optional C++ codec (neighborhoodwatch_tpu/native) can be plugged in for
+out-of-core streaming.
+"""
+
+import os
+import struct
+
+import numpy as np
+
+from neighborhoodwatch_tpu.utils.naming import get_full_filename
+
+
+def _type_char_for(filename: str) -> str:
+    return "i" if filename.endswith("ivec") else "f"
+
+
+def write_vectors(filename: str, data: np.ndarray, type_char: str | None = None) -> None:
+    """Write a (n, dim) array as fvec/ivec. Bytes identical to the reference's
+    per-row `dim.to_bytes(4,'little') + vec.tobytes()` loop
+    (reference: parquet_to_format.py:84-89)."""
+    data = np.asarray(data)
+    assert data.ndim == 2, f"expected (n, dim) array, got shape {data.shape}"
+    n, dim = data.shape
+    if type_char is None:
+        type_char = _type_char_for(filename)
+    payload_dtype = np.dtype("<i4") if type_char == "i" else np.dtype("<f4")
+    data = np.ascontiguousarray(data.astype(payload_dtype, copy=False))
+
+    buf = np.empty((n, dim + 1), dtype=np.dtype("<i4"))
+    buf[:, 0] = np.int32(dim)
+    # reinterpret payload as raw int32 words so one contiguous write suffices
+    buf[:, 1:] = data.view(np.dtype("<i4"))
+    with open(filename, "wb") as f:
+        buf.tofile(f)
+
+
+def append_vectors(filename: str, data: np.ndarray, type_char: str | None = None) -> None:
+    """Append rows to an existing fvec/ivec file (streamed export)."""
+    data = np.asarray(data)
+    n, dim = data.shape
+    if type_char is None:
+        type_char = _type_char_for(filename)
+    payload_dtype = np.dtype("<i4") if type_char == "i" else np.dtype("<f4")
+    data = np.ascontiguousarray(data.astype(payload_dtype, copy=False))
+    buf = np.empty((n, dim + 1), dtype=np.dtype("<i4"))
+    buf[:, 0] = np.int32(dim)
+    buf[:, 1:] = data.view(np.dtype("<i4"))
+    with open(filename, "ab") as f:
+        buf.tofile(f)
+
+
+def read_vectors(filename: str, dtype=None) -> np.ndarray:
+    """Read a whole fvec/ivec file into a (n, dim) array.
+
+    Requires all rows to share one dimension (always true for files this
+    framework writes)."""
+    type_char = _type_char_for(filename)
+    payload_dtype = np.dtype("<i4") if type_char == "i" else np.dtype("<f4")
+    size = os.path.getsize(filename)
+    if size == 0:
+        return np.empty((0, 0), dtype=payload_dtype)
+    with open(filename, "rb") as f:
+        dim = struct.unpack("<i", f.read(4))[0]
+        f.seek(0)
+        row_bytes = 4 * (dim + 1)
+        assert size % row_bytes == 0, \
+            f"{filename}: size {size} not a multiple of row bytes {row_bytes}"
+        n = size // row_bytes
+        raw = np.fromfile(f, dtype=np.dtype("<i4"), count=n * (dim + 1))
+    raw = raw.reshape(n, dim + 1)
+    assert (raw[:, 0] == dim).all(), f"{filename}: inconsistent per-row dims"
+    out = raw[:, 1:].view(payload_dtype)
+    if dtype is not None:
+        out = out.astype(dtype)
+    return out
+
+
+def count_vectors(data_dir: str, filename: str) -> int:
+    """Number of vectors in the file (reference: parquet_to_format.py:37-48)."""
+    full_filename = get_full_filename(data_dir, filename)
+    size = os.path.getsize(full_filename)
+    if size == 0:
+        return 0
+    with open(full_filename, "rb") as f:
+        dim = struct.unpack("<i", f.read(4))[0]
+    row_bytes = 4 * (dim + 1)
+    if size % row_bytes == 0:
+        return size // row_bytes
+    # Heterogeneous dims: fall back to the sequential scan the reference uses.
+    count = 0
+    with open(full_filename, "rb") as f:
+        while True:
+            hdr = f.read(4)
+            if not hdr:
+                break
+            dim = struct.unpack("<i", hdr)[0]
+            f.seek(4 * dim, 1)
+            count += 1
+    return count
+
+
+def get_nth_vector(data_dir: str, filename: str, n: int):
+    """Random-access single-vector read; returns a tuple like the reference
+    (reference: parquet_to_format.py:55-68)."""
+    full_filename = get_full_filename(data_dir, filename)
+    format_char = "i" if full_filename.endswith("ivec") else "f"
+    with open(full_filename, "rb") as f:
+        dimension = struct.unpack("<i", f.read(4))[0]
+        f.seek(int(4 * n * (1 + dimension)), 1)
+        assert os.path.getsize(full_filename) >= f.tell() + 4 * dimension, \
+            "file size is less than expected"
+        return struct.unpack("<" + format_char * dimension, f.read(4 * dimension))
+
+
+def get_first_vector(data_dir: str, filename: str):
+    return get_nth_vector(data_dir, filename, 0)
+
+
+def write_ivec_fvec_from_dataframe(data_dir, model_name, filename, df,
+                                   type_char, num_columns) -> None:
+    """DataFrame-input writer with the reference's RowNum-tolerance and
+    dimension-validity contract (reference: parquet_to_format.py:71-89)."""
+    from neighborhoodwatch_tpu.utils.misc import output_dimension_validity_check
+
+    full_filename = get_full_filename(data_dir, filename)
+    values = df.values
+    if values.shape[1] == num_columns + 1:
+        values = values[:, :-1]  # trailing RowNum column
+    assert output_dimension_validity_check(model_name, num_columns, values.shape[1]), \
+        (f"Expected {num_columns} values, got {values.shape[1]} for model "
+         f"{model_name} [filename: {filename}]")
+    write_vectors(full_filename, values, type_char)

@@ -1,0 +1,71 @@
+"""HDF5 ground-truth file writer.
+
+Group layout identical to the reference (parquet_to_format.py:322-348):
+one file holding datasets `train` (base vectors), `test` (query vectors),
+`neighbors` (indices), `distances`, with append-mode group-level no-op for
+resume, plus the Voyage output_dtype mapping and `encoding` attrs.
+"""
+
+import numpy as np
+import h5py
+
+from neighborhoodwatch_tpu.utils.naming import get_full_filename
+
+
+def write_hdf5(data_dir, model_name, data, filename, group, output_dtype=None):
+    """Write one group. `data` may be a numpy array or DataFrame.
+
+    No-op if the group already exists (resume idempotency,
+    reference: parquet_to_format.py:325-327)."""
+    if hasattr(data, "values"):
+        data = data.values
+    data = np.asarray(data)
+    full_filename = get_full_filename(data_dir, filename)
+    with h5py.File(full_filename, "a") as f:
+        if group in f:
+            print(f"Group '{group}' already exists in file '{full_filename}'")
+            return
+        if output_dtype is None:
+            f.create_dataset(group, data=data)
+            return
+        # Only Voyage models support non-float output dtypes
+        # (reference: parquet_to_format.py:329-348).
+        assert model_name.startswith("voyage")
+        if output_dtype == "float":
+            t = np.float32
+        elif output_dtype in ("int8", "binary"):
+            t = np.int8
+        elif output_dtype in ("uint8", "ubinary"):
+            t = np.uint8
+        else:
+            raise ValueError(f"unsupported output_dtype: {output_dtype}")
+        ds = f.create_dataset(group, data=data, dtype=t)
+        if output_dtype == "binary":
+            ds.attrs["encoding"] = "binary_int8"
+        elif output_dtype == "ubinary":
+            ds.attrs["encoding"] = "binary_uint8"
+
+
+def read_hdf5_group(data_dir, filename, group) -> np.ndarray:
+    full_filename = get_full_filename(data_dir, filename)
+    with h5py.File(full_filename, "r") as f:
+        return np.asarray(f[group])
+
+
+def find_duplicates(filename, groups=("train", "test")):
+    """Duplicate-row detector over hdf5 groups
+    (reference: hdf5_dupe_detector.py:7-49)."""
+    report = {}
+    with h5py.File(filename, "r") as f:
+        for group in groups:
+            if group not in f:
+                continue
+            data = np.asarray(f[group])
+            _, counts = np.unique(data, axis=0, return_counts=True)
+            dupes = int((counts > 1).sum())
+            report[group] = {
+                "rows": int(data.shape[0]),
+                "duplicate_groups": dupes,
+                "duplicate_rows": int(counts[counts > 1].sum() - dupes),
+            }
+    return report

@@ -1,0 +1,204 @@
+"""Parquet I/O: embedding-table streaming writer and vectorized readers.
+
+Schema contract (reference: generate_dataset.py:219-261): source metadata
+columns followed by scalar float32 columns `embedding_0..embedding_{d-1}`
+(or `token_embedding_i` for the ColBERT path). Scalar columns — not list
+columns — so files are directly consumable by the same downstream tools.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import glob
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pyarrow.dataset as pads
+
+from neighborhoodwatch_tpu.utils.naming import get_full_filename
+
+
+class ParquetStreamer:
+    """Incremental ParquetWriter over (metadata, embeddings) row batches
+    (reference: generate_dataset.py:219-261)."""
+
+    def __init__(self, filename: str, columns: list[str]):
+        self.filename = filename
+        self.columns = list(columns)
+        self.writer = None
+        print(f"Initiated streaming to file {self.filename}")
+
+    def stream_to_parquet(self, meta_array, embedding_array) -> None:
+        meta_array = np.array(meta_array)
+        embedding_array = np.asarray(embedding_array, dtype=np.float32)
+        columns_list = [pd.DataFrame(meta_array, columns=self.columns)]
+        for i in range(embedding_array.shape[1]):
+            columns_list.append(
+                pd.DataFrame(embedding_array[:, i], columns=[f"embedding_{i}"]))
+        df = pd.concat(columns_list, axis=1)
+        table = pa.Table.from_pandas(df)
+        if self.writer is None:
+            self.writer = pq.ParquetWriter(self.filename, table.schema)
+        self.writer.write_table(table)
+
+    def stream_to_parquet_without_src_metadata(self, embedding_array) -> None:
+        """ColBERT token-embedding rows: columns are exactly self.columns
+        (reference: generate_dataset.py:245-256)."""
+        embedding_array = np.asarray(embedding_array)
+        assert len(self.columns) == embedding_array.shape[1], \
+            f"column count mismatch: {len(self.columns)} != {embedding_array.shape[1]}"
+        df = pd.DataFrame(embedding_array.astype("float32"), columns=self.columns)
+        table = pa.Table.from_pandas(df)
+        if self.writer is None:
+            self.writer = pq.ParquetWriter(self.filename, table.schema)
+        self.writer.write_table(table)
+
+    def close(self) -> None:
+        if self.writer:
+            self.writer.close()
+            print(f"Finished streaming to {self.filename}")
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def embedding_column_names(table_or_schema) -> list[str]:
+    """The embedding_{i} (or token_embedding_{i}) columns in index order."""
+    names = (table_or_schema.schema.names
+             if hasattr(table_or_schema, "schema") else table_or_schema.names)
+    pat = re.compile(r"^(?:token_)?embedding_(\d+)$")
+    matches = [(int(m.group(1)), n) for n in names if (m := pat.match(n))]
+    matches.sort()
+    return [n for _, n in matches]
+
+
+def table_to_matrix(table: pa.Table, columns: list[str] | None = None) -> np.ndarray:
+    """Zero-ish-copy conversion of scalar float columns to a (n, d) float32
+    C-order matrix — the TPU-native replacement for the reference's
+    arrow->cuDF->dlpack->cupy chain (reference: cu_knn.py:206-211)."""
+    if columns is None:
+        columns = embedding_column_names(table)
+    n = table.num_rows
+    d = len(columns)
+    out = np.empty((n, d), dtype=np.float32)
+    for j, name in enumerate(columns):
+        col = table.column(name)
+        out[:, j] = col.to_numpy(zero_copy_only=False)
+    return out
+
+
+def read_embeddings(data_dir: str, filename: str, count: int | None = None,
+                    dimensions: int | None = None) -> np.ndarray:
+    """Load the embedding matrix from an embeddings parquet file
+    (reference: cu_knn.py:132-148 prep_table + process_batches select)."""
+    full = get_full_filename(data_dir, filename)
+    schema = pq.read_schema(full)
+    columns = embedding_column_names(schema)
+    if dimensions is not None:
+        from neighborhoodwatch_tpu.utils.misc import output_dimension_validity_check
+        assert len(columns) == dimensions or dimensions == 8 * len(columns), \
+            f"Expected {dimensions} embedding columns, got {len(columns)} in {filename}"
+    table = pq.read_table(full, columns=columns)
+    if count is not None:
+        table = table.slice(0, count)
+    return table_to_matrix(table, columns)
+
+
+def iter_embedding_batches(data_dir: str, filename: str, batch_size: int,
+                           count: int | None = None):
+    """Stream (offset, matrix) batches out-of-core via pyarrow.dataset —
+    the reference's cu_knn_ds streaming path (cu_knn_ds.py:181-239)."""
+    full = get_full_filename(data_dir, filename)
+    schema = pq.read_schema(full)
+    columns = embedding_column_names(schema)
+    ds = pads.dataset(full, format="parquet")
+    offset = 0
+    pending = []
+    pending_rows = 0
+    for rb in ds.to_batches(columns=columns, batch_size=batch_size):
+        pending.append(rb)
+        pending_rows += rb.num_rows
+        while pending_rows >= batch_size:
+            tbl = pa.Table.from_batches(pending)
+            head = tbl.slice(0, batch_size)
+            rest = tbl.slice(batch_size)
+            mat = table_to_matrix(head, columns)
+            if count is not None and offset + len(mat) > count:
+                mat = mat[: count - offset]
+                yield offset, mat
+                return
+            yield offset, mat
+            offset += len(mat)
+            pending = rest.to_batches() if rest.num_rows else []
+            pending_rows = rest.num_rows
+    if pending_rows:
+        tbl = pa.Table.from_batches(pending)
+        mat = table_to_matrix(tbl, columns)
+        if count is not None and offset + len(mat) > count:
+            mat = mat[: count - offset]
+        if len(mat):
+            yield offset, mat
+
+
+def read_and_extract(data_dir, input_parquet, rowcount, dimensions,
+                     column_names=None) -> pd.DataFrame:
+    """Reference-compatible export reader (parquet_to_format.py:92-108):
+    returns a DataFrame of the embedding columns, first `rowcount` rows."""
+    full = get_full_filename(data_dir, input_parquet)
+    table = pq.read_table(full)
+    table = table.slice(0, rowcount)
+    if column_names is None:
+        column_names = [f"embedding_{i}" for i in range(dimensions)]
+        drop = list(set(table.schema.names) - set(column_names))
+        for col in drop:
+            if col in table.schema.names:
+                table = table.remove_column(table.schema.get_field_index(col))
+    return table.to_pandas()
+
+
+def read_parquet_to_dataframe(data_dir, filename) -> pd.DataFrame:
+    full = get_full_filename(data_dir, filename)
+    return pq.read_table(full).to_pandas()
+
+
+def parquet_row_count(data_dir, filename) -> int:
+    full = get_full_filename(data_dir, filename)
+    return pq.ParquetFile(full).metadata.num_rows
+
+
+def write_matrix_to_parquet(filename: str, matrix: np.ndarray,
+                            prefix: str = "", chunk_size: int = 100_000) -> None:
+    """Stream a (n, k) matrix to parquet in row chunks with stringified
+    column names 0..k-1 — the schema the partial kNN results use
+    (reference: cu_knn.py:26-51, 278-285)."""
+    matrix = np.asarray(matrix)
+    names = [f"{prefix}{i}" for i in range(matrix.shape[1])]
+    arrays = [pa.array(matrix[:, i]) for i in range(matrix.shape[1])]
+    table = pa.table(dict(zip(names, arrays)))
+    writer = pq.ParquetWriter(filename, table.schema)
+    for start in range(0, matrix.shape[0], chunk_size):
+        writer.write_table(table.slice(start, chunk_size))
+    writer.close()
+
+
+def count_partial_files(partial_dir: str) -> int:
+    """Count indices{i}.parquet partial files (reference: merge.py:15-27)."""
+    pattern = re.compile(rf"{re.escape(partial_dir)}/indices(\d+)\.parquet")
+    files = sorted(glob.glob(f"{partial_dir}/indices*.parquet"))
+    return sum(1 for f in files if pattern.match(f))
+
+
+def cleanup_partial_parquet(partial_dir: str) -> None:
+    """Delete stale partial/final files before a kNN rerun
+    (reference: neighborhoodwatch.py:20-23)."""
+    if not os.path.isdir(partial_dir):
+        return
+    for filename in os.listdir(partial_dir):
+        if filename.startswith(("distances", "indices", "final")):
+            os.remove(f"{partial_dir}/{filename}")

@@ -1,0 +1,40 @@
+"""Test harness configuration.
+
+All tests run on CPU with a virtual 8-device mesh
+(`--xla_force_host_platform_device_count=8`) — the TPU-native analog of a
+fake backend, which the reference lacks (SURVEY.md §4). Must run BEFORE jax
+is imported anywhere.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+# Hermetic test workload mirroring the reference's pytest config
+# (reference: tests/conftest.py:21-26 — Q=100, B=1000, k=10, 384d synthetic)
+QUERY_COUNT = 100
+BASE_COUNT = 1000
+K = 10
+DIMENSIONS = 384
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture(scope="session")
+def normalized_vectors(rng):
+    """Synthetic L2-normalized vectors — the reference's hermetic kNN test
+    input (reference: tests/test_02_cu_knn.py:10-41)."""
+    q = rng.standard_normal((QUERY_COUNT, DIMENSIONS)).astype(np.float32)
+    b = rng.standard_normal((BASE_COUNT, DIMENSIONS)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    b /= np.linalg.norm(b, axis=1, keepdims=True)
+    return q.astype(np.float32), b.astype(np.float32)

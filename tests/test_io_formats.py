@@ -1,0 +1,178 @@
+"""Format round-trip tests: fvec/ivec byte-exactness, hdf5 groups, parquet
+streamer schema, naming parity (model of reference tests/test_04_gen_ifvec_hdf5.py)."""
+
+import struct
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from neighborhoodwatch_tpu.io import fvec
+from neighborhoodwatch_tpu.io.hdf5_io import write_hdf5, read_hdf5_group, find_duplicates
+from neighborhoodwatch_tpu.io.parquet_io import (
+    ParquetStreamer, embedding_column_names, read_embeddings,
+    iter_embedding_batches, write_matrix_to_parquet, count_partial_files,
+    cleanup_partial_parquet,
+)
+from neighborhoodwatch_tpu.utils import naming
+
+
+def _reference_fvec_bytes(data: np.ndarray, type_char: str) -> bytes:
+    """Reproduce the reference's per-row writer byte-for-byte
+    (reference: parquet_to_format.py:84-89)."""
+    out = b""
+    for row in data:
+        vec = row.astype(np.int32) if type_char == "i" else row.astype(np.float32)
+        out += len(vec).to_bytes(4, "little") + vec.tobytes()
+    return out
+
+
+def test_fvec_bytes_bit_exact(tmp_path, rng):
+    data = rng.standard_normal((17, 24)).astype(np.float32)
+    path = str(tmp_path / "x.fvec")
+    fvec.write_vectors(path, data)
+    with open(path, "rb") as f:
+        assert f.read() == _reference_fvec_bytes(data, "f")
+
+
+def test_ivec_bytes_bit_exact(tmp_path, rng):
+    data = rng.integers(0, 1_000_000, size=(11, 10)).astype(np.int64)
+    path = str(tmp_path / "x.ivec")
+    fvec.write_vectors(path, data)
+    with open(path, "rb") as f:
+        assert f.read() == _reference_fvec_bytes(data, "i")
+
+
+def test_fvec_roundtrip_and_random_access(tmp_path, rng):
+    data = rng.standard_normal((50, 12)).astype(np.float32)
+    path = str(tmp_path / "v.fvec")
+    fvec.write_vectors(path, data)
+    back = fvec.read_vectors(path)
+    np.testing.assert_array_equal(back, data)
+    assert fvec.count_vectors(str(tmp_path), "v.fvec") == 50
+    v7 = fvec.get_nth_vector(str(tmp_path), "v.fvec", 7)
+    np.testing.assert_allclose(np.array(v7, dtype=np.float32), data[7], rtol=0)
+    assert fvec.get_first_vector(str(tmp_path), "v.fvec") == tuple(data[0])
+
+
+def test_fvec_append_streaming(tmp_path, rng):
+    a = rng.standard_normal((5, 8)).astype(np.float32)
+    b = rng.standard_normal((3, 8)).astype(np.float32)
+    path = str(tmp_path / "s.fvec")
+    fvec.write_vectors(path, a)
+    fvec.append_vectors(path, b)
+    np.testing.assert_array_equal(fvec.read_vectors(path), np.vstack([a, b]))
+
+
+def test_write_from_dataframe_tolerates_rownum(tmp_path, rng):
+    data = rng.standard_normal((6, 4)).astype(np.float32)
+    df = pd.DataFrame(data, columns=[f"{i}" for i in range(4)])
+    df["RowNum"] = np.arange(6)
+    fvec.write_ivec_fvec_from_dataframe(str(tmp_path), "m", "r.fvec", df, "f", 4)
+    np.testing.assert_array_equal(fvec.read_vectors(str(tmp_path / "r.fvec")), data)
+
+
+def test_hdf5_groups_and_idempotency(tmp_path, rng):
+    train = rng.standard_normal((20, 8)).astype(np.float32)
+    test = rng.standard_normal((4, 8)).astype(np.float32)
+    path = str(tmp_path / "gt.hdf5")
+    write_hdf5(str(tmp_path), "m", train, path, "train")
+    write_hdf5(str(tmp_path), "m", test, path, "test")
+    # second write is a group-level no-op (resume semantics)
+    write_hdf5(str(tmp_path), "m", test * 2, path, "test")
+    np.testing.assert_array_equal(read_hdf5_group(str(tmp_path), path, "test"), test)
+    np.testing.assert_array_equal(read_hdf5_group(str(tmp_path), path, "train"), train)
+
+
+def test_hdf5_voyage_binary_encoding(tmp_path, rng):
+    data = rng.integers(-128, 127, size=(5, 16)).astype(np.int8)
+    path = str(tmp_path / "v.hdf5")
+    write_hdf5(str(tmp_path), "voyage-3-large", data, path, "train",
+               output_dtype="binary")
+    import h5py
+    with h5py.File(path, "r") as f:
+        assert f["train"].dtype == np.int8
+        assert f["train"].attrs["encoding"] == "binary_int8"
+
+
+def test_hdf5_dupe_detector(tmp_path):
+    data = np.array([[1, 2], [1, 2], [3, 4]], dtype=np.float32)
+    path = str(tmp_path / "d.hdf5")
+    write_hdf5(str(tmp_path), "m", data, path, "train")
+    rep = find_duplicates(path, groups=("train",))
+    assert rep["train"]["duplicate_groups"] == 1
+    assert rep["train"]["duplicate_rows"] == 1
+
+
+def test_parquet_streamer_schema(tmp_path, rng):
+    emb = rng.standard_normal((7, 5)).astype(np.float32)
+    meta = [[f"title{i}", f"text{i}"] for i in range(7)]
+    path = str(tmp_path / "e.parquet")
+    with ParquetStreamer(path, ["title", "text"]) as ps:
+        ps.stream_to_parquet(meta, emb)
+        ps.stream_to_parquet(meta, emb)
+    table = pq.read_table(path)
+    assert table.num_rows == 14
+    cols = embedding_column_names(table)
+    assert cols == [f"embedding_{i}" for i in range(5)]
+    assert table.schema.field("embedding_0").type == "float"
+    mat = read_embeddings(str(tmp_path), "e.parquet")
+    np.testing.assert_allclose(mat, np.vstack([emb, emb]), rtol=0)
+
+
+def test_parquet_token_streamer(tmp_path, rng):
+    emb = rng.standard_normal((9, 4)).astype(np.float32)
+    cols = [f"token_embedding_{i}" for i in range(4)]
+    path = str(tmp_path / "t.parquet")
+    with ParquetStreamer(path, cols) as ps:
+        ps.stream_to_parquet_without_src_metadata(emb)
+    mat = read_embeddings(str(tmp_path), "t.parquet")
+    np.testing.assert_allclose(mat, emb, rtol=0)
+
+
+def test_iter_embedding_batches(tmp_path, rng):
+    emb = rng.standard_normal((25, 3)).astype(np.float32)
+    path = str(tmp_path / "b.parquet")
+    with ParquetStreamer(path, ["title"]) as ps:
+        ps.stream_to_parquet([["t"]] * 25, emb)
+    got = list(iter_embedding_batches(str(tmp_path), "b.parquet", batch_size=10))
+    assert [o for o, _ in got] == [0, 10, 20]
+    np.testing.assert_allclose(np.vstack([m for _, m in got]), emb, rtol=0)
+    # with count clamp
+    got = list(iter_embedding_batches(str(tmp_path), "b.parquet", batch_size=10, count=15))
+    assert sum(len(m) for _, m in got) == 15
+
+
+def test_partial_file_helpers(tmp_path, rng):
+    partial = tmp_path / "partial"
+    partial.mkdir()
+    for i in range(3):
+        write_matrix_to_parquet(str(partial / f"indices{i}.parquet"),
+                                rng.integers(0, 10, (4, 2)))
+    assert count_partial_files(str(partial)) == 3
+    cleanup_partial_parquet(str(partial))
+    assert count_partial_files(str(partial)) == 0
+
+
+def test_naming_parity(tmp_path):
+    """Path scheme matches reference nw_utils.py:62-154 exactly."""
+    home = naming.get_model_data_homedir("out", "intfloat/e5-small-v2", 100, 1000, 10)
+    assert home == "out/intfloat_e5-small-v2/q100_b1000_k10"
+    d = naming.setup_model_output_folder(str(tmp_path), "m", 1, 2, 3)
+    assert (tmp_path / "m" / "q1_b2_k3" / "partial").is_dir()
+    assert naming.get_partial_indices_filename(d, 5) == f"{d}/partial/indices5.parquet"
+    assert naming.get_partial_indices_filename(d, -1) == f"{d}/partial/final_indices.parquet"
+    assert naming.get_partial_distances_filename(d, -1) == f"{d}/partial/final_distances.parquet"
+    q, b, i, dist = naming.get_ivec_fvec_filenames(d, "intfloat/e5-small-v2", 384,
+                                                   1000, 100, 10)
+    assert q.endswith("intfloat_e5-small-v2_384_query_vectors_100.fvec")
+    assert b.endswith("intfloat_e5-small-v2_384_base_vectors_1000.fvec")
+    assert i.endswith("intfloat_e5-small-v2_384_indices_b1000_q100_k10.ivec")
+    assert dist.endswith("intfloat_e5-small-v2_384_distances_b1000_q100_k10.fvec")
+    h = naming.get_hdf5_filename(d, "m", 384, 1000, 100, 10, output_dtype="int8")
+    assert h.endswith("m_384_int8_base_1000_query_100_k10.hdf5")
+    assert naming.get_source_query_dataset_filename(d, "m", 100, 384) \
+        == f"{d}/m_384_query_vector_data_100.parquet"
+    assert naming.get_source_base_dataset_filename(d, "m", 100, 384, "int8") \
+        == f"{d}/m_384_int8_base_vector_data_100.parquet"
