@@ -1,0 +1,159 @@
+"""kNN compute orchestration: host streaming -> device scan -> partial/final results.
+
+TPU-native re-design of the reference's two compute paths:
+
+- `compute_knn`    (reference cu_knn.py:151-289, pyarrow.Table path):
+  loads query + base matrices, batches the base axis, runs the device
+  scan-top-k engine per batch, writes per-batch partial parquet files
+  (`partial/indices{i}.parquet`, `partial/distances{i}.parquet`) that act
+  as resume checkpoints, to be merged by core/merge.py.
+
+- `compute_knn_ds` (reference cu_knn_ds.py:136-239, pyarrow.dataset path):
+  streams base batches from disk out-of-core with a background prefetch
+  thread (double-buffering the host parquet decode against device compute),
+  folds them into a device-resident running top-k (ops/knn.StreamingKNN),
+  and writes the final merged results directly — no partial files, no
+  CPU merge pass at all.
+
+Both paths share the deterministic HBM plan from core/tuner.py in place of
+the reference's probe-and-grow rmm loop.
+"""
+
+import math
+import queue
+import threading
+
+import numpy as np
+
+from neighborhoodwatch_tpu.core.tuner import plan_knn
+from neighborhoodwatch_tpu.io.parquet_io import (
+    read_embeddings, iter_embedding_batches, write_matrix_to_parquet,
+    parquet_row_count,
+)
+from neighborhoodwatch_tpu.ops.knn import knn, StreamingKNN
+from neighborhoodwatch_tpu.ops.topk import check_monotonic
+from neighborhoodwatch_tpu.utils.naming import (
+    get_partial_indices_filename, get_partial_distances_filename,
+)
+from neighborhoodwatch_tpu.utils.profiling import StageTimer
+
+
+def _prefetch(iterator, depth: int = 2):
+    """Run `iterator` in a background thread with a bounded queue so host
+    parquet decode overlaps device compute (the PP analog in SURVEY.md §2's
+    parallelism table)."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    sentinel = object()
+    err: list[BaseException] = []
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as e:  # surfaced on the consumer side
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            break
+        yield item
+    t.join()
+    if err:
+        raise err[0]
+
+
+def compute_knn(data_dir: str,
+                model_name: str,
+                dimensions: int,
+                query_filename: str,
+                query_count: int,
+                base_filename: str,
+                base_count: int,
+                mem_tune: bool = False,
+                k: int = 100,
+                initial_batch_size: int = 100_000,
+                max_memory_threshold: float = 0.1,
+                split: bool = True,
+                metric: str = "sqeuclidean",
+                precision: str = "highest") -> StageTimer:
+    """Table path: per-base-batch partial top-k files + later merge
+    (signature parity with reference cu_knn.py:151-162)."""
+    timer = StageTimer()
+    with timer.stage("load_query"):
+        query = read_embeddings(data_dir, query_filename, query_count, dimensions)
+    with timer.stage("load_base"):
+        base = read_embeddings(data_dir, base_filename, base_count, dimensions)
+
+    n_base = base.shape[0]
+    threshold = max_memory_threshold if mem_tune else 0.5
+    plan = plan_knn(query.shape[0], query.shape[1], k, base_count=n_base,
+                    max_memory_threshold=threshold,
+                    initial_batch_size=initial_batch_size)
+    batch_size = max(min(plan.batch_size, n_base), k)
+    batch_count = math.ceil(n_base / batch_size)
+    # every batch must hold at least k rows so partial files share one width
+    # (reference: cu_knn.py:177-178)
+    assert (n_base % batch_size == 0) or k <= (n_base % batch_size), \
+        f"Cannot generate k of {k} with only {n_base} rows and batch_size {batch_size}."
+
+    with timer.stage("knn_batches"):
+        for b in range(batch_count):
+            off = b * batch_size
+            chunk = base[off: off + batch_size]
+            d, i = knn(query, chunk, k=k, metric=metric,
+                       precision=precision, tile_size=plan.tile_size,
+                       base_offset=off)
+            d, i = np.asarray(d), np.asarray(i)
+            write_matrix_to_parquet(get_partial_distances_filename(data_dir, b), d)
+            write_matrix_to_parquet(get_partial_indices_filename(data_dir, b),
+                                    i.astype(np.int32))
+    return timer
+
+
+def compute_knn_ds(data_dir: str,
+                   dimensions: int,
+                   query_filename: str,
+                   query_count: int,
+                   base_filename: str,
+                   base_count: int,
+                   mem_tune: bool = False,
+                   k: int = 100,
+                   initial_batch_size: int = 200_000,
+                   max_memory_threshold: float = 0.2,
+                   metric: str = "sqeuclidean",
+                   precision: str = "highest") -> StageTimer:
+    """Dataset path: out-of-core streaming + device-resident running top-k;
+    writes final_{indices,distances}.parquet directly (reference
+    cu_knn_ds.py:232-233 also skips the merge for its single pass)."""
+    timer = StageTimer()
+    with timer.stage("load_query"):
+        query = read_embeddings(data_dir, query_filename, query_count, dimensions)
+
+    n_base = min(base_count, parquet_row_count(data_dir, base_filename))
+    assert k <= n_base, f"k={k} exceeds base row count {n_base}"
+    threshold = max_memory_threshold if mem_tune else 0.5
+    plan = plan_knn(query.shape[0], query.shape[1], k, base_count=n_base,
+                    max_memory_threshold=threshold,
+                    initial_batch_size=initial_batch_size)
+    batch_size = min(plan.batch_size, n_base)
+
+    with timer.stage("knn_stream"):
+        acc = StreamingKNN(query, k=k, metric=metric, precision=precision,
+                           tile_size=plan.tile_size)
+        batches = iter_embedding_batches(data_dir, base_filename,
+                                         batch_size=batch_size, count=n_base)
+        for offset, chunk in _prefetch(batches):
+            acc.update(chunk, offset)
+        dist, idx = acc.finalize()
+
+    with timer.stage("write_final"):
+        assert check_monotonic(dist)
+        write_matrix_to_parquet(get_partial_distances_filename(data_dir, -1), dist)
+        write_matrix_to_parquet(get_partial_indices_filename(data_dir, -1),
+                                idx.astype(np.int32))
+    return timer

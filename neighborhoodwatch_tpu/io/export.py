@@ -1,0 +1,119 @@
+"""Export orchestrator: parquet -> fvec/ivec/hdf5 ground-truth files.
+
+Capability parity with the reference's generate_output_files
+(parquet_to_format.py:111-319): produces the 4 fvec/ivec files plus the
+hdf5 file with train/test/neighbors/distances groups, idempotent via
+empty-file checks, and reports counts/dims read back from the written
+files. Writing is vectorized (io/fvec.py) instead of per-row struct packing.
+"""
+
+import os
+
+from neighborhoodwatch_tpu.io import fvec
+from neighborhoodwatch_tpu.io.hdf5_io import write_hdf5
+from neighborhoodwatch_tpu.io.parquet_io import (
+    read_and_extract, read_parquet_to_dataframe,
+)
+from neighborhoodwatch_tpu.utils.naming import (
+    get_full_filename, get_hdf5_filename, get_ivec_fvec_filenames,
+)
+
+
+def is_empty_file(filename: str) -> bool:
+    """(reference: parquet_to_format.py:111-112)"""
+    return not os.path.exists(filename) or os.path.getsize(filename) == 0
+
+
+def generate_query_vectors_fvec(data_dir, model_name, input_parquet, query_count,
+                                dimensions, query_vectors_fvec_file,
+                                output_hdf5=True, column_names=None, hdf5_file=None,
+                                output_dtype=None):
+    df = read_and_extract(data_dir, input_parquet, query_count, dimensions, column_names)
+    if is_empty_file(query_vectors_fvec_file):
+        fvec.write_ivec_fvec_from_dataframe(
+            data_dir, model_name, query_vectors_fvec_file, df, "f", dimensions)
+    else:
+        print(f"File {query_vectors_fvec_file} already exists")
+    if output_hdf5:
+        write_hdf5(data_dir, model_name, df, hdf5_file, "test", output_dtype)
+
+
+def generate_base_vectors_fvec(data_dir, model_name, input_parquet, base_count,
+                               dimensions, base_vectors_fvec_file,
+                               output_hdf5=True, column_names=None, hdf5_file=None,
+                               output_dtype=None):
+    df = read_and_extract(data_dir, input_parquet, base_count, dimensions, column_names)
+    if is_empty_file(base_vectors_fvec_file):
+        fvec.write_ivec_fvec_from_dataframe(
+            data_dir, model_name, base_vectors_fvec_file, df, "f", dimensions)
+    else:
+        print(f"File {base_vectors_fvec_file} already exists")
+    if output_hdf5:
+        write_hdf5(data_dir, model_name, df, hdf5_file, "train", output_dtype)
+
+
+def generate_indices_ivec(data_dir, model_name, input_parquet, k,
+                          indices_ivec_file, output_hdf5=True, hdf5_file=None):
+    df = read_parquet_to_dataframe(data_dir, input_parquet)
+    if is_empty_file(indices_ivec_file):
+        fvec.write_ivec_fvec_from_dataframe(
+            data_dir, model_name, indices_ivec_file, df, "i", k)
+    else:
+        print(f"File {indices_ivec_file} already exists")
+    if output_hdf5:
+        write_hdf5(data_dir, model_name, df, hdf5_file, "neighbors")
+
+
+def generate_distances_fvec(data_dir, model_name, input_parquet, k,
+                            distances_fvec_file, output_hdf5=True, hdf5_file=None):
+    df = read_parquet_to_dataframe(data_dir, input_parquet)
+    if is_empty_file(distances_fvec_file):
+        fvec.write_ivec_fvec_from_dataframe(
+            data_dir, model_name, distances_fvec_file, df, "f", k)
+    else:
+        print(f"File {distances_fvec_file} already exists")
+    if output_hdf5:
+        write_hdf5(data_dir, model_name, df, hdf5_file, "distances")
+
+
+def generate_output_files(data_dir, model_name, dimensions, base_vectors_parquet,
+                          query_vectors_parquet, base_count, query_count,
+                          final_indices_parquet, final_distances_parquet, k,
+                          output_hdf5=True, column_names=None, output_dtype=None):
+    """Produce and report the 4 fvec/ivec files + hdf5
+    (reference: parquet_to_format.py:213-319)."""
+    (query_vector_fvec_file, base_vector_fvec_file,
+     indices_ivec_file, distances_fvec_file) = get_ivec_fvec_filenames(
+        data_dir, model_name, dimensions, base_count, query_count, k, output_dtype)
+    hdf5_filename = get_hdf5_filename(
+        data_dir, model_name, dimensions, base_count, query_count, k, output_dtype)
+
+    generate_query_vectors_fvec(data_dir, model_name, query_vectors_parquet,
+                                query_count, dimensions, query_vector_fvec_file,
+                                output_hdf5, column_names, hdf5_filename,
+                                output_dtype)
+    _report(data_dir, query_vector_fvec_file, "query vector")
+
+    generate_base_vectors_fvec(data_dir, model_name, base_vectors_parquet,
+                               base_count, dimensions, base_vector_fvec_file,
+                               output_hdf5, column_names, hdf5_filename,
+                               output_dtype)
+    _report(data_dir, base_vector_fvec_file, "base vector")
+
+    generate_indices_ivec(data_dir, model_name, final_indices_parquet, k,
+                          indices_ivec_file, output_hdf5, hdf5_filename)
+    _report(data_dir, indices_ivec_file, "indices")
+
+    generate_distances_fvec(data_dir, model_name, final_distances_parquet, k,
+                            distances_fvec_file, output_hdf5, hdf5_filename)
+    _report(data_dir, distances_fvec_file, "distances")
+
+    return (query_vector_fvec_file, base_vector_fvec_file,
+            indices_ivec_file, distances_fvec_file)
+
+
+def _report(data_dir, filename, label):
+    full = get_full_filename(data_dir, filename)
+    count = fvec.count_vectors(data_dir, filename)
+    dim = len(fvec.get_first_vector(data_dir, filename)) if count else 0
+    print(f"  {full}: {label} count={count}, width={dim}")

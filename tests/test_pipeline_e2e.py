@@ -1,0 +1,127 @@
+"""End-to-end pipeline on synthetic embeddings: parquet -> kNN -> merge ->
+export -> validate (the minimum end-to-end slice, SURVEY.md §7)."""
+
+import numpy as np
+import pytest
+
+from neighborhoodwatch_tpu.core.merge import merge_indices_and_distances
+from neighborhoodwatch_tpu.core.pipeline import compute_knn, compute_knn_ds
+from neighborhoodwatch_tpu.core.tuner import plan_knn, tune_memory
+from neighborhoodwatch_tpu.io import fvec
+from neighborhoodwatch_tpu.io.export import generate_output_files
+from neighborhoodwatch_tpu.io.parquet_io import ParquetStreamer, cleanup_partial_parquet
+from neighborhoodwatch_tpu.ops.knn import knn
+from neighborhoodwatch_tpu.utils import naming
+from neighborhoodwatch_tpu.validate import validate_files_v0, validate_files
+
+from tests.conftest import QUERY_COUNT, BASE_COUNT, K, DIMENSIONS
+
+MODEL = "intfloat/e5-small-v2"
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(tmp_path_factory, normalized_vectors):
+    """Write synthetic query/base embedding parquet files in the real
+    output-tree layout."""
+    root = tmp_path_factory.mktemp("knn_dataset")
+    data_dir = naming.setup_model_output_folder(
+        str(root), MODEL, QUERY_COUNT, BASE_COUNT, K)
+    q, b = normalized_vectors
+    qfile = naming.get_source_query_dataset_filename(
+        data_dir, MODEL, QUERY_COUNT, DIMENSIONS)
+    bfile = naming.get_source_base_dataset_filename(
+        data_dir, MODEL, BASE_COUNT, DIMENSIONS)
+    with ParquetStreamer(qfile, ["title", "question"]) as ps:
+        ps.stream_to_parquet([["t", f"q{i}"] for i in range(len(q))], q)
+    with ParquetStreamer(bfile, ["title", "text"]) as ps:
+        ps.stream_to_parquet([["t", f"d{i}"] for i in range(len(b))], b)
+    return data_dir, qfile, bfile
+
+
+def test_table_path_end_to_end(dataset_dir, normalized_vectors):
+    data_dir, qfile, bfile = dataset_dir
+    q, b = normalized_vectors
+    cleanup_partial_parquet(f"{data_dir}/partial")
+
+    compute_knn(data_dir, MODEL, DIMENSIONS, qfile, QUERY_COUNT, bfile,
+                BASE_COUNT, mem_tune=False, k=K, initial_batch_size=300)
+    merge_indices_and_distances(data_dir, k=K)
+
+    files = generate_output_files(
+        data_dir, naming.get_model_prefix(MODEL), DIMENSIONS, bfile, qfile,
+        BASE_COUNT, QUERY_COUNT,
+        naming.get_partial_indices_filename(data_dir, -1),
+        naming.get_partial_distances_filename(data_dir, -1),
+        K, output_hdf5=True)
+    qf, bf, inf, df = files
+
+    # files exist with right counts
+    assert fvec.count_vectors(data_dir, qf) == QUERY_COUNT
+    assert fvec.count_vectors(data_dir, bf) == BASE_COUNT
+    assert fvec.count_vectors(data_dir, inf) == QUERY_COUNT
+    assert fvec.count_vectors(data_dir, df) == QUERY_COUNT
+
+    # exact vs oracle
+    ref_d, ref_i = knn(q, b, k=K)
+    got_i = fvec.read_vectors(naming.get_full_filename(data_dir, inf))
+    got_d = fvec.read_vectors(naming.get_full_filename(data_dir, df))
+    np.testing.assert_array_equal(got_i, np.asarray(ref_i))
+    np.testing.assert_allclose(got_d, np.asarray(ref_d), atol=1e-5)
+
+    # raft-convention validator passes on normalized vectors
+    assert validate_files_v0(data_dir, qf, bf, inf, df) == 0
+
+    # hdf5 groups present
+    import h5py
+    h5 = naming.get_hdf5_filename(data_dir, naming.get_model_prefix(MODEL),
+                                  DIMENSIONS, BASE_COUNT, QUERY_COUNT, K)
+    with h5py.File(h5, "r") as f:
+        assert set(f.keys()) == {"train", "test", "neighbors", "distances"}
+        assert f["train"].shape == (BASE_COUNT, DIMENSIONS)
+        assert f["neighbors"].shape == (QUERY_COUNT, K)
+
+
+def test_dataset_path_streaming(dataset_dir, normalized_vectors):
+    data_dir, qfile, bfile = dataset_dir
+    q, b = normalized_vectors
+    cleanup_partial_parquet(f"{data_dir}/partial")
+
+    compute_knn_ds(data_dir, DIMENSIONS, qfile, QUERY_COUNT, bfile, BASE_COUNT,
+                   k=K, initial_batch_size=250)
+    import pyarrow.parquet as pq
+    got_i = pq.read_table(
+        naming.get_partial_indices_filename(data_dir, -1)).to_pandas().values
+    got_d = pq.read_table(
+        naming.get_partial_distances_filename(data_dir, -1)).to_pandas().values
+    ref_d, ref_i = knn(q, b, k=K)
+    np.testing.assert_array_equal(got_i, np.asarray(ref_i))
+    np.testing.assert_allclose(got_d, np.asarray(ref_d), atol=1e-5)
+
+
+def test_cosine_metric_validator(dataset_dir, normalized_vectors):
+    """cosine-convention pipeline passes the v1 validator."""
+    data_dir, qfile, bfile = dataset_dir
+    cleanup_partial_parquet(f"{data_dir}/partial")
+    compute_knn_ds(data_dir, DIMENSIONS, qfile, QUERY_COUNT, bfile, BASE_COUNT,
+                   k=K, metric="cosine")
+    prefix = naming.get_model_prefix(MODEL) + "cos"
+    files = generate_output_files(
+        data_dir, prefix, DIMENSIONS, bfile, qfile, BASE_COUNT, QUERY_COUNT,
+        naming.get_partial_indices_filename(data_dir, -1),
+        naming.get_partial_distances_filename(data_dir, -1),
+        K, output_hdf5=False)
+    qf, bf, inf, df = files
+    assert validate_files(data_dir, qf, bf, inf, df) == 0
+
+
+def test_tuner_plans_are_deterministic():
+    p1 = plan_knn(10_000, 1536, 100, base_count=10_000_000)
+    p2 = plan_knn(10_000, 1536, 100, base_count=10_000_000)
+    assert p1 == p2
+    assert p1.tile_size % 1024 == 0
+    assert p1.batch_size >= p1.tile_size
+    assert p1.est_bytes < p1.bytes_limit
+
+    bs = tune_memory(5000, 100, 384, 10, initial_batch_size=100_000,
+                     max_memory_threshold=0.1)
+    assert 0 < bs <= 5000 + 1024
