@@ -1,0 +1,272 @@
+"""Source dataset pipeline: text -> sentences -> embeddings -> parquet.
+
+Capability parity with reference generate_dataset.py:101-367: streams
+HuggingFace datasets (squad questions for queries, wikipedia 20220301.en
+text for base), splits rows into sentences, batches sentences
+(batch=10000), embeds, skips zero embeddings, and streams metadata +
+`embedding_{i}` float32 scalar columns to parquet with resume-by-artifact.
+
+Differences by design:
+- sentence splitting is a dependency-free regex sentencizer (the reference
+  requires spaCy's "sentencizer" pipe, generate_dataset.py:18-19,36-42);
+- the two-phase base selection (titles overlapping the query set first,
+  then the remainder, generate_dataset.py:317-362) uses pyarrow compute
+  set membership instead of per-row Python filtering over fork pools;
+- a `synthetic` source makes the whole pipeline runnable hermetically.
+"""
+
+import os
+import re
+
+import numpy as np
+
+from neighborhoodwatch_tpu.io.parquet_io import ParquetStreamer
+from neighborhoodwatch_tpu.models.registry import get_embedding_generator_for_model
+from neighborhoodwatch_tpu.utils.misc import is_zero_embedding
+from neighborhoodwatch_tpu.utils.naming import (
+    BASE_CONFIG, BASE_DATASET, QUERY_DATASET,
+    get_source_base_dataset_filename, get_source_query_dataset_filename,
+)
+
+SENTENCE_BATCH_SIZE = 10_000  # reference generate_dataset.py:112
+
+_SENT_RE = re.compile(r"(?<=[.!?])[\s\n]+(?=[A-Z0-9\"'(])|\n{2,}")
+
+
+def split_into_sentences(text) -> list[str]:
+    """Regex sentencizer (replaces spaCy, reference
+    generate_dataset.py:36-42)."""
+    if isinstance(text, dict) and "text" in text:
+        text = text["text"]
+    parts = _SENT_RE.split(text)
+    return [p.strip() for p in parts if p and p.strip()]
+
+
+def check_dataset_exists_remote() -> bool:
+    """Verify the wikipedia config exists on the HF hub
+    (reference: nw_utils.py:18-23). Returns False when offline."""
+    try:
+        from datasets import get_dataset_config_names
+        configs = get_dataset_config_names(BASE_DATASET, trust_remote_code=True)
+        return BASE_CONFIG in configs
+    except Exception as e:
+        print(f"   [warn] could not reach HF hub ({e})")
+        return False
+
+
+def get_batch_embeddings_from_generator(text_list, generator, dataset_type=None):
+    """Chunked embedding with zero-vector fallback accounting
+    (reference: generate_dataset.py:45-91). Cohere needs input_type."""
+    assert dataset_type in ("query", "document", None)
+    from neighborhoodwatch_tpu.models.generators import CohereEmbeddingV3Generator
+
+    kwargs = {}
+    if isinstance(generator, CohereEmbeddingV3Generator):
+        kwargs["input_type"] = ("search_query" if dataset_type == "query"
+                                else "search_document")
+    embeddings = generator.generate_embedding(text_list, **kwargs)
+    zero_cnt = sum(1 for e in embeddings if is_zero_embedding(e))
+    return embeddings, zero_cnt
+
+
+def get_embeddings_from_map(text_map, generator, dataset_type=None):
+    """Embed a [(key, [sentences])] map preserving grouping
+    (reference: generate_dataset.py:94-98)."""
+    flattened = [s for _, sentences in text_map for s in sentences]
+    embeddings, _ = get_batch_embeddings_from_generator(flattened, generator,
+                                                        dataset_type)
+    it = iter(embeddings)
+    return [(key, [next(it) for _ in sentences]) for key, sentences in text_map]
+
+
+def process_dataset(dataset_type, streamer, dataset, row_count,
+                    embedding_column, model_name, output_dimension=None,
+                    output_dtype=None, generator=None):
+    """Stream rows: sentencize, embed in SENTENCE_BATCH_SIZE batches, skip
+    zero embeddings, write metadata + embedding columns until `row_count`
+    embeddings are produced (reference: generate_dataset.py:101-189).
+
+    `dataset` is any iterable of dict rows exposing `.column_names`."""
+    if generator is None:
+        generator = get_embedding_generator_for_model(
+            model_name=model_name, output_dimension=output_dimension,
+            dataset_type=dataset_type, output_dtype=output_dtype)
+    assert generator is not None
+
+    column_names = list(dataset.column_names)
+    meta_rows, embedding_rows = [], []
+    embedding_counter = 0
+    skipped_cnt = 0
+
+    pending_rows: list[dict] = []
+    pending_sentences: list[list[str]] = []
+    pending_count = 0
+
+    def flush() -> bool:
+        """Embed pending sentences; returns True when row_count reached."""
+        nonlocal embedding_counter, skipped_cnt, meta_rows, embedding_rows
+        nonlocal pending_rows, pending_sentences, pending_count
+        if not pending_rows:
+            return embedding_counter >= row_count
+        text_map = list(enumerate(pending_sentences))
+        tuples = get_embeddings_from_map(text_map, generator, dataset_type)
+        done = False
+        for index, embedding_list in tuples:
+            row = pending_rows[index]
+            for idx, embedding in enumerate(embedding_list):
+                if is_zero_embedding(embedding):
+                    skipped_cnt += 1
+                    continue
+                meta = []
+                for column in column_names:
+                    if column == "title":
+                        meta.append(str(row[column]).replace("_", " "))
+                    elif column == embedding_column:
+                        meta.append(pending_sentences[index][idx])
+                    else:
+                        meta.append(row[column])
+                meta_rows.append(meta)
+                embedding_rows.append(embedding)
+                embedding_counter += 1
+                if embedding_counter >= row_count:
+                    done = True
+                    break
+            if done:
+                break
+        if meta_rows:
+            streamer.stream_to_parquet(meta_rows, embedding_rows)
+            meta_rows, embedding_rows = [], []
+        pending_rows, pending_sentences, pending_count = [], [], 0
+        return done
+
+    for row in dataset:
+        sentences = split_into_sentences(row[embedding_column])
+        pending_rows.append(row)
+        pending_sentences.append(sentences)
+        pending_count += len(sentences)
+        if pending_count >= min(SENTENCE_BATCH_SIZE, row_count):
+            if flush():
+                return embedding_counter, skipped_cnt
+    flush()
+    return embedding_counter, skipped_cnt
+
+
+class _ListDataset:
+    """Minimal iterable-of-dicts dataset with .column_names/.filter."""
+
+    def __init__(self, rows, column_names):
+        self.rows = list(rows)
+        self.column_names = list(column_names)
+
+    def __iter__(self):
+        return iter(self.rows)
+
+    def __len__(self):
+        return len(self.rows)
+
+    def filter(self, fn):
+        return _ListDataset([r for r in self.rows if fn(r)], self.column_names)
+
+
+def synthetic_dataset(kind: str, rows: int, seed: int = 0) -> _ListDataset:
+    """Hermetic stand-in for squad/wikipedia when offline."""
+    rng = np.random.default_rng(seed + (0 if kind == "query" else 1))
+    column = "question" if kind == "query" else "text"
+    titles = [f"Topic {i}" for i in range(max(rows // 5, 1))]
+    out = []
+    for i in range(rows):
+        words = " ".join(f"w{int(x)}" for x in rng.integers(0, 5000, size=12))
+        out.append({"id": str(i), "title": titles[i % len(titles)],
+                    column: f"Sentence about {words}."})
+    return _ListDataset(out, ["id", "title", column])
+
+
+def load_query_source(synthetic_rows: int | None = None):
+    """squad train split (reference: generate_dataset.py:270) or synthetic."""
+    if synthetic_rows is not None:
+        return synthetic_dataset("query", synthetic_rows)
+    import datasets
+    return datasets.load_dataset(QUERY_DATASET, cache_dir=".cache",
+                                 trust_remote_code=True)["train"]
+
+
+def load_base_source(synthetic_rows: int | None = None):
+    """wikipedia 20220301.en train split (reference:
+    generate_dataset.py:306-310) or synthetic."""
+    if synthetic_rows is not None:
+        return synthetic_dataset("document", synthetic_rows)
+    import datasets
+    return datasets.load_dataset(BASE_DATASET, BASE_CONFIG, cache_dir=".cache",
+                                 trust_remote_code=True, split="train")
+
+
+def generate_query_dataset(data_dir, model_name, row_count,
+                           output_dimension=None, output_dtype=None,
+                           source=None, generator=None):
+    """(reference: generate_dataset.py:264-285) — resume-by-artifact."""
+    filename = get_source_query_dataset_filename(
+        data_dir, model_name, row_count, output_dimension, output_dtype)
+    if os.path.exists(filename):
+        print(f"file {filename} already exists")
+        return filename
+    dataset = source if source is not None else load_query_source()
+    streamer = ParquetStreamer(filename, dataset.column_names)
+    processed, skipped = process_dataset("query", streamer, dataset, row_count,
+                                         "question", model_name,
+                                         output_dimension, output_dtype,
+                                         generator=generator)
+    streamer.close()
+    assert processed == row_count, f"Expected {row_count} rows, got {processed} rows."
+    print(f"   processed {processed} non-zero embeddings, skipped {skipped} zero embeddings")
+    return filename
+
+
+def generate_base_dataset(data_dir, model_name, query_vector_filename,
+                          row_count, output_dimension=None, output_dtype=None,
+                          source=None, generator=None):
+    """Two-phase base selection: rows whose title appears in the query set
+    first, then the remainder until `row_count`
+    (reference: generate_dataset.py:288-367)."""
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    filename = get_source_base_dataset_filename(
+        data_dir, model_name, row_count, output_dimension, output_dtype)
+    if os.path.exists(filename):
+        print(f"file {filename} already exists")
+        return filename
+
+    from neighborhoodwatch_tpu.utils.naming import get_full_filename
+    query_table = pq.read_table(get_full_filename(data_dir, query_vector_filename),
+                                columns=["title"])
+    query_titles = set(pc.unique(query_table.column("title")).to_pylist())
+
+    dataset = source if source is not None else load_base_source()
+    streamer = ParquetStreamer(filename, dataset.column_names)
+
+    processed = 0
+    skipped = 0
+    print("-- filtering base dataset 1 (title in query set)")
+    in_set = dataset.filter(lambda r: r["title"].replace("_", " ") in query_titles)
+    if len(in_set) > 0:
+        processed, skipped = process_dataset("document", streamer, in_set,
+                                             row_count, "text", model_name,
+                                             output_dimension, output_dtype,
+                                             generator=generator)
+        assert processed <= row_count
+
+    if row_count > processed:
+        print("-- filtering base dataset 2 (title not in query set)")
+        out_set = dataset.filter(
+            lambda r: r["title"].replace("_", " ") not in query_titles)
+        p2, s2 = process_dataset("document", streamer, out_set,
+                                 row_count - processed, "text", model_name,
+                                 output_dimension, output_dtype,
+                                 generator=generator)
+        processed += p2
+        skipped += s2
+        assert processed == row_count, f"Expected {row_count} rows, got {processed} rows."
+
+    streamer.close()
+    print(f"   processed {processed} non-zero embeddings, skipped {skipped} zero embeddings")
+    return filename

@@ -1,0 +1,60 @@
+"""e5 embedding generator on TPU (Flax BERT + mean pool + L2 normalize).
+
+Replaces the reference's SentenceTransformer torch-CUDA path
+(reference: model_generator.py:273-287) with a jit-compiled Flax encoder:
+sequences are bucketed to power-of-two lengths (static shapes, bounded
+recompiles), matmuls run in bf16 on the MXU, pooling/normalization in fp32.
+The "query:" prefix contract is inherited from the generator ABC.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from neighborhoodwatch_tpu.models.bert_flax import (
+    BertEncoder, E5_CONFIGS, init_params, load_hf_weights, mean_pool_normalize,
+)
+from neighborhoodwatch_tpu.models.generators import EmbeddingGenerator
+from neighborhoodwatch_tpu.models.registry import EmbeddingModelName
+from neighborhoodwatch_tpu.models.tokenizer import load_tokenizer
+
+
+class E5FlaxEmbeddingGenerator(EmbeddingGenerator):
+    def __init__(self, model_name=EmbeddingModelName.INTFLOAT_E5_BASE_V2.value,
+                 max_length: int = 512, params=None, seed: int = 0):
+        assert model_name in E5_CONFIGS, \
+            f"{model_name} is not an e5 model"
+        super().__init__(model_name=model_name, chunk_size=64)
+        self.config = E5_CONFIGS[model_name]
+        self.max_length = max_length
+        self.tokenizer = load_tokenizer(model_name)
+        self.model = BertEncoder(self.config)
+        if params is None:
+            params = load_hf_weights(model_name, self.config)
+        if params is None:
+            params = init_params(self.config, seed=seed)
+            self.pretrained = False
+        else:
+            self.pretrained = True
+        self.params = params
+
+        @partial(jax.jit, static_argnums=())
+        def _forward(params, input_ids, attention_mask):
+            hidden = self.model.apply(params, input_ids, attention_mask)
+            return mean_pool_normalize(hidden, attention_mask)
+
+        self._forward = _forward
+
+    def _call_model_api(self, text_list, *args, **kwargs):
+        ids, mask = self.tokenizer(text_list, max_length=self.max_length)
+        emb = self._forward(self.params, jnp.asarray(ids), jnp.asarray(mask))
+        return np.asarray(emb, dtype=np.float32)
+
+    def encode(self, texts, batch_size: int = 64):
+        """Convenience bulk encode (normalized embeddings)."""
+        out = []
+        for s in range(0, len(texts), batch_size):
+            out.append(self._call_model_api(texts[s:s + batch_size]))
+        return np.concatenate(out, axis=0) if out else np.empty((0, self.output_dimension))

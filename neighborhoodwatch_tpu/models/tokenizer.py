@@ -1,0 +1,86 @@
+"""Tokenizer front-end for the Flax encoders.
+
+Uses a locally cached HuggingFace fast tokenizer when available; in
+zero-egress environments it falls back to a deterministic hash tokenizer
+(stable word -> id mapping into the BERT vocab range) so the full pipeline
+remains runnable and testable without network access. The fallback is
+flagged `is_hashed=True` — embeddings from it are pipeline-valid but not
+semantically meaningful.
+"""
+
+import re
+import hashlib
+
+import numpy as np
+
+CLS_ID = 101
+SEP_ID = 102
+PAD_ID = 0
+# hash ids land in [999, vocab); low ids are reserved/special in BERT vocabs
+_HASH_FLOOR = 999
+
+_WORD_RE = re.compile(r"[A-Za-z0-9]+|[^\sA-Za-z0-9]")
+
+
+class HashTokenizer:
+    """Deterministic, dependency-free tokenizer fallback."""
+
+    is_hashed = True
+
+    def __init__(self, vocab_size: int = 30522):
+        self.vocab_size = vocab_size
+
+    def _word_id(self, word: str) -> int:
+        digest = hashlib.blake2s(word.lower().encode(), digest_size=4).digest()
+        span = self.vocab_size - _HASH_FLOOR
+        return _HASH_FLOOR + int.from_bytes(digest, "little") % span
+
+    def __call__(self, texts, max_length: int = 512):
+        ids_rows, mask_rows = [], []
+        for text in texts:
+            words = _WORD_RE.findall(text)[: max_length - 2]
+            ids = [CLS_ID] + [self._word_id(w) for w in words] + [SEP_ID]
+            ids_rows.append(ids)
+            mask_rows.append([1] * len(ids))
+        return _pad(ids_rows, mask_rows, max_length)
+
+
+class HFTokenizer:
+    is_hashed = False
+
+    def __init__(self, tok):
+        self._tok = tok
+
+    def __call__(self, texts, max_length: int = 512):
+        enc = self._tok(list(texts), truncation=True, max_length=max_length)
+        return _pad(enc["input_ids"], enc["attention_mask"], max_length)
+
+
+def _pad(ids_rows, mask_rows, max_length):
+    """Pad to the smallest power-of-two bucket (>=16) covering the batch —
+    static shapes for jit with a bounded set of compiled variants."""
+    longest = max(len(r) for r in ids_rows)
+    bucket = 16
+    while bucket < longest and bucket < max_length:
+        bucket *= 2
+    bucket = min(bucket, max_length)
+    n = len(ids_rows)
+    ids = np.full((n, bucket), PAD_ID, dtype=np.int32)
+    mask = np.zeros((n, bucket), dtype=np.int32)
+    for i, (r, m) in enumerate(zip(ids_rows, mask_rows)):
+        r = r[:bucket]
+        ids[i, :len(r)] = r
+        mask[i, :len(r)] = m[:len(r)]
+    return ids, mask
+
+
+def load_tokenizer(model_name: str):
+    """Local HF tokenizer if cached, else the hash fallback."""
+    try:
+        from transformers import AutoTokenizer
+        tok = AutoTokenizer.from_pretrained(model_name, local_files_only=True)
+        return HFTokenizer(tok)
+    except Exception:
+        print(f"   [warn] no local tokenizer for {model_name}; "
+              f"using deterministic hash tokenizer")
+        return HashTokenizer()

@@ -1,0 +1,114 @@
+"""Source dataset pipeline: sentencizer, embedding batching, zero-skip,
+two-phase base selection, resume-by-artifact (model of reference
+tests/test_01_generate_dataset.py but hermetic — no network, no real model)."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from neighborhoodwatch_tpu.data.sources import (
+    split_into_sentences, synthetic_dataset, process_dataset,
+    generate_query_dataset, generate_base_dataset, get_embeddings_from_map,
+)
+from neighborhoodwatch_tpu.io.parquet_io import ParquetStreamer, read_embeddings
+from neighborhoodwatch_tpu.models.generators import EmbeddingGenerator
+
+
+class _DetGenerator(EmbeddingGenerator):
+    """Deterministic hash-based embeddings; optionally fails on marker."""
+
+    def __init__(self, dim_model="intfloat/e5-small-v2", fail_marker=None,
+                 chunk_size=64):
+        super().__init__(dim_model, chunk_size=chunk_size)
+        self.fail_marker = fail_marker
+
+    def _call_model_api(self, text_list, *args, **kwargs):
+        out = []
+        for t in text_list:
+            if self.fail_marker and self.fail_marker in t:
+                raise RuntimeError("synthetic failure")
+            rng = np.random.default_rng(abs(hash(t)) % (2 ** 31))
+            v = rng.standard_normal(self.output_dimension)
+            out.append((v / np.linalg.norm(v)).astype(np.float32))
+        return out
+
+
+def test_split_into_sentences():
+    text = "First sentence. Second one! Third? And a fourth."
+    sents = split_into_sentences(text)
+    assert sents == ["First sentence.", "Second one!", "Third?", "And a fourth."]
+    assert split_into_sentences({"text": "Hello there. Bye."}) == ["Hello there.", "Bye."]
+    assert split_into_sentences("") == []
+
+
+def test_get_embeddings_from_map():
+    g = _DetGenerator()
+    text_map = [(0, ["a b c", "d e"]), (1, ["f"])]
+    out = get_embeddings_from_map(text_map, g)
+    assert len(out) == 2
+    assert len(out[0][1]) == 2 and len(out[1][1]) == 1
+    assert np.asarray(out[0][1][0]).shape == (384,)
+
+
+def test_process_dataset_counts_and_schema(tmp_path):
+    ds = synthetic_dataset("query", 30)
+    g = _DetGenerator()
+    path = str(tmp_path / "q.parquet")
+    streamer = ParquetStreamer(path, ds.column_names)
+    processed, skipped = process_dataset("query", streamer, ds, 20, "question",
+                                         "intfloat/e5-small-v2", generator=g)
+    streamer.close()
+    assert processed == 20
+    assert skipped == 0
+    table = pq.read_table(path)
+    assert table.num_rows == 20
+    assert "question" in table.schema.names
+    assert "embedding_383" in table.schema.names
+    mat = read_embeddings(str(tmp_path), "q.parquet")
+    assert mat.shape == (20, 384)
+    assert not np.any(np.all(mat == 0, axis=1))
+
+
+def test_generate_query_and_base_datasets(tmp_path):
+    g = _DetGenerator()
+    data_dir = str(tmp_path)
+    qsrc = synthetic_dataset("query", 40)
+    qfile = generate_query_dataset(data_dir, "intfloat/e5-small-v2", 25,
+                                   output_dimension=384, source=qsrc,
+                                   generator=g)
+    assert qfile.endswith("intfloat_e5-small-v2_384_query_vector_data_25.parquet")
+    # resume: second call is a no-op returning the same file
+    qfile2 = generate_query_dataset(data_dir, "intfloat/e5-small-v2", 25,
+                                    output_dimension=384, source=qsrc,
+                                    generator=g)
+    assert qfile2 == qfile
+
+    bsrc = synthetic_dataset("document", 80)
+    bfile = generate_base_dataset(data_dir, "intfloat/e5-small-v2", qfile, 30,
+                                  output_dimension=384, source=bsrc,
+                                  generator=g)
+    mat = read_embeddings(data_dir, bfile)
+    assert mat.shape == (30, 384)
+    # titles overlapping the query set come first (two-phase selection)
+    btable = pq.read_table(bfile)
+    qtitles = set(pq.read_table(qfile).column("title").to_pylist())
+    first_titles = btable.column("title").to_pylist()[:5]
+    assert all(t in qtitles for t in first_titles)
+
+
+def test_zero_embedding_rows_are_skipped(tmp_path):
+    ds = synthetic_dataset("query", 30)
+    # make some rows fail -> zero vectors -> skipped, still reach count
+    g = _DetGenerator(fail_marker=None)
+    marked = [dict(r) for r in ds]
+    marked[2]["question"] = "POISON sentence."
+    ds.rows = marked
+    g = _DetGenerator(fail_marker="POISON", chunk_size=1)
+    path = str(tmp_path / "z.parquet")
+    streamer = ParquetStreamer(path, ds.column_names)
+    processed, skipped = process_dataset("query", streamer, ds, 10, "question",
+                                         "intfloat/e5-small-v2", generator=g)
+    streamer.close()
+    assert processed == 10
+    mat = read_embeddings(str(tmp_path), "z.parquet")
+    assert not np.any(np.all(mat == 0, axis=1))

@@ -1,0 +1,193 @@
+"""Model registry, generator ABC, remote HTTP generators (mock transport),
+and the Flax e5/ColBERT encoders."""
+
+import numpy as np
+import pytest
+
+from neighborhoodwatch_tpu.models import registry
+from neighborhoodwatch_tpu.models.generators import (
+    EmbeddingGenerator, OpenAIEmbeddingGenerator, CohereEmbeddingV3Generator,
+    VoyageAIEmbeddingGenerator, NvidiaNemoEmbeddingGenerator,
+    VertexAIEmbeddingGenerator,
+)
+
+
+def test_registry_names_and_dims():
+    names = registry.get_valid_model_name_list()
+    assert len(names) == 15
+    assert registry.is_valid_model_name("intfloat/e5-small-v2")
+    assert not registry.is_valid_model_name("bogus")
+    assert not registry.is_valid_model_name(None)
+    assert registry.get_default_model_dimension_size("text-embedding-ada-002") == 1536
+    assert registry.get_default_model_dimension_size("text-embedding-3-large") == 3072
+    assert registry.get_default_model_dimension_size("intfloat/e5-large-v2") == 1024
+    assert registry.get_default_model_dimension_size("intfloat/e5-base-v2") == 768
+    assert registry.get_default_model_dimension_size("intfloat/e5-small-v2") == 384
+    assert registry.get_default_model_dimension_size("cohere/embed-english-v3.0") == 1024
+    assert registry.get_default_model_dimension_size("voyage-3-lite") == 512
+    assert registry.get_default_model_dimension_size("colbertv2.0") == 128
+
+
+def test_effective_embedding_size_rules():
+    # OpenAI v3 supports reduced dims
+    assert registry.get_effective_embedding_size("text-embedding-3-small", 256) == 256
+    with pytest.raises(AssertionError):
+        registry.get_effective_embedding_size("text-embedding-3-small", 4096)
+    # Voyage large: only the 4 sizes
+    assert registry.get_effective_embedding_size("voyage-3-large", 2048) == 2048
+    with pytest.raises(AssertionError):
+        registry.get_effective_embedding_size("voyage-3-large", 333)
+    # everyone else ignores the request
+    assert registry.get_effective_embedding_size("intfloat/e5-base-v2", 128) == 768
+    assert registry.get_effective_embedding_size("intfloat/e5-base-v2") == 768
+
+
+class _FakeGenerator(EmbeddingGenerator):
+    """Counts calls; fails on chunks containing 'FAIL'."""
+
+    def __init__(self):
+        super().__init__("intfloat/e5-small-v2", chunk_size=4)
+        self.calls = []
+
+    def _call_model_api(self, text_list, *args, **kwargs):
+        self.calls.append(list(text_list))
+        if any("FAIL" in t for t in text_list):
+            raise RuntimeError("api down")
+        return [[1.0] * self.output_dimension for _ in text_list]
+
+
+def test_generator_chunking_and_zero_fallback():
+    g = _FakeGenerator()
+    texts = [f"t{i}" for i in range(9)] + ["FAIL"]
+    out = g.generate_embedding(texts)
+    assert len(out) == 10
+    # chunk_size=4 -> 3 chunks
+    assert len(g.calls) == 3
+    # e5 prefix applied exactly once
+    assert g.calls[0][0] == "query:t0"
+    # failing chunk (last 2 items) became zero vectors
+    assert not np.any(out[-1])
+    assert np.any(out[0])
+
+
+def test_generator_chunk_size_invariant():
+    with pytest.raises(AssertionError):
+        class _Bad(EmbeddingGenerator):
+            def _call_model_api(self, text_list, *a, **k):
+                return []
+        _Bad("intfloat/e5-small-v2", chunk_size=65)
+
+
+def _mk_transport(dim, record):
+    def transport(url, payload, headers):
+        record.append((url, payload))
+        texts = payload.get("input") or payload.get("texts") or payload["instances"]
+        n = len(texts)
+        if "instances" in payload:
+            return {"predictions": [{"embeddings": {"values": [0.5] * dim}}] * n}
+        if "texts" in payload:  # cohere
+            return {"embeddings": [[0.5] * dim] * n}
+        return {"data": [{"embedding": [0.5] * dim} for _ in range(n)]}
+    return transport
+
+
+def test_openai_generator_mock():
+    rec = []
+    g = OpenAIEmbeddingGenerator("text-embedding-3-small",
+                                 output_dimension_size=256,
+                                 transport=_mk_transport(256, rec))
+    out = g.generate_embedding(["hello", "world"])
+    assert np.asarray(out).shape == (2, 256)
+    assert rec[0][1]["dimensions"] == 256
+    assert rec[0][1]["model"] == "text-embedding-3-small"
+
+
+def test_openai_ada_no_dimensions_param():
+    rec = []
+    g = OpenAIEmbeddingGenerator("text-embedding-ada-002",
+                                 transport=_mk_transport(1536, rec))
+    g.generate_embedding(["x"])
+    assert "dimensions" not in rec[0][1]
+
+
+def test_cohere_requires_input_type():
+    rec = []
+    g = CohereEmbeddingV3Generator(transport=_mk_transport(1024, rec))
+    out = g.generate_embedding(["a"], input_type="search_query")
+    assert np.asarray(out).shape == (1, 1024)
+    assert rec[0][1]["model"] == "embed-english-v3.0"
+    # missing input_type -> zero-vector fallback via ABC exception path
+    out = g.generate_embedding(["a"])
+    assert not np.any(np.asarray(out))
+
+
+def test_voyage_dtype_and_dims():
+    rec = []
+    g = VoyageAIEmbeddingGenerator("voyage-3-large", input_type="query",
+                                   output_dtype="int8",
+                                   output_dimension_size=512,
+                                   transport=_mk_transport(512, rec))
+    out = g.generate_embedding(["a"])
+    assert rec[0][1]["output_dtype"] == "int8"
+    assert rec[0][1]["output_dimension"] == 512
+    assert np.asarray(out).shape == (1, 512)
+    with pytest.raises(AssertionError):
+        VoyageAIEmbeddingGenerator("voyage-3-lite", output_dtype="int8",
+                                   transport=_mk_transport(512, rec))
+
+
+def test_nemo_and_vertex_mock():
+    rec = []
+    g = NvidiaNemoEmbeddingGenerator(transport=_mk_transport(1024, rec))
+    assert np.asarray(g.generate_embedding(["x"])).shape == (1, 1024)
+    rec2 = []
+    g2 = VertexAIEmbeddingGenerator("text-embedding-004",
+                                    transport=_mk_transport(768, rec2))
+    assert np.asarray(g2.generate_embedding(["x"])).shape == (1, 768)
+    assert "text-embedding-004:predict" in rec2[0][0]
+
+
+def test_factory_dispatch(monkeypatch):
+    # remote generators require their API key env var at construction
+    monkeypatch.delenv("VOYAGE_API_KEY", raising=False)
+    with pytest.raises(RuntimeError, match="VOYAGE_API_KEY"):
+        registry.get_embedding_generator_for_model("voyage-3-lite",
+                                                   dataset_type="query")
+    monkeypatch.setenv("OPENAI_API_KEY", "sk-test")
+    g = registry.get_embedding_generator_for_model("text-embedding-3-small",
+                                                   output_dimension=256)
+    assert isinstance(g, OpenAIEmbeddingGenerator)
+    assert g.output_dimension == 256
+
+
+def test_e5_flax_encoder_shapes():
+    from neighborhoodwatch_tpu.models.e5_flax import E5FlaxEmbeddingGenerator
+    g = E5FlaxEmbeddingGenerator("intfloat/e5-small-v2", max_length=64)
+    out = g.generate_embedding(["hello world", "another sentence here"])
+    out = np.asarray(out)
+    assert out.shape == (2, 384)
+    # normalized embeddings
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-3)
+    # deterministic
+    out2 = np.asarray(g.generate_embedding(["hello world", "another sentence here"]))
+    np.testing.assert_allclose(out, out2, atol=1e-6)
+    # different text -> different embedding
+    out3 = np.asarray(g.generate_embedding(["completely different words"]))
+    assert np.abs(out[0] - out3[0]).max() > 1e-3
+
+
+def test_colbert_flax_token_contract():
+    from neighborhoodwatch_tpu.models.bert_flax import BertConfig
+    from neighborhoodwatch_tpu.models.colbert_flax import ColbertFlaxEmbeddingGenerator
+    tiny = BertConfig(hidden_size=64, num_layers=2, num_heads=2,
+                      intermediate_size=128)
+    g = ColbertFlaxEmbeddingGenerator(max_length=32, config=tiny)
+    flat, counts = g.generate_embedding(["one two three", "four five"])
+    assert len(flat) == 1
+    total_tokens = sum(counts)
+    assert flat[0].shape == (total_tokens * 128,)
+    # token embeddings are L2-normalized
+    toks = flat[0].reshape(total_tokens, 128)
+    np.testing.assert_allclose(np.linalg.norm(toks, axis=1), 1.0, atol=1e-3)
+    # counts include [CLS]/[SEP]: 3 words + 2 specials, 2 words + 2 specials
+    assert counts == [5, 4]
