@@ -22,5 +22,28 @@ Layers (bottom-up):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_compilation_cache():
+    """Persist XLA compilations across processes (first BERT compile costs
+    tens of seconds; cached reruns are milliseconds). Override the location
+    with NWTPU_COMPILATION_CACHE; set it empty to disable."""
+    cache_dir = _os.environ.get("NWTPU_COMPILATION_CACHE",
+                                _os.path.join(_os.path.dirname(__file__),
+                                              "..", ".jax_cache"))
+    if not cache_dir:
+        return
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          _os.path.abspath(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()
+
 from neighborhoodwatch_tpu.ops.knn import knn, StreamingKNN  # noqa: F401
 from neighborhoodwatch_tpu.ops.distance import pairwise_distance  # noqa: F401

@@ -200,13 +200,28 @@ def load_base_source(synthetic_rows: int | None = None):
                                  trust_remote_code=True, split="train")
 
 
+def _valid_parquet(filename: str) -> bool:
+    """Resume guard: treat truncated/footerless parquet (e.g. from a killed
+    run) as absent instead of silently reusing it."""
+    if not os.path.exists(filename):
+        return False
+    try:
+        import pyarrow.parquet as pq
+        pq.read_schema(filename)
+        return True
+    except Exception:
+        print(f"   [warn] {filename} exists but is unreadable; regenerating")
+        os.remove(filename)
+        return False
+
+
 def generate_query_dataset(data_dir, model_name, row_count,
                            output_dimension=None, output_dtype=None,
                            source=None, generator=None):
     """(reference: generate_dataset.py:264-285) — resume-by-artifact."""
     filename = get_source_query_dataset_filename(
         data_dir, model_name, row_count, output_dimension, output_dtype)
-    if os.path.exists(filename):
+    if _valid_parquet(filename):
         print(f"file {filename} already exists")
         return filename
     dataset = source if source is not None else load_query_source()
@@ -232,7 +247,7 @@ def generate_base_dataset(data_dir, model_name, query_vector_filename,
 
     filename = get_source_base_dataset_filename(
         data_dir, model_name, row_count, output_dimension, output_dtype)
-    if os.path.exists(filename):
+    if _valid_parquet(filename):
         print(f"file {filename} already exists")
         return filename
 

@@ -140,8 +140,13 @@ def load_hf_weights(model_name: str, config: BertConfig):
     """Convert a locally cached HF torch BERT checkpoint to this module's
     param tree. Returns None when no local checkpoint is available
     (zero-egress environment)."""
+    import os
+    os.environ.setdefault("HF_HUB_OFFLINE", "0")
     try:
         from transformers import AutoModel
+        from transformers.utils import hub as _hub
+        if not _hub.try_to_load_from_cache(model_name, "config.json"):
+            raise FileNotFoundError(f"{model_name} not in local HF cache")
         hf = AutoModel.from_pretrained(model_name, local_files_only=True)
     except Exception as e:
         print(f"   [warn] no local checkpoint for {model_name} ({e}); "

@@ -77,6 +77,9 @@ def _pad(ids_rows, mask_rows, max_length):
 def load_tokenizer(model_name: str):
     """Local HF tokenizer if cached, else the hash fallback."""
     try:
+        from transformers.utils import hub as _hub
+        if not _hub.try_to_load_from_cache(model_name, "tokenizer_config.json"):
+            raise FileNotFoundError(f"{model_name} tokenizer not in local HF cache")
         from transformers import AutoTokenizer
         tok = AutoTokenizer.from_pretrained(model_name, local_files_only=True)
         return HFTokenizer(tok)

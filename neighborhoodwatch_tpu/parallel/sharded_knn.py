@@ -1,0 +1,131 @@
+"""Multi-chip exact kNN: base-corpus sharding with ICI all_gather top-k merge.
+
+The scalable TPU design for the base-axis streaming the reference does with
+single-GPU batch loops (SURVEY.md §2 parallelism table): the base corpus is
+sharded row-wise across the "mp" mesh axis; every chip computes an exact
+top-k against its shard with *global* indices (shard offset = axis_index *
+shard_rows), then the (dist, idx) lists — k rows per chip, not the shard —
+are all_gathered over ICI and merged on device. Queries are sharded over
+"dp", so the collective payload per chip is only (Q/dp, k) pairs.
+
+Also provides a ring variant (`ring_knn`) that rotates base shards around
+the mesh with `jax.lax.ppermute`, computing against one shard at a time —
+the ring-attention-shaped dataflow for bases that exceed per-chip HBM when
+all-gathered... but here only the *top-k lists* move, so the default
+all_gather path is already communication-light; the ring variant instead
+overlaps shard compute with neighbor transfers of the running top-k.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+try:  # jax >= 0.8
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+from neighborhoodwatch_tpu.ops.distance import pairwise_distance
+from neighborhoodwatch_tpu.ops.knn import knn as _local_knn
+from neighborhoodwatch_tpu.ops.topk import smallest_k, merge_topk, merge_topk_many
+from neighborhoodwatch_tpu.parallel.mesh import DP_AXIS, MP_AXIS
+
+
+def sharded_knn(query, base, k: int, mesh, metric: str = "sqeuclidean",
+                precision: str = "highest", tile_size: int = 2048):
+    """Exact kNN over a (dp, mp) mesh. `query` rows must divide the dp axis
+    size and `base` rows the mp axis size (pad beforehand if needed).
+
+    Returns (distances, indices) with global base indices, sharded over dp.
+    """
+    query = jnp.asarray(query, dtype=jnp.float32)
+    base = jnp.asarray(base, dtype=jnp.float32)
+    n_base = base.shape[0]
+    mp = mesh.shape[MP_AXIS]
+    dp = mesh.shape[DP_AXIS]
+    assert query.shape[0] % dp == 0, \
+        f"query rows {query.shape[0]} not divisible by dp={dp}"
+    assert n_base % mp == 0, \
+        f"base rows {n_base} not divisible by mp={mp}"
+    shard_rows = n_base // mp
+    assert k <= shard_rows, \
+        f"k={k} exceeds per-shard base rows {shard_rows}; lower mp or pad base"
+
+    def _shard_fn(q_local, b_local):
+        my_shard = jax.lax.axis_index(MP_AXIS)
+        offset = my_shard * shard_rows
+        d, i = _local_knn(q_local, b_local, k=k, metric=metric,
+                          precision=precision, tile_size=min(tile_size, shard_rows),
+                          base_offset=0)
+        i = i + offset  # global base indices (reference cu_knn.py:273 analog)
+        # gather per-shard top-k lists over ICI and merge on every chip
+        all_d = jax.lax.all_gather(d, MP_AXIS)  # (mp, q_local, k)
+        all_i = jax.lax.all_gather(i, MP_AXIS)
+        md, mi = merge_topk_many(all_d, all_i, k)
+        return md, mi
+
+    fn = shard_map(
+        _shard_fn, mesh=mesh,
+        in_specs=(P(DP_AXIS, None), P(MP_AXIS, None)),
+        out_specs=(P(DP_AXIS, None), P(DP_AXIS, None)),
+        check_vma=False,
+    )
+    return jax.jit(fn)(query, base)
+
+
+def ring_knn(query, base, k: int, mesh, metric: str = "sqeuclidean",
+             precision: str = "highest"):
+    """Ring-rotation variant: each chip starts with its own base shard and
+    passes it around the "mp" ring with ppermute, folding each visiting
+    shard into a running top-k. Communication (shard-sized) overlaps the
+    next shard's distance computation under XLA's async collectives.
+
+    Exactness and tie-order match `sharded_knn`: candidates are merged in
+    ascending global-offset order via a final stable re-sort."""
+    query = jnp.asarray(query, dtype=jnp.float32)
+    base = jnp.asarray(base, dtype=jnp.float32)
+    mp = mesh.shape[MP_AXIS]
+    dp = mesh.shape[DP_AXIS]
+    n_base = base.shape[0]
+    assert query.shape[0] % dp == 0 and n_base % mp == 0
+    shard_rows = n_base // mp
+    assert k <= shard_rows
+
+    def _shard_fn(q_local, b_local):
+        my_id = jax.lax.axis_index(MP_AXIS)
+        perm = [(i, (i + 1) % mp) for i in range(mp)]
+
+        def fold(carry, step):
+            run_d, run_i, shard = carry
+            # shard currently held originated at (my_id - step) % mp
+            src = jnp.mod(my_id - step, mp)
+            offset = src * shard_rows
+            d = pairwise_distance(q_local, shard, metric=metric,
+                                  precision=precision)
+            td, ti = smallest_k(d, k)
+            run_d, run_i = merge_topk(run_d, run_i,
+                                      td, (ti + offset).astype(jnp.int32), k)
+            shard = jax.lax.ppermute(shard, MP_AXIS, perm)
+            return (run_d, run_i, shard), None
+
+        q_rows = q_local.shape[0]
+        init = (jnp.full((q_rows, k), jnp.inf, dtype=jnp.float32),
+                jnp.zeros((q_rows, k), dtype=jnp.int32),
+                b_local)
+        (run_d, run_i, _), _ = jax.lax.scan(fold, init,
+                                            jnp.arange(mp, dtype=jnp.int32))
+        # visiting order differs per chip -> final stable sort by
+        # (distance, index) restores the canonical lowest-index tie-break
+        order = jnp.lexsort((run_i, run_d), axis=-1)
+        return (jnp.take_along_axis(run_d, order, axis=1),
+                jnp.take_along_axis(run_i, order, axis=1))
+
+    fn = shard_map(
+        _shard_fn, mesh=mesh,
+        in_specs=(P(DP_AXIS, None), P(MP_AXIS, None)),
+        out_specs=(P(DP_AXIS, None), P(DP_AXIS, None)),
+        check_vma=False,
+    )
+    return jax.jit(fn)(query, base)

@@ -13,6 +13,13 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax
+
+# the axon TPU plugin overrides the JAX_PLATFORMS env var; the config update
+# is authoritative
+jax.config.update("jax_platforms", "cpu")
+assert len(jax.devices()) == 8, jax.devices()
+
 import numpy as np
 import pytest
 
