@@ -30,6 +30,9 @@ def main():
     parser.add_argument("--k", type=int, default=100)
     parser.add_argument("--precision", type=str, default="highest",
                         choices=["default", "high", "highest"])
+    parser.add_argument("--engine", type=str, default="auto",
+                        choices=["auto", "exact", "verified"])
+    parser.add_argument("--iters", type=int, default=5)
     parser.add_argument("--tile", type=int, default=None)
     parser.add_argument("--small", action="store_true",
                         help="tiny CPU-friendly smoke configuration")
@@ -44,10 +47,11 @@ def main():
     import jax
     import jax.numpy as jnp
     from neighborhoodwatch_tpu.core.tuner import plan_knn
-    from neighborhoodwatch_tpu.ops.knn import _knn_scan
+    from neighborhoodwatch_tpu.ops.knn import _knn_scan, _select_engine
     from neighborhoodwatch_tpu.utils.misc import round_up
 
     q_n, b_n, d, k = args.queries, args.base, args.dim, args.k
+    engine = _select_engine(args.engine)
     plan = plan_knn(q_n, d, k, base_count=b_n, max_memory_threshold=0.6)
     tile = args.tile or plan.tile_size
     b_pad = round_up(b_n, tile)
@@ -59,20 +63,23 @@ def main():
     base = jax.random.normal(kb, (b_pad, d), dtype=jnp.float32)
     base = base / jnp.linalg.norm(base, axis=1, keepdims=True)
     base = jnp.where((jnp.arange(b_pad) < b_n)[:, None], base, 0.0)
-    jax.block_until_ready((query, base))
+    _ = np.asarray(query[0, 0]), np.asarray(base[0, 0])  # force materialize
 
     def run():
         return _knn_scan(query, base, b_n, 0, k, "sqeuclidean",
-                         args.precision, tile)
+                         args.precision, tile, engine)
 
-    # warmup/compile
-    d0, i0 = run()
-    jax.block_until_ready((d0, i0))
-
-    t0 = time.perf_counter()
+    # warmup/compile; the final host read forces full completion (the axon
+    # tunnel's block_until_ready does not reliably block)
     dist, idx = run()
-    jax.block_until_ready((dist, idx))
-    elapsed = time.perf_counter() - t0
+    _ = np.asarray(dist[0, 0])
+
+    # amortize the host<->device roundtrip over chained async dispatches
+    t0 = time.perf_counter()
+    for _i in range(args.iters):
+        dist, idx = run()
+    _ = np.asarray(dist[0, 0])
+    elapsed = (time.perf_counter() - t0) / args.iters
 
     # exactness cross-check on a query subsample vs float64 CPU oracle
     recall = None
@@ -103,6 +110,7 @@ def main():
     extra = {
         "achieved_tflops": round(achieved / 1e12, 2),
         "tile_size": tile,
+        "engine": engine,
         "precision": args.precision,
         "recall_at_k_subsample": recall,
         "device": str(jax.devices()[0]),

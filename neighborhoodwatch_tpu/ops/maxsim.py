@@ -1,0 +1,138 @@
+"""Batched ColBERT MaxSim scoring on TPU.
+
+The reference approximates ColBERT retrieval as a flat token-vs-token kNN
+(SURVEY.md §3.4: tokens treated as independent vectors, no per-document
+aggregation — colbert_knn.py:84-126). This module implements the proper
+late-interaction scoring as its TPU generalization (BASELINE.json):
+
+    score(q, doc) = sum_{i in q tokens} max_{j in doc tokens} <q_i, d_j>
+
+computed as one big (Qq*Tq, Td*D) matmul per document tile on the MXU with
+the max/sum reductions fused by XLA, scanned over document tiles with a
+running top-k of document scores per query.
+
+Inputs are padded token tensors + token-count masks (static shapes):
+  queries:  (Q, Tq, d) with q_mask (Q, Tq)
+  docs:     (D, Td, d) with d_mask (D, Td)
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from neighborhoodwatch_tpu.ops.distance import resolve_precision
+from neighborhoodwatch_tpu.ops.topk import merge_topk
+from neighborhoodwatch_tpu.utils.misc import round_up
+
+NEG = -1e30
+
+
+@partial(jax.jit, static_argnames=("precision",))
+def maxsim_scores(queries, q_mask, docs, d_mask, precision: str = "highest"):
+    """Dense MaxSim scores: (Q, D)."""
+    prec = resolve_precision(precision)
+    # one (Q*Tq, d) x (D*Td, d)^T MXU matmul; reductions fuse in XLA
+    sims = jax.lax.dot_general(
+        queries.reshape(-1, queries.shape[-1]),
+        docs.reshape(-1, docs.shape[-1]),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=prec, preferred_element_type=jnp.float32)
+    # sims: (Q*Tq, D*Td) -> (Q, Tq, D, Td)
+    q_n, tq = queries.shape[:2]
+    d_n, td = docs.shape[:2]
+    sims = sims.reshape(q_n, tq, d_n, td)
+    sims = jnp.where(d_mask[None, None, :, :], sims, NEG)
+    per_qtok = jnp.max(sims, axis=3)                      # (Q, Tq, D)
+    per_qtok = jnp.where(q_mask[:, :, None], per_qtok, 0.0)
+    return jnp.sum(per_qtok, axis=1)                      # (Q, D)
+
+
+def pad_token_lists(token_lists, dim, max_tokens=None):
+    """[(t_i, d)] -> ((N, T, d) padded array, (N, T) bool mask)."""
+    if max_tokens is None:
+        max_tokens = max((len(t) for t in token_lists), default=1)
+        max_tokens = round_up(max(max_tokens, 1), 8)
+    n = len(token_lists)
+    out = np.zeros((n, max_tokens, dim), dtype=np.float32)
+    mask = np.zeros((n, max_tokens), dtype=bool)
+    for i, toks in enumerate(token_lists):
+        t = min(len(toks), max_tokens)
+        if t:
+            out[i, :t] = np.asarray(toks)[:t]
+            mask[i, :t] = True
+    return out, mask
+
+
+@partial(jax.jit, static_argnames=("k", "precision", "tile_docs"))
+def _maxsim_topk_scan(queries, q_mask, docs, d_mask, n_docs, k: int,
+                      precision: str, tile_docs: int):
+    d_total = docs.shape[0]
+    n_tiles = d_total // tile_docs
+    doc_tiles = docs.reshape(n_tiles, tile_docs, *docs.shape[1:])
+    mask_tiles = d_mask.reshape(n_tiles, tile_docs, d_mask.shape[1])
+    q_n = queries.shape[0]
+    local_idx = jnp.arange(tile_docs, dtype=jnp.int32)
+
+    init = (jnp.full((q_n, k), -jnp.inf, dtype=jnp.float32),
+            jnp.zeros((q_n, k), dtype=jnp.int32))
+
+    def step(carry, xs):
+        run_s, run_i = carry
+        tile, tmask, start = xs
+        scores = maxsim_scores(queries, q_mask, tile, tmask,
+                               precision=precision)
+        valid = (start + local_idx) < n_docs
+        scores = jnp.where(valid[None, :], scores, -jnp.inf)
+        kk = min(k, tile_docs)
+        ts, ti = jax.lax.top_k(scores, kk)
+        ti = (ti + start).astype(jnp.int32)
+        # larger score is better: negate into the smaller-is-better merge
+        md, mi = merge_topk(-run_s, run_i, -ts, ti, k)
+        return (-md, mi), None
+
+    starts = jnp.arange(n_tiles, dtype=jnp.int32) * tile_docs
+    (scores, idx), _ = jax.lax.scan(step, init, (doc_tiles, mask_tiles, starts))
+    return scores, idx
+
+
+def maxsim_topk(queries, q_mask, docs, d_mask, k: int,
+                precision: str = "highest", tile_docs: int = 128):
+    """Top-k documents per query by MaxSim score.
+
+    Returns (scores desc, doc indices), exact. Documents are scanned in
+    `tile_docs` tiles so the (Q*Tq, tile*Td) similarity block stays
+    HBM-resident-free."""
+    queries = jnp.asarray(queries, dtype=jnp.float32)
+    docs = jnp.asarray(docs, dtype=jnp.float32)
+    q_mask = jnp.asarray(q_mask, dtype=bool)
+    d_mask = jnp.asarray(d_mask, dtype=bool)
+    n_docs = docs.shape[0]
+    assert k <= n_docs
+    pad = round_up(n_docs, tile_docs) - n_docs
+    if pad:
+        docs = jnp.pad(docs, ((0, pad), (0, 0), (0, 0)))
+        d_mask = jnp.pad(d_mask, ((0, pad), (0, 0)))
+    return _maxsim_topk_scan(queries, q_mask, docs, d_mask, n_docs, k,
+                             precision, tile_docs)
+
+
+def maxsim_oracle(queries, q_mask, docs, d_mask, k):
+    """float64 numpy reference for tests."""
+    q = np.asarray(queries, dtype=np.float64)
+    d = np.asarray(docs, dtype=np.float64)
+    qm = np.asarray(q_mask, dtype=bool)
+    dm = np.asarray(d_mask, dtype=bool)
+    q_n, tq, dim = q.shape
+    d_n, td, _ = d.shape
+    scores = np.zeros((q_n, d_n))
+    for qi in range(q_n):
+        for di in range(d_n):
+            sims = q[qi] @ d[di].T  # (tq, td)
+            sims[:, ~dm[di]] = -np.inf
+            per_tok = sims.max(axis=1)
+            per_tok[~qm[qi]] = 0.0
+            scores[qi, di] = per_tok.sum()
+    idx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(scores, idx, axis=1), idx
