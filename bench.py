@@ -17,9 +17,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import argparse
 import json
+import sys
 import time
 
 import numpy as np
+
+
+def log(msg):
+    print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
 def main():
@@ -64,6 +69,7 @@ def main():
     base = base / jnp.linalg.norm(base, axis=1, keepdims=True)
     base = jnp.where((jnp.arange(b_pad) < b_n)[:, None], base, 0.0)
     _ = np.asarray(query[0, 0]), np.asarray(base[0, 0])  # force materialize
+    log(f"data ready: q={query.shape} b={base.shape} tile={tile} engine={engine}")
 
     def run():
         return _knn_scan(query, base, b_n, 0, k, "sqeuclidean",
@@ -73,6 +79,7 @@ def main():
     # tunnel's block_until_ready does not reliably block)
     dist, idx = run()
     _ = np.asarray(dist[0, 0])
+    log("compile + first run done")
 
     # amortize the host<->device roundtrip over chained async dispatches
     t0 = time.perf_counter()
@@ -80,10 +87,12 @@ def main():
         dist, idx = run()
     _ = np.asarray(dist[0, 0])
     elapsed = (time.perf_counter() - t0) / args.iters
+    log(f"timed {args.iters} iters: {elapsed:.3f}s each")
 
     # exactness cross-check on a query subsample vs float64 CPU oracle
     recall = None
     if args.verify_queries:
+        log("verifying against float64 CPU oracle")
         nv = min(args.verify_queries, q_n)
         qv = np.asarray(query[:nv], dtype=np.float64)
         bv = np.asarray(base[:b_n], dtype=np.float64)

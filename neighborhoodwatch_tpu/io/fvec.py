@@ -8,8 +8,10 @@ Byte layout (little-endian), identical to the reference's struct-based codec
 Unlike the reference's per-row Python loop, reading and writing here are
 vectorized through numpy (single buffer view + one `tofile`/`fromfile`),
 which is ~1000x faster for the 10M-row exports and produces identical bytes.
-An optional C++ codec (neighborhoodwatch_tpu/native) can be plugged in for
-out-of-core streaming.
+When the native C++ engine (neighborhoodwatch_tpu/native, libnwio.so) is
+available it takes over bulk reads/writes (multithreaded header-stripping
+pread) and out-of-core streaming (background producer thread); the numpy
+path remains as the byte-identical fallback.
 """
 
 import os
@@ -17,6 +19,7 @@ import struct
 
 import numpy as np
 
+from neighborhoodwatch_tpu.native import nwio
 from neighborhoodwatch_tpu.utils.naming import get_full_filename
 
 
@@ -36,6 +39,9 @@ def write_vectors(filename: str, data: np.ndarray, type_char: str | None = None)
     payload_dtype = np.dtype("<i4") if type_char == "i" else np.dtype("<f4")
     data = np.ascontiguousarray(data.astype(payload_dtype, copy=False))
 
+    if nwio.available() and n > 0:
+        nwio.write_rows(filename, data, append=False)
+        return
     buf = np.empty((n, dim + 1), dtype=np.dtype("<i4"))
     buf[:, 0] = np.int32(dim)
     # reinterpret payload as raw int32 words so one contiguous write suffices
@@ -52,6 +58,9 @@ def append_vectors(filename: str, data: np.ndarray, type_char: str | None = None
         type_char = _type_char_for(filename)
     payload_dtype = np.dtype("<i4") if type_char == "i" else np.dtype("<f4")
     data = np.ascontiguousarray(data.astype(payload_dtype, copy=False))
+    if nwio.available() and n > 0:
+        nwio.write_rows(filename, data, append=True)
+        return
     buf = np.empty((n, dim + 1), dtype=np.dtype("<i4"))
     buf[:, 0] = np.int32(dim)
     buf[:, 1:] = data.view(np.dtype("<i4"))
@@ -69,6 +78,12 @@ def read_vectors(filename: str, dtype=None) -> np.ndarray:
     size = os.path.getsize(filename)
     if size == 0:
         return np.empty((0, 0), dtype=payload_dtype)
+    if nwio.available():
+        info = nwio.probe(filename)
+        if info is not None:
+            n, dim = info
+            out = nwio.read_rows(filename, 0, n, dim, payload_dtype)
+            return out.astype(dtype) if dtype is not None else out
     with open(filename, "rb") as f:
         dim = struct.unpack("<i", f.read(4))[0]
         f.seek(0)
@@ -83,6 +98,41 @@ def read_vectors(filename: str, dtype=None) -> np.ndarray:
     if dtype is not None:
         out = out.astype(dtype)
     return out
+
+
+def iter_vector_batches(filename: str, batch_rows: int, count: int | None = None):
+    """Yield (offset, (rows, dim) ndarray) batches of an fvec/ivec file,
+    out-of-core. Uses the native background-threaded double-buffered reader
+    when available (disk IO overlaps consumer compute), else a seek loop."""
+    type_char = _type_char_for(filename)
+    payload_dtype = np.dtype("<i4") if type_char == "i" else np.dtype("<f4")
+    if nwio.available() and nwio.probe(filename) is not None:
+        for offset, batch in nwio.FvecStream(filename, batch_rows, payload_dtype):
+            if count is not None and offset >= count:
+                break
+            if count is not None and offset + batch.shape[0] > count:
+                batch = batch[: count - offset]
+            yield offset, batch
+        return
+    size = os.path.getsize(filename)
+    if size == 0:
+        return
+    with open(filename, "rb") as f:
+        dim = struct.unpack("<i", f.read(4))[0]
+        f.seek(0)
+        row_words = dim + 1
+        n = size // (4 * row_words)
+        if count is not None:
+            n = min(n, count)
+        offset = 0
+        while offset < n:
+            take = min(batch_rows, n - offset)
+            raw = np.fromfile(f, dtype=np.dtype("<i4"), count=take * row_words)
+            raw = raw.reshape(take, row_words)
+            assert (raw[:, 0] == dim).all(), \
+                f"{filename}: inconsistent per-row dims"
+            yield offset, raw[:, 1:].view(payload_dtype)
+            offset += take
 
 
 def count_vectors(data_dir: str, filename: str) -> int:

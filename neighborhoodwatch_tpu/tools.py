@@ -1,0 +1,360 @@
+"""Operator tooling: parquet inspection / ETL and hdf5 hygiene (`nw-tools`).
+
+TPU-native re-design of the reference's L0 ad-hoc DuckDB scripts
+(reference: read_with_duckdb.py, validate_with_duckdb.py,
+split_with_duckdb.py, split_with_duckdb_streaming.py,
+sort_with_duckdb_streaming.py, hdf5_dupe_detector.py) as one importable,
+testable CLI. DuckDB is replaced with pyarrow streaming (no extra native
+dependency; pyarrow is already the pipeline's IO layer), and every command
+is an out-of-core batch loop so 10M+-row files never fully materialize.
+
+Commands:
+    inspect        schema + row count + head of a parquet file
+                   (reference: read_with_duckdb.py)
+    validate       row/column/null/zero-embedding stats of an embedding
+                   parquet (reference: validate_with_duckdb.py)
+    split          list-column `embedding` -> `embedding_{i}` float32 scalar
+                   columns, streamed (reference: split_with_duckdb.py:10-24,
+                   split_with_duckdb_streaming.py:19-62)
+    sort           external merge sort of a parquet by key columns, streamed
+                   (reference: sort_with_duckdb_streaming.py:20-59)
+    hdf5-dupes     duplicate-row report for hdf5 train/test groups
+                   (reference: hdf5_dupe_detector.py:7-49)
+"""
+
+import argparse
+import heapq
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# inspect / validate
+# ---------------------------------------------------------------------------
+
+def inspect_parquet(filename: str, head: int = 5, out=None) -> dict:
+    out = out or sys.stdout
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(filename)
+    schema = pf.schema_arrow
+    info = {
+        "file": filename,
+        "rows": pf.metadata.num_rows,
+        "row_groups": pf.metadata.num_row_groups,
+        "columns": len(schema),
+        "size_bytes": os.path.getsize(filename),
+    }
+    print(json.dumps(info), file=out)
+    for field in schema:
+        print(f"  {field.name}: {field.type}", file=out)
+    if head > 0 and pf.metadata.num_rows > 0:
+        batch = next(pf.iter_batches(batch_size=head))
+        cols = batch.column_names
+        shown = cols if len(cols) <= 8 else cols[:8]
+        for row in range(batch.num_rows):
+            vals = {c: batch.column(c)[row].as_py() for c in shown}
+            print(f"  row {row}: "
+                  + ", ".join(f"{k}={_short(v)}" for k, v in vals.items()),
+                  file=out)
+    return info
+
+
+def _short(v, width: int = 40):
+    s = str(v)
+    return s if len(s) <= width else s[: width - 3] + "..."
+
+
+def validate_parquet(filename: str, batch_size: int = 65536,
+                     out=None) -> dict:
+    """Null counts per column + zero-embedding rows over the streamed file
+    (the zero-vector test mirrors nw_utils.py:52-53's skip predicate)."""
+    import pyarrow.parquet as pq
+
+    out = out or sys.stdout
+    pf = pq.ParquetFile(filename)
+    emb_cols = [f.name for f in pf.schema_arrow
+                if f.name.startswith("embedding_")]
+    nulls: dict[str, int] = {f.name: 0 for f in pf.schema_arrow}
+    zero_rows = 0
+    rows = 0
+    for batch in pf.iter_batches(batch_size=batch_size):
+        rows += batch.num_rows
+        for name in batch.column_names:
+            nulls[name] += batch.column(name).null_count
+        if emb_cols:
+            mat = np.column_stack(
+                [batch.column(c).to_numpy(zero_copy_only=False)
+                 for c in emb_cols])
+            zero_rows += int(np.sum(~np.any(mat != 0.0, axis=1)))
+    report = {
+        "file": filename,
+        "rows": rows,
+        "embedding_columns": len(emb_cols),
+        "null_cells": int(sum(nulls.values())),
+        "zero_embedding_rows": zero_rows,
+    }
+    print(json.dumps(report), file=out)
+    worst = {k: v for k, v in nulls.items() if v}
+    if worst:
+        print(f"  columns with nulls: {worst}", file=out)
+    return report
+
+
+# ---------------------------------------------------------------------------
+# split: list column -> embedding_{i} scalar columns
+# ---------------------------------------------------------------------------
+
+def split_embedding_column(src: str, dst: str, column: str = "embedding",
+                           batch_size: int = 8192) -> int:
+    """Rewrite a parquet whose `column` holds fixed-length float lists into
+    the pipeline's `embedding_{i}` float32 scalar-column schema
+    (reference: split_with_duckdb_streaming.py:19-62; the scalar schema is
+    what generate_dataset.py:229-235 streams and cu_knn consumes)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(src)
+    writer = None
+    rows = 0
+    try:
+        for batch in pf.iter_batches(batch_size=batch_size):
+            names = batch.column_names
+            assert column in names, \
+                f"{src} has no column {column!r} (columns: {names})"
+            emb = batch.column(column)
+            mat = np.asarray(emb.to_pylist(), dtype=np.float32)
+            assert mat.ndim == 2, \
+                f"column {column!r} rows are not fixed-length lists"
+            arrays, fields = [], []
+            for name in names:
+                if name == column:
+                    continue
+                arrays.append(batch.column(name))
+                fields.append(pa.field(name, batch.schema.field(name).type))
+            for i in range(mat.shape[1]):
+                arrays.append(pa.array(mat[:, i], type=pa.float32()))
+                fields.append(pa.field(f"embedding_{i}", pa.float32()))
+            table = pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+            if writer is None:
+                writer = pq.ParquetWriter(dst, table.schema)
+            writer.write_table(table)
+            rows += batch.num_rows
+    finally:
+        if writer is not None:
+            writer.close()
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# sort: external merge sort, bounded memory
+# ---------------------------------------------------------------------------
+
+def sort_parquet(src: str, dst: str, keys: list[str],
+                 batch_size: int = 100_000, tmp_dir: str | None = None) -> int:
+    """Out-of-core stable sort by `keys`: sorted runs are spilled to parquet,
+    then k-way merged through a heap of per-run cursors (bounded memory,
+    unlike an in-RAM table sort; reference: sort_with_duckdb_streaming.py
+    achieves the same with duckdb's external sorter)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(src)
+    for key in keys:
+        assert key in pf.schema_arrow.names, \
+            f"{src} has no sort key column {key!r}"
+
+    run_dir = tempfile.mkdtemp(prefix="nw_sort_", dir=tmp_dir)
+    runs: list[str] = []
+    try:
+        for batch in pf.iter_batches(batch_size=batch_size):
+            table = pa.Table.from_batches([batch])
+            table = table.sort_by([(k, "ascending") for k in keys])
+            path = os.path.join(run_dir, f"run{len(runs)}.parquet")
+            pq.write_table(table, path)
+            runs.append(path)
+
+        if not runs:
+            pq.write_table(pf.schema_arrow.empty_table(), dst)
+            return 0
+        if len(runs) == 1:
+            os.replace(runs[0], dst)
+            return pq.ParquetFile(dst).metadata.num_rows
+
+        return _merge_runs(runs, dst, keys, batch_size)
+    finally:
+        for path in runs:
+            if os.path.exists(path) and os.path.abspath(path) != \
+                    os.path.abspath(dst):
+                os.unlink(path)
+        if os.path.isdir(run_dir):
+            try:
+                os.rmdir(run_dir)
+            except OSError:
+                pass
+
+
+class _RunCursor:
+    """Batched reader over one sorted run, exposing row-at-a-time keys."""
+
+    def __init__(self, path: str, keys: list[str], batch_size: int):
+        import pyarrow.parquet as pq
+        self._iter = pq.ParquetFile(path).iter_batches(batch_size=batch_size)
+        self._keys = keys
+        self._batch = None
+        self._pos = 0
+        self._advance_batch()
+
+    def _advance_batch(self):
+        self._batch = next(self._iter, None)
+        self._pos = 0
+
+    @property
+    def exhausted(self) -> bool:
+        return self._batch is None
+
+    def key(self):
+        b = self._batch
+        return tuple(b.column(k)[self._pos].as_py() for k in self._keys)
+
+    def take_row(self):
+        row = self._batch.slice(self._pos, 1)
+        self._pos += 1
+        if self._pos >= self._batch.num_rows:
+            self._advance_batch()
+        return row
+
+
+def _merge_runs(runs: list[str], dst: str, keys: list[str],
+                batch_size: int) -> int:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cursors = [_RunCursor(p, keys, batch_size) for p in runs]
+    heap = [(c.key(), i) for i, c in enumerate(cursors) if not c.exhausted]
+    heapq.heapify(heap)
+
+    writer = None
+    pending: list = []
+    rows = 0
+    try:
+        while heap:
+            _, i = heapq.heappop(heap)
+            pending.append(cursors[i].take_row())
+            rows += 1
+            if not cursors[i].exhausted:
+                heapq.heappush(heap, (cursors[i].key(), i))
+            if len(pending) >= batch_size:
+                writer = _flush(pending, writer, dst)
+        if pending:
+            writer = _flush(pending, writer, dst)
+        if writer is None:  # all runs empty
+            pq.write_table(pa.Table.from_batches(
+                [], schema=pq.ParquetFile(runs[0]).schema_arrow), dst)
+    finally:
+        if writer is not None:
+            writer.close()
+    return rows
+
+
+def _flush(pending, writer, dst):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.Table.from_batches(pending)
+    pending.clear()
+    if writer is None:
+        writer = pq.ParquetWriter(dst, table.schema)
+    writer.write_table(table)
+    return writer
+
+
+# ---------------------------------------------------------------------------
+# hdf5 duplicate detector
+# ---------------------------------------------------------------------------
+
+def hdf5_duplicates(filename: str, groups=("train", "test"),
+                    out=None) -> dict:
+    """Per-group duplicate-row counts via np.unique(axis=0)
+    (reference: hdf5_dupe_detector.py:7-49)."""
+    import h5py
+
+    out = out or sys.stdout
+    report: dict[str, dict] = {}
+    with h5py.File(filename, "r") as f:
+        for group in groups:
+            if group not in f:
+                report[group] = {"present": False}
+                continue
+            data = np.asarray(f[group])
+            _, counts = np.unique(data, axis=0, return_counts=True)
+            dupes = int(np.sum(counts > 1))
+            extra = int(np.sum(counts[counts > 1] - 1))
+            report[group] = {
+                "present": True,
+                "rows": int(data.shape[0]),
+                "duplicated_vectors": dupes,
+                "redundant_rows": extra,
+            }
+    print(json.dumps({"file": filename, **report}), file=out)
+    return report
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="nw-tools",
+        description="NeighborhoodWatch-TPU operator tooling "
+                    "(parquet ETL + hdf5 hygiene)")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("inspect", help="schema/rows/head of a parquet file")
+    p.add_argument("file")
+    p.add_argument("--head", type=int, default=5)
+
+    p = sub.add_parser("validate", help="null/zero-embedding stats")
+    p.add_argument("file")
+
+    p = sub.add_parser("split", help="list column -> embedding_{i} scalars")
+    p.add_argument("src")
+    p.add_argument("dst")
+    p.add_argument("--column", default="embedding")
+    p.add_argument("--batch-size", type=int, default=8192)
+
+    p = sub.add_parser("sort", help="external merge sort by key columns")
+    p.add_argument("src")
+    p.add_argument("dst")
+    p.add_argument("--keys", nargs="+", required=True)
+    p.add_argument("--batch-size", type=int, default=100_000)
+
+    p = sub.add_parser("hdf5-dupes", help="duplicate rows in hdf5 groups")
+    p.add_argument("file")
+    p.add_argument("--groups", nargs="+", default=["train", "test"])
+
+    args = parser.parse_args(argv)
+    if args.cmd == "inspect":
+        inspect_parquet(args.file, head=args.head)
+    elif args.cmd == "validate":
+        validate_parquet(args.file)
+    elif args.cmd == "split":
+        rows = split_embedding_column(args.src, args.dst, column=args.column,
+                                      batch_size=args.batch_size)
+        print(json.dumps({"rows": rows, "dst": args.dst}))
+    elif args.cmd == "sort":
+        rows = sort_parquet(args.src, args.dst, keys=args.keys,
+                            batch_size=args.batch_size)
+        print(json.dumps({"rows": rows, "dst": args.dst}))
+    elif args.cmd == "hdf5-dupes":
+        hdf5_duplicates(args.file, groups=tuple(args.groups))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

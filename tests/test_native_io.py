@@ -1,0 +1,115 @@
+"""Native C++ IO engine (libnwio.so): byte-identity with the numpy codec,
+bulk reads, and the background-threaded streaming reader."""
+
+import os
+
+import numpy as np
+import pytest
+
+from neighborhoodwatch_tpu.io import fvec
+from neighborhoodwatch_tpu.native import nwio
+
+pytestmark = pytest.mark.skipif(not nwio.available(),
+                                reason="native toolchain unavailable")
+
+
+def _numpy_write(filename, data, type_char):
+    """The pure-numpy reference writer (native path bypassed)."""
+    payload_dtype = np.dtype("<i4") if type_char == "i" else np.dtype("<f4")
+    data = np.ascontiguousarray(data.astype(payload_dtype, copy=False))
+    n, dim = data.shape
+    buf = np.empty((n, dim + 1), dtype=np.dtype("<i4"))
+    buf[:, 0] = np.int32(dim)
+    buf[:, 1:] = data.view(np.dtype("<i4"))
+    with open(filename, "wb") as f:
+        buf.tofile(f)
+
+
+def test_probe_and_bulk_read(tmp_path):
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((257, 384)).astype(np.float32)
+    path = str(tmp_path / "a.fvec")
+    _numpy_write(path, data, "f")
+
+    assert nwio.probe(path) == (257, 384)
+    out = nwio.read_rows(path, 0, 257, 384, np.float32)
+    np.testing.assert_array_equal(out, data)
+    # offset read
+    out2 = nwio.read_rows(path, 100, 57, 384, np.float32)
+    np.testing.assert_array_equal(out2, data[100:157])
+
+
+def test_native_write_byte_identical(tmp_path):
+    rng = np.random.default_rng(1)
+    data = rng.standard_normal((64, 129)).astype(np.float32)
+    p_native = str(tmp_path / "n.fvec")
+    p_numpy = str(tmp_path / "p.fvec")
+    nwio.write_rows(p_native, data)
+    _numpy_write(p_numpy, data, "f")
+    with open(p_native, "rb") as a, open(p_numpy, "rb") as b:
+        assert a.read() == b.read()
+
+
+def test_native_append(tmp_path):
+    rng = np.random.default_rng(2)
+    a = rng.integers(0, 1000, (10, 16)).astype(np.int32)
+    b = rng.integers(0, 1000, (7, 16)).astype(np.int32)
+    path = str(tmp_path / "x.ivec")
+    nwio.write_rows(path, a)
+    nwio.write_rows(path, b, append=True)
+    out = fvec.read_vectors(path)
+    np.testing.assert_array_equal(out, np.vstack([a, b]))
+
+
+def test_fvec_module_uses_native_roundtrip(tmp_path):
+    rng = np.random.default_rng(3)
+    data = rng.standard_normal((1000, 77)).astype(np.float32)
+    path = str(tmp_path / "r.fvec")
+    fvec.write_vectors(path, data)
+    out = fvec.read_vectors(path)
+    np.testing.assert_array_equal(out, data)
+    # random access matches the struct-based reader contract
+    v = fvec.get_nth_vector(str(tmp_path), "r.fvec", 123)
+    np.testing.assert_allclose(np.asarray(v, dtype=np.float32), data[123],
+                               rtol=0, atol=0)
+
+
+def test_stream_batches(tmp_path):
+    rng = np.random.default_rng(4)
+    data = rng.standard_normal((1003, 64)).astype(np.float32)
+    path = str(tmp_path / "s.fvec")
+    fvec.write_vectors(path, data)
+
+    seen = []
+    for offset, batch in fvec.iter_vector_batches(path, batch_rows=256):
+        assert offset == sum(b.shape[0] for b in seen)
+        seen.append(batch.copy())
+    got = np.vstack(seen)
+    np.testing.assert_array_equal(got, data)
+    assert [b.shape[0] for b in seen] == [256, 256, 256, 235]
+
+
+def test_stream_with_count_limit(tmp_path):
+    rng = np.random.default_rng(5)
+    data = rng.standard_normal((500, 32)).astype(np.float32)
+    path = str(tmp_path / "c.fvec")
+    fvec.write_vectors(path, data)
+    got = np.vstack([b for _, b in
+                     fvec.iter_vector_batches(path, 128, count=300)])
+    np.testing.assert_array_equal(got, data[:300])
+
+
+def test_python_fallback_matches(tmp_path, monkeypatch):
+    rng = np.random.default_rng(6)
+    data = rng.standard_normal((200, 48)).astype(np.float32)
+    path = str(tmp_path / "f.fvec")
+    fvec.write_vectors(path, data)
+
+    native = fvec.read_vectors(path)
+    native_batches = [b for _, b in fvec.iter_vector_batches(path, 64)]
+    monkeypatch.setattr(nwio, "available", lambda: False)
+    fallback = fvec.read_vectors(path)
+    fallback_batches = [b for _, b in fvec.iter_vector_batches(path, 64)]
+    np.testing.assert_array_equal(native, fallback)
+    for a, b in zip(native_batches, fallback_batches, strict=True):
+        np.testing.assert_array_equal(a, b)

@@ -1,0 +1,118 @@
+"""Operator tooling (nw-tools): parquet inspect/validate/split/sort + hdf5
+duplicate detection — working equivalents of the reference's L0 DuckDB
+scripts (which are run-as-script only and untested there)."""
+
+import io
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from neighborhoodwatch_tpu import tools
+
+
+@pytest.fixture
+def scalar_parquet(tmp_path):
+    rng = np.random.default_rng(0)
+    n, d = 300, 8
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    mat[17] = 0.0  # one zero embedding
+    cols = {"document_id": pa.array(np.arange(n)),
+            "text": pa.array([f"doc {i}" for i in range(n)])}
+    for i in range(d):
+        cols[f"embedding_{i}"] = pa.array(mat[:, i])
+    path = str(tmp_path / "scalars.parquet")
+    pq.write_table(pa.table(cols), path)
+    return path, mat
+
+
+def test_inspect(scalar_parquet):
+    path, _ = scalar_parquet
+    buf = io.StringIO()
+    info = tools.inspect_parquet(path, head=2, out=buf)
+    assert info["rows"] == 300
+    assert info["columns"] == 10
+    assert "document_id: int64" in buf.getvalue()
+
+
+def test_validate_counts_zero_rows(scalar_parquet):
+    path, _ = scalar_parquet
+    report = tools.validate_parquet(path, batch_size=64, out=io.StringIO())
+    assert report["rows"] == 300
+    assert report["embedding_columns"] == 8
+    assert report["zero_embedding_rows"] == 1
+    assert report["null_cells"] == 0
+
+
+def test_split_list_column(tmp_path):
+    rng = np.random.default_rng(1)
+    n, d = 100, 6
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    src = str(tmp_path / "list.parquet")
+    dst = str(tmp_path / "split.parquet")
+    pq.write_table(pa.table({
+        "id": pa.array(np.arange(n)),
+        "embedding": pa.array(list(mat), type=pa.list_(pa.float32())),
+    }), src)
+
+    rows = tools.split_embedding_column(src, dst, batch_size=32)
+    assert rows == n
+    out = pq.read_table(dst)
+    assert out.column_names == ["id"] + [f"embedding_{i}" for i in range(d)]
+    got = np.column_stack([out.column(f"embedding_{i}").to_numpy()
+                           for i in range(d)])
+    np.testing.assert_array_equal(got, mat)
+
+
+def test_sort_external_merge(tmp_path):
+    rng = np.random.default_rng(2)
+    n = 1000
+    keys = rng.integers(0, 50, n)
+    vals = rng.standard_normal(n).astype(np.float32)
+    src = str(tmp_path / "unsorted.parquet")
+    dst = str(tmp_path / "sorted.parquet")
+    pq.write_table(pa.table({"part": pa.array(keys),
+                             "val": pa.array(vals)}), src)
+
+    # batch_size < n forces multiple spill runs + the heap merge path
+    rows = tools.sort_parquet(src, dst, keys=["part"], batch_size=128)
+    assert rows == n
+    out = pq.read_table(dst)
+    got_keys = out.column("part").to_numpy()
+    assert (np.diff(got_keys) >= 0).all()
+    # same multiset of rows
+    got = sorted(zip(got_keys.tolist(), out.column("val").to_numpy().tolist()))
+    want = sorted(zip(keys.tolist(), vals.tolist()))
+    assert got == want
+
+
+def test_sort_single_run_fast_path(tmp_path):
+    src = str(tmp_path / "small.parquet")
+    dst = str(tmp_path / "small_sorted.parquet")
+    pq.write_table(pa.table({"k": pa.array([3, 1, 2])}), src)
+    assert tools.sort_parquet(src, dst, keys=["k"]) == 3
+    assert pq.read_table(dst).column("k").to_pylist() == [1, 2, 3]
+
+
+def test_hdf5_dupes(tmp_path):
+    h5py = pytest.importorskip("h5py")
+    path = str(tmp_path / "gt.hdf5")
+    rng = np.random.default_rng(3)
+    train = rng.standard_normal((50, 4)).astype(np.float32)
+    train[10] = train[3]  # one duplicate pair
+    with h5py.File(path, "w") as f:
+        f.create_dataset("train", data=train)
+        f.create_dataset("test", data=rng.standard_normal((20, 4)))
+    report = tools.hdf5_duplicates(path, out=io.StringIO())
+    assert report["train"]["duplicated_vectors"] == 1
+    assert report["train"]["redundant_rows"] == 1
+    assert report["test"]["duplicated_vectors"] == 0
+
+
+def test_cli_entry(scalar_parquet, capsys):
+    path, _ = scalar_parquet
+    assert tools.main(["validate", path]) == 0
+    out = capsys.readouterr().out
+    assert json.loads(out.splitlines()[0])["rows"] == 300
