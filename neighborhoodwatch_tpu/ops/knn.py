@@ -24,19 +24,27 @@ import jax.numpy as jnp
 
 from neighborhoodwatch_tpu.ops.distance import pairwise_distance
 from neighborhoodwatch_tpu.ops.topk import smallest_k, merge_topk
+from neighborhoodwatch_tpu.ops import screen_kernel
 from neighborhoodwatch_tpu.utils.misc import round_up
 
 DEFAULT_TILE = 8192
-ENGINES = ("exact", "verified", "auto")
+ENGINES = ("exact", "verified", "screened", "auto")
+
+# minimum base rows for the screened engine to pay off (2 mega-tiles)
+_SCREEN_MIN_BASE = 2 * screen_kernel.MEGA
 
 
-def _select_engine(engine: str) -> str:
+def _select_engine(engine: str, n_base: int | None = None) -> str:
     if engine != "auto":
         return engine
     backend = jax.default_backend()
-    # PartialReduce (approx_min_k) is only a win on TPU; elsewhere the
-    # plain top_k path is as fast and simpler.
-    return "verified" if backend == "tpu" else "exact"
+    if backend != "tpu":
+        # the Pallas screen kernel and PartialReduce only win on TPU;
+        # elsewhere the plain top_k path is as fast and simpler
+        return "exact"
+    if n_base is not None and n_base >= _SCREEN_MIN_BASE:
+        return "screened"
+    return "verified"
 
 
 def _verified_smallest_k(d, k: int):
@@ -91,33 +99,43 @@ def _pad_rows(x: np.ndarray | jax.Array, multiple: int):
 
 @partial(jax.jit, static_argnames=("k", "metric", "precision", "tile_size",
                                    "engine"))
-def _knn_scan(query, base_padded, n_valid, base_offset, k: int, metric: str,
+def _knn_scan(query, base, n_valid, base_offset, k: int, metric: str,
               precision: str, tile_size: int, engine: str = "exact"):
-    """Scan base tiles, carrying a running top-k. `n_valid` masks padding
-    rows; `base_offset` maps tile-local to global base indices
-    (reference: cu_knn.py:273)."""
+    """Scan base tiles, carrying a running top-k. Pad-free: the base is
+    sliced with `lax.dynamic_slice`; the last tile starts at B - tile_size
+    (overlapping the previous one) and already-covered rows are masked out,
+    so no multi-GB padded copy of the corpus is ever made. `n_valid` masks
+    trailing invalid rows; `base_offset` maps tile-local to global base
+    indices (reference: cu_knn.py:273)."""
     q_count = query.shape[0]
-    n_tiles = base_padded.shape[0] // tile_size
-    tiles = base_padded.reshape(n_tiles, tile_size, base_padded.shape[1])
+    b_count, dim = base.shape
+    assert b_count >= tile_size
+    n_tiles = -(-b_count // tile_size)
     k_tile = min(k, tile_size)
     local_idx = jnp.arange(tile_size, dtype=jnp.int32)
     select = _verified_smallest_k if engine == "verified" else smallest_k
+
+    # tile i covers [i*tile, i*tile + tile); the final tile is shifted back
+    # to fit and masks the rows the previous tile already covered
+    starts = jnp.minimum(jnp.arange(n_tiles) * tile_size, b_count - tile_size)
+    fresh_from = jnp.arange(n_tiles) * tile_size - starts  # 0 except last
 
     init = (jnp.full((q_count, k), jnp.inf, dtype=jnp.float32),
             jnp.zeros((q_count, k), dtype=jnp.int32))
 
     def step(carry, xs):
         run_d, run_i = carry
-        tile, tile_start = xs
+        tile_start, fresh_min = xs
+        tile = jax.lax.dynamic_slice(base, (tile_start, 0), (tile_size, dim))
         d = pairwise_distance(query, tile, metric=metric, precision=precision)
-        valid = (tile_start + local_idx) < n_valid
+        valid = jnp.logical_and(local_idx >= fresh_min,
+                                (tile_start + local_idx) < n_valid)
         d = jnp.where(valid[None, :], d, jnp.inf)
         td, ti = select(d, k_tile)
         ti = ti + tile_start + base_offset
         return merge_topk(run_d, run_i, td, ti.astype(jnp.int32), k), None
 
-    tile_starts = jnp.arange(n_tiles, dtype=jnp.int32) * tile_size
-    (dist, idx), _ = jax.lax.scan(step, init, (tiles, tile_starts))
+    (dist, idx), _ = jax.lax.scan(step, init, (starts, fresh_from))
     return dist, idx
 
 
@@ -133,6 +151,150 @@ def _knn_full(query, base, n_valid, base_offset, k: int, metric: str,
     return dist, (idx + base_offset).astype(jnp.int32)
 
 
+_EPILOGUE_FOR_METRIC = {"sqeuclidean": "l2", "euclidean": "l2",
+                        "cosine": "rdot", "dot": "dot"}
+# screening error bounds (relative to the natural scale of each metric's
+# screen space): bf16x3 residual ~2^-32 plus fp32 accumulation -> 1e-5 is
+# conservative; single-pass bf16 input rounding -> 2^-7
+_EPS_REL = {3: 1e-5, 1: 2.0 ** -7}
+
+
+@partial(jax.jit, static_argnames=("k", "m", "metric", "passes", "block"))
+def _screened_select(query, base, cand_d, cand_i, k: int, m: int,
+                     metric: str, passes: int, block: int = 512):
+    """Top-M merge of screened candidates + exact fp32 re-rank + exactness
+    certificate. Returns (dist, idx, ok) with ok a per-query bool: True
+    means the screened result is provably the exact k-NN set."""
+    q_count, dim = query.shape
+    neg, sel = jax.lax.top_k(-cand_d, m)
+    scr = -neg                                        # (Q, m) ascending
+    idx_m = jnp.take_along_axis(cand_i, sel, axis=1)
+
+    # ---- blocked exact re-rank (bounds the (block, m, dim) gather) ----
+    q_pad = round_up(q_count, block)
+    qp = jnp.pad(query, ((0, q_pad - q_count), (0, 0)))
+    ip = jnp.pad(idx_m, ((0, q_pad - q_count), (0, 0)))
+
+    def refine_block(args):
+        qb, ib = args
+        cb = base[ib]                                  # (block, m, dim)
+        dots = jnp.einsum("td,tmd->tm", qb, cb,
+                          precision=jax.lax.Precision.HIGHEST,
+                          preferred_element_type=jnp.float32)
+        if metric in ("sqeuclidean", "euclidean"):
+            qn = jnp.sum(qb * qb, axis=1)
+            cn = jnp.sum(cb * cb, axis=2)
+            d = jnp.maximum(qn[:, None] + cn - 2.0 * dots, 0.0)
+            if metric == "euclidean":
+                d = jnp.sqrt(d)
+        elif metric == "cosine":
+            qn = jnp.sqrt(jnp.sum(qb * qb, axis=1))
+            cn = jnp.sqrt(jnp.sum(cb * cb, axis=2))
+            denom = jnp.maximum(qn[:, None] * cn, 1e-30)
+            d = 1.0 - dots / denom
+        else:  # dot
+            d = 1.0 - dots
+        return d
+
+    d_exact = jax.lax.map(
+        refine_block,
+        (qp.reshape(-1, block, dim), ip.reshape(-1, block, m)),
+    ).reshape(q_pad, m)[:q_count]
+
+    negk, selk = jax.lax.top_k(-d_exact, k)
+    dist = -negk
+    idx = jnp.take_along_axis(idx_m, selk, axis=1)
+    tau = dist[:, k - 1]
+
+    # ---- certificate: convert tau to screen space, compare against the
+    # m3 slab (bin 3rd-minima) and the screened M-th value ----
+    eps_rel = _EPS_REL[passes]
+    qn_row = jnp.sum(query * query, axis=1)
+    if metric in ("sqeuclidean", "euclidean"):
+        bn_max = jnp.max(jnp.sum(base * base, axis=1))
+        tau_s = tau if metric == "sqeuclidean" else tau * tau
+        eps_s = eps_rel * (jnp.max(qn_row) + bn_max)
+    elif metric == "cosine":
+        qn_abs = jnp.sqrt(qn_row)
+        tau_s = (tau - 1.0) * qn_abs                   # screen = -|q| cos
+        eps_s = eps_rel * qn_abs
+    else:  # dot: screen = -q.b, exact d = 1 - q.b
+        bn_max = jnp.sqrt(jnp.max(jnp.sum(base * base, axis=1)))
+        tau_s = tau - 1.0
+        eps_s = eps_rel * jnp.sqrt(qn_row) * bn_max
+    thresh = tau_s + eps_s
+
+    trio = screen_kernel.TRIO
+    lanes = screen_kernel.LANES
+    m3 = cand_d.reshape(q_count, -1, trio, lanes)[:, :, trio - 1, :]
+    cert_bins = jnp.min(m3, axis=(1, 2)) >= thresh
+    cert_merge = scr[:, m - 1] >= thresh
+    ok = jnp.logical_and(cert_bins, cert_merge)
+    return dist, idx, ok
+
+
+def screened_knn(query, base, k: int, metric: str = "sqeuclidean",
+                 screen_precision: str = "high", m: int | None = None,
+                 base_offset: int = 0, interpret: bool | None = None):
+    """Exact kNN via the fused Pallas screen kernel + certified re-rank.
+
+    Screens the full base with bf16x3 ("high") or bf16 ("default") MXU
+    passes, keeps 3 candidates per 216-row bin on-chip, exactly re-ranks
+    the merged top-M in fp32-highest, and proves per-query exactness with
+    the bin-trio certificate; unproven queries are recomputed with the
+    exact engine (expected <1% on non-degenerate data)."""
+    query = jnp.asarray(query, dtype=jnp.float32)
+    base = jnp.asarray(base, dtype=jnp.float32)
+    n_base = base.shape[0]
+    assert k <= n_base, f"k={k} exceeds base row count {n_base}"
+    passes = 3 if screen_precision == "high" else 1
+
+    # the kernel sweeps whole mega-tiles; the ragged tail (< 28672 rows) is
+    # handled by the plain engine and merged in — no multi-GB padded copy
+    n_aligned = (n_base // screen_kernel.MEGA) * screen_kernel.MEGA
+    if n_aligned == 0:
+        return knn(query, base, k, metric=metric, precision="highest",
+                   base_offset=base_offset, engine="exact")
+
+    cand_d, cand_i, _ = screen_kernel.screen_candidates(
+        query, base, n_rows=n_aligned,
+        epilogue=_EPILOGUE_FOR_METRIC[metric],
+        screen_precision=screen_precision, interpret=interpret)
+    cap = cand_d.shape[1]
+    if m is None:
+        m = max(256, round_up(k + 156, 128))
+    m = min(max(m, min(k, n_aligned)), cap)
+
+    k_pre = min(k, n_aligned)
+    dist, idx, ok = _screened_select(query, base, cand_d, cand_i, k_pre, m,
+                                     metric, passes)
+
+    tail = n_base - n_aligned
+    if tail:
+        tail_p, _ = _pad_rows(base[n_aligned:], 128)
+        d_t, i_t = _knn_full(query, tail_p, tail, n_aligned, min(k, tail),
+                             metric, "highest", "exact")
+        dist, idx = merge_topk(dist, idx, d_t, i_t, k)
+
+    ok_host = np.asarray(ok)
+    if not ok_host.all():
+        bad = np.nonzero(~ok_host)[0]
+        if n_base <= DEFAULT_TILE:
+            base_p, _ = _pad_rows(base, 128)
+            d_f, i_f = _knn_full(query[bad], base_p, n_base, 0, k, metric,
+                                 "highest", "exact")
+        else:
+            d_f, i_f = _knn_scan(query[bad], base, n_base, 0, k, metric,
+                                 "highest", DEFAULT_TILE, "exact")
+        dist = np.array(dist)
+        idx = np.array(idx)
+        dist[bad] = np.asarray(d_f)
+        idx[bad] = np.asarray(i_f)
+    if base_offset:
+        idx = idx + base_offset
+    return dist, idx
+
+
 def knn(query, base, k: int, metric: str = "sqeuclidean",
         precision: str = "highest", tile_size: int | None = None,
         base_offset: int = 0, engine: str = "auto"):
@@ -143,15 +305,20 @@ def knn(query, base, k: int, metric: str = "sqeuclidean",
     match for the reference's three engines (cu_knn.py:240-262).
 
     engine: "exact" (lax.top_k), "verified" (approx_min_k + exactness
-    proof + fallback — ~2.5x faster on TPU, identical neighbor sets), or
-    "auto" (verified on TPU, exact elsewhere)."""
+    proof + fallback), "screened" (fused Pallas distance+select kernel +
+    certified fp32 re-rank — the fast path on TPU), or "auto" (screened on
+    TPU for large bases, verified for small, exact elsewhere)."""
     query = jnp.asarray(query, dtype=jnp.float32)
     base = jnp.asarray(base, dtype=jnp.float32)
     n_base = base.shape[0]
     assert k <= n_base, f"k={k} exceeds base row count {n_base} (reference cu_knn.py:237)"
     assert query.shape[1] == base.shape[1], \
         f"dimension mismatch: query {query.shape[1]} vs base {base.shape[1]}"
-    engine = _select_engine(engine)
+    engine = _select_engine(engine, n_base)
+
+    if engine == "screened":
+        return screened_knn(query, base, k, metric=metric,
+                            base_offset=base_offset)
 
     if tile_size is None:
         tile_size = DEFAULT_TILE
@@ -159,8 +326,7 @@ def knn(query, base, k: int, metric: str = "sqeuclidean",
         base_p, _ = _pad_rows(base, 128)
         return _knn_full(query, base_p, n_base, base_offset, k, metric,
                          precision, engine)
-    base_p, _ = _pad_rows(base, tile_size)
-    return _knn_scan(query, base_p, n_base, base_offset, k, metric, precision,
+    return _knn_scan(query, base, n_base, base_offset, k, metric, precision,
                      tile_size, engine)
 
 

@@ -1,0 +1,112 @@
+"""Screened engine: fused Pallas distance+screen kernel (interpret mode on
+CPU) + certified re-rank + fallback. The kernel itself is the TPU-native
+replacement for RAFT's fused distance+select (reference: cu_knn.py:243-245);
+these tests pin its exactness contract on every metric and edge shape."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from neighborhoodwatch_tpu.ops import screen_kernel
+from neighborhoodwatch_tpu.ops.knn import knn, screened_knn, _screened_select
+
+MEGA = screen_kernel.MEGA
+
+
+def _data(q_n, b_n, d, seed=0, normalize=False):
+    rng = np.random.default_rng(seed)
+    q = rng.standard_normal((q_n, d)).astype(np.float32)
+    b = rng.standard_normal((b_n, d)).astype(np.float32)
+    if normalize:
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        b /= np.linalg.norm(b, axis=1, keepdims=True)
+    return q, b
+
+
+def _oracle_sets(q, b, k, metric):
+    """float64 neighbor sets (the arbiter for fp32 tie-order differences)."""
+    q64, b64 = q.astype(np.float64), b.astype(np.float64)
+    if metric in ("sqeuclidean", "euclidean"):
+        dm = ((q64 ** 2).sum(1)[:, None] + (b64 ** 2).sum(1)[None, :]
+              - 2 * q64 @ b64.T)
+    elif metric == "cosine":
+        qn = q64 / np.linalg.norm(q64, axis=1, keepdims=True)
+        bn = b64 / np.linalg.norm(b64, axis=1, keepdims=True)
+        dm = 1.0 - qn @ bn.T
+    else:
+        dm = 1.0 - q64 @ b64.T
+    return np.argsort(dm, axis=1, kind="stable")[:, :k]
+
+
+@pytest.mark.parametrize("metric", ["sqeuclidean", "euclidean", "cosine", "dot"])
+def test_screened_exact_all_metrics(metric):
+    q, b = _data(16, MEGA + 1000, 64, seed=1)  # one mega + ragged tail
+    k = 10
+    d_s, i_s = screened_knn(q, b, k, metric=metric)
+    oracle = _oracle_sets(q, b, k, metric)
+    for r in range(q.shape[0]):
+        assert set(np.asarray(i_s)[r]) == set(oracle[r]), (metric, r)
+    # distances ascending
+    assert (np.diff(np.asarray(d_s), axis=1) >= -1e-6).all()
+
+
+def test_screened_matches_exact_engine_aligned():
+    q, b = _data(8, 2 * MEGA, 48, seed=2)
+    d_s, i_s = screened_knn(q, b, 25)
+    d_e, i_e = knn(q, b, 25, engine="exact")
+    np.testing.assert_array_equal(np.asarray(i_s), np.asarray(i_e))
+    np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_e), atol=1e-4)
+
+
+def test_small_base_routes_to_exact():
+    q, b = _data(8, 500, 32, seed=3)
+    d_s, i_s = screened_knn(q, b, 5)
+    d_e, i_e = knn(q, b, 5, engine="exact")
+    np.testing.assert_array_equal(np.asarray(i_s), np.asarray(i_e))
+
+
+def test_base_offset_applied():
+    q, b = _data(4, MEGA + 17, 32, seed=4)
+    _, i0 = screened_knn(q, b, 5)
+    _, i1 = screened_knn(q, b, 5, base_offset=1234)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0) + 1234)
+
+
+def test_certificate_detects_planted_duplicates():
+    """Plant 5 near-identical rows 128 apart so they collide in one lane
+    bin; the trio keeps only 3, so the certificate must flag the query
+    (and the fallback must still return the exact set)."""
+    q, b = _data(4, MEGA, 32, seed=5)
+    target = q[0] + 1e-4 * np.arange(32, dtype=np.float32)
+    for j in range(5):
+        b[7 + j * 128] = target + 1e-6 * j  # same lane bin (stride 128)
+    k = 5
+    cd, ci, _ = screen_kernel.screen_candidates(
+        jnp.asarray(q), jnp.asarray(b), epilogue="l2",
+        screen_precision="high", interpret=True)
+    _, _, ok = _screened_select(jnp.asarray(q), jnp.asarray(b), cd, ci,
+                                k, 256, "sqeuclidean", 3)
+    assert not bool(np.asarray(ok)[0]), \
+        "certificate failed to flag a 5-way bin collision"
+    # end-to-end result is still exact thanks to the fallback
+    d_s, i_s = screened_knn(q, b, k)
+    oracle = _oracle_sets(q, b, k, "sqeuclidean")
+    assert set(np.asarray(i_s)[0]) == set(oracle[0])
+
+
+def test_screen_kernel_candidate_indices_valid():
+    q, b = _data(4, MEGA + 100, 24, seed=6)
+    cd, ci, n_mega = screen_kernel.screen_candidates(
+        jnp.asarray(q), jnp.asarray(b), n_rows=MEGA, epilogue="l2",
+        interpret=True)
+    ci = np.asarray(ci)
+    cd = np.asarray(cd)
+    assert n_mega == 1
+    valid = np.isfinite(cd)
+    assert (ci[valid] >= 0).all() and (ci[valid] < MEGA).all()
+    # each query's best candidate equals the true argmin over the prefix
+    d64 = ((q.astype(np.float64) ** 2).sum(1)[:, None]
+           + (b[:MEGA].astype(np.float64) ** 2).sum(1)[None, :]
+           - 2 * q.astype(np.float64) @ b[:MEGA].astype(np.float64).T)
+    np.testing.assert_array_equal(ci[np.arange(4), cd.argmin(1)],
+                                  d64.argmin(1))
