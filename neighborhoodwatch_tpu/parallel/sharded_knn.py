@@ -33,13 +33,24 @@ from neighborhoodwatch_tpu.ops.topk import smallest_k, merge_topk, merge_topk_ma
 from neighborhoodwatch_tpu.parallel.mesh import DP_AXIS, MP_AXIS
 
 
+def _trace_safe_engine(engine: str) -> str:
+    """Engines usable inside shard_map tracing. The screened engine's
+    certificate fallback is host-driven (np.asarray on the ok mask), so it
+    cannot run under a trace; use the fully-traced verified/exact paths."""
+    if engine in ("exact", "verified"):
+        return engine
+    return "verified" if jax.default_backend() == "tpu" else "exact"
+
+
 def sharded_knn(query, base, k: int, mesh, metric: str = "sqeuclidean",
-                precision: str = "highest", tile_size: int = 2048):
+                precision: str = "highest", tile_size: int = 2048,
+                engine: str = "auto"):
     """Exact kNN over a (dp, mp) mesh. `query` rows must divide the dp axis
     size and `base` rows the mp axis size (pad beforehand if needed).
 
     Returns (distances, indices) with global base indices, sharded over dp.
     """
+    engine = _trace_safe_engine(engine)
     query = jnp.asarray(query, dtype=jnp.float32)
     base = jnp.asarray(base, dtype=jnp.float32)
     n_base = base.shape[0]
@@ -58,7 +69,7 @@ def sharded_knn(query, base, k: int, mesh, metric: str = "sqeuclidean",
         offset = my_shard * shard_rows
         d, i = _local_knn(q_local, b_local, k=k, metric=metric,
                           precision=precision, tile_size=min(tile_size, shard_rows),
-                          base_offset=0)
+                          base_offset=0, engine=engine)
         i = i + offset  # global base indices (reference cu_knn.py:273 analog)
         # gather per-shard top-k lists over ICI and merge on every chip
         all_d = jax.lax.all_gather(d, MP_AXIS)  # (mp, q_local, k)
