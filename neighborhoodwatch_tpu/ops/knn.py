@@ -166,9 +166,26 @@ def _screened_select(query, base, cand_d, cand_i, k: int, m: int,
     certificate. Returns (dist, idx, ok) with ok a per-query bool: True
     means the screened result is provably the exact k-NN set."""
     q_count, dim = query.shape
-    neg, sel = jax.lax.top_k(-cand_d, m)
+    keep = screen_kernel.KEEP
+    lanes = screen_kernel.LANES
+    # the KEEP-th per-bin minimum is certificate-only: a true neighbor can
+    # sit there only when KEEP of the top-k collide in one bin, and that
+    # case is flagged below and recomputed exactly — so the merge works on
+    # the first KEEP-1 slabs (25% less top_k and count work)
+    d4 = cand_d.reshape(q_count, -1, keep, lanes)
+    i4 = cand_i.reshape(q_count, -1, keep, lanes)
+    m_last = d4[:, :, keep - 1, :]
+    merge_d = d4[:, :, : keep - 1, :].reshape(q_count, -1)
+    merge_i = i4[:, :, : keep - 1, :].reshape(q_count, -1)
+
+    # NOTE: an approx_min_k merge here is a false economy — its per-element
+    # recall r means the count certificate below passes with prob ~r^(#below
+    # tau), i.e. almost never, and every query falls back (measured 7.5x
+    # slower end-to-end). The exact top_k over the narrow candidate list is
+    # ~0.1s of the 1.4s total.
+    neg, sel = jax.lax.top_k(-merge_d, m)
     scr = -neg                                        # (Q, m) ascending
-    idx_m = jnp.take_along_axis(cand_i, sel, axis=1)
+    idx_m = jnp.take_along_axis(merge_i, sel, axis=1)
 
     # ---- blocked exact re-rank (bounds the (block, m, dim) gather) ----
     q_pad = round_up(q_count, block)
@@ -224,11 +241,12 @@ def _screened_select(query, base, cand_d, cand_i, k: int, m: int,
         eps_s = eps_rel * jnp.sqrt(qn_row) * bn_max
     thresh = tau_s + eps_s
 
-    trio = screen_kernel.TRIO
-    lanes = screen_kernel.LANES
-    m3 = cand_d.reshape(q_count, -1, trio, lanes)[:, :, trio - 1, :]
-    cert_bins = jnp.min(m3, axis=(1, 2)) >= thresh
-    cert_merge = scr[:, m - 1] >= thresh
+    cert_bins = jnp.min(m_last, axis=(1, 2)) >= thresh
+    # merge certificate by counting: every merged candidate below tau+eps
+    # must be in the selected M-set — sound for ANY selection method
+    c_all = jnp.sum((merge_d < thresh[:, None]).astype(jnp.int32), axis=1)
+    c_sel = jnp.sum((scr < thresh[:, None]).astype(jnp.int32), axis=1)
+    cert_merge = c_all == c_sel
     ok = jnp.logical_and(cert_bins, cert_merge)
     return dist, idx, ok
 
@@ -279,17 +297,23 @@ def screened_knn(query, base, k: int, metric: str = "sqeuclidean",
     ok_host = np.asarray(ok)
     if not ok_host.all():
         bad = np.nonzero(~ok_host)[0]
+        # bucket the rerun row count (pad by repeating row 0) so repeated
+        # calls with varying failure counts reuse one compiled program
+        n_bad = len(bad)
+        bucket = max(64, int(2 ** np.ceil(np.log2(n_bad))))
+        sel_rows = np.pad(bad, (0, bucket - n_bad), mode="edge")
+        q_bad = query[jnp.asarray(sel_rows)]
         if n_base <= DEFAULT_TILE:
             base_p, _ = _pad_rows(base, 128)
-            d_f, i_f = _knn_full(query[bad], base_p, n_base, 0, k, metric,
+            d_f, i_f = _knn_full(q_bad, base_p, n_base, 0, k, metric,
                                  "highest", "exact")
         else:
-            d_f, i_f = _knn_scan(query[bad], base, n_base, 0, k, metric,
+            d_f, i_f = _knn_scan(q_bad, base, n_base, 0, k, metric,
                                  "highest", DEFAULT_TILE, "exact")
         dist = np.array(dist)
         idx = np.array(idx)
-        dist[bad] = np.asarray(d_f)
-        idx[bad] = np.asarray(i_f)
+        dist[bad] = np.asarray(d_f)[:n_bad]
+        idx[bad] = np.asarray(i_f)[:n_bad]
     if base_offset:
         idx = idx + base_offset
     return dist, idx
@@ -297,7 +321,8 @@ def screened_knn(query, base, k: int, metric: str = "sqeuclidean",
 
 def knn(query, base, k: int, metric: str = "sqeuclidean",
         precision: str = "highest", tile_size: int | None = None,
-        base_offset: int = 0, engine: str = "auto"):
+        base_offset: int = 0, engine: str = "auto",
+        screen_precision: str = "high"):
     """Exact k nearest neighbors of `query` rows among `base` rows.
 
     Returns (distances, indices) of shape (Q, k), distances ascending per
@@ -318,7 +343,8 @@ def knn(query, base, k: int, metric: str = "sqeuclidean",
 
     if engine == "screened":
         return screened_knn(query, base, k, metric=metric,
-                            base_offset=base_offset)
+                            base_offset=base_offset,
+                            screen_precision=screen_precision)
 
     if tile_size is None:
         tile_size = DEFAULT_TILE

@@ -12,16 +12,16 @@ must be fused into the distance computation on-chip. This kernel:
    hi/lo bf16x3 decomposition ("high", ~fp32-accurate: the float32 operands
    are split as x = hi + lo with hi = bf16(x), and q.b = qhi.bhi + qlo.bhi
    + qhi.blo up to O(lo.lo) = 2^-32 relative);
-2. maintains a running (value, index) min-TRIO per VMEM lane in scratch
+2. maintains the KEEP smallest (value, index) pairs per VMEM lane in scratch
    across the sub-tiles of a 28672-row mega-tile — a 75x reduction of HBM
    writes vs materializing the distance matrix (the (TQ, 128) trio update
    is pure VPU work, ~18 ops per 128-lane slice);
-3. flushes 3x128 candidates per (query row, mega-tile) to HBM.
+3. flushes KEEP x 128 candidates per (query row, mega-tile) to HBM.
 
-The 3rd minimum doubles as an **exactness certificate**: a lane bin holds
-216 base rows; if m3 >= tau + eps (tau = exact k-th distance after
-re-ranking, eps = screening error bound) then at most two bin members can
-be < tau and both are in the candidate set, so no true neighbor was lost.
+The KEEP-th minimum doubles as an **exactness certificate**: a lane bin
+holds 224 base rows; if m_KEEP >= tau + eps (tau = exact k-th distance after
+re-ranking, eps = screening error bound) then at most KEEP-1 bin members can
+be < tau and all are in the candidate set, so no true neighbor was lost.
 Queries whose certificate fails fall back to the exact engine (ops/knn.py).
 
 Candidate indices are exact global row ids (tile offset + slice + lane),
@@ -41,8 +41,11 @@ TQ = 256            # query rows per block
 TB = 1024           # base rows per sub-tile (8 slices of 128 lanes)
 SUB_PER_MEGA = 28   # sub-tiles per mega-tile -> 28672 base rows
 MEGA = TB * SUB_PER_MEGA
-TRIO = 3            # mins kept per lane bin (m3 is the certificate)
-CAND_PER_MEGA = TRIO * LANES
+KEEP = 4            # mins kept per lane bin (the last is the certificate;
+                    # with 224-row bins, P(5 of the top-100 sharing a bin
+                    # over a 1M base) ~ 1e-6, so the exact-fallback path
+                    # almost never fires)
+CAND_PER_MEGA = KEEP * LANES
 
 SCREEN_PRECISIONS = ("default", "high")
 
@@ -97,34 +100,32 @@ def _kernel(qn_ref, bn_ref, q_ref, b_ref, out_d_ref, out_i_ref,
             d = jnp.where(jnp.isinf(bn), jnp.inf,
                           -acc * jax.lax.rsqrt(jnp.maximum(bn, 1e-30)))
 
-        m1, m2, m3 = md_ref[0], md_ref[1], md_ref[2]
-        i1, i2, i3 = mi_ref[0], mi_ref[1], mi_ref[2]
+        ms = [md_ref[t] for t in range(KEEP)]
+        iv = [mi_ref[t] for t in range(KEEP)]
         col0 = bi * TB
         lane = jax.lax.broadcasted_iota(jnp.int32, (TQ, LANES), 1)
         for j in range(TB // LANES):
             dj = d[:, j * LANES:(j + 1) * LANES]
             ij = lane + (col0 + j * LANES)
-            b1 = dj < m1
-            b2 = dj < m2
-            b3 = dj < m3
-            m3 = jnp.where(b2, m2, jnp.where(b3, dj, m3))
-            i3 = jnp.where(b2, i2, jnp.where(b3, ij, i3))
-            m2 = jnp.where(b1, m1, jnp.where(b2, dj, m2))
-            i2 = jnp.where(b1, i1, jnp.where(b2, ij, i2))
-            m1 = jnp.where(b1, dj, m1)
-            i1 = jnp.where(b1, ij, i1)
-        md_ref[0], md_ref[1], md_ref[2] = m1, m2, m3
-        mi_ref[0], mi_ref[1], mi_ref[2] = i1, i2, i3
+            beats = [dj < ms[t] for t in range(KEEP)]
+            # sorted-insert dj into the per-lane KEEP smallest
+            for t in range(KEEP - 1, 0, -1):
+                ms[t] = jnp.where(beats[t - 1], ms[t - 1],
+                                  jnp.where(beats[t], dj, ms[t]))
+                iv[t] = jnp.where(beats[t - 1], iv[t - 1],
+                                  jnp.where(beats[t], ij, iv[t]))
+            ms[0] = jnp.where(beats[0], dj, ms[0])
+            iv[0] = jnp.where(beats[0], ij, iv[0])
+        for t in range(KEEP):
+            md_ref[t] = ms[t]
+            mi_ref[t] = iv[t]
 
-        # ---- at mega-tile end: flush the trio as this block's candidates --
+        # ---- at mega-tile end: flush the mins as this block's candidates --
         @pl.when(bi % SUB_PER_MEGA == SUB_PER_MEGA - 1)
         def _():
-            out_d_ref[:, 0 * LANES:1 * LANES] = m1
-            out_d_ref[:, 1 * LANES:2 * LANES] = m2
-            out_d_ref[:, 2 * LANES:3 * LANES] = m3
-            out_i_ref[:, 0 * LANES:1 * LANES] = i1
-            out_i_ref[:, 1 * LANES:2 * LANES] = i2
-            out_i_ref[:, 2 * LANES:3 * LANES] = i3
+            for t in range(KEEP):
+                out_d_ref[:, t * LANES:(t + 1) * LANES] = ms[t]
+                out_i_ref[:, t * LANES:(t + 1) * LANES] = iv[t]
 
 
 def _pick_dk(d: int) -> int:
@@ -182,8 +183,8 @@ def _screen_call(q, base, qn, bn, epilogue: str, passes: int,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((TQ, TB), jnp.float32),          # dot accumulator
-            pltpu.VMEM((TRIO, TQ, LANES), jnp.float32),  # running min trio
-            pltpu.VMEM((TRIO, TQ, LANES), jnp.int32),    # trio indices
+            pltpu.VMEM((KEEP, TQ, LANES), jnp.float32),  # running mins
+            pltpu.VMEM((KEEP, TQ, LANES), jnp.int32),    # their indices
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=int(Qp * D * 4 + Bp * D * 4 * n_q),
@@ -198,13 +199,13 @@ def screen_candidates(q, base, *, n_rows: int | None = None,
                       screen_precision: str = "high",
                       interpret: bool | None = None):
     """Fused distance+screen: (Q, D) x (B, D) -> (Q, C) candidate
-    (distance, global index) lists, C = 384 per 28672-row mega-tile.
+    (distance, global index) lists, C = KEEP*128 per 28672-row mega-tile.
 
     Screen-space distances by `epilogue`: "l2" squared-L2, "dot" -q.b,
     "rdot" -q.b/|b| (cosine ordering without prenormalizing the corpus).
     Padding base rows carry +inf norms and never win a bin.
-    Returns (cand_d, cand_i, n_mega); the 3rd third of each mega-tile's
-    candidates (m3) is the certificate slab."""
+    Returns (cand_d, cand_i, n_mega); the last KEEP-slab of each
+    mega-tile's candidates is the certificate slab."""
     assert screen_precision in SCREEN_PRECISIONS
     assert epilogue in EPILOGUES
     passes = 3 if screen_precision == "high" else 1
