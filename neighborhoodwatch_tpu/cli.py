@@ -199,7 +199,8 @@ Some example commands:\n
 
 def ck_main(argv=None):
     from neighborhoodwatch_tpu.core.colbert_pipeline import (
-        print_dataset_info, process_knn_computation, process_source_dataset,
+        compute_maxsim_knn, print_dataset_info, process_knn_computation,
+        process_source_dataset,
     )
     from neighborhoodwatch_tpu.core.merge import merge_indices_and_distances
     from neighborhoodwatch_tpu.data import sources
@@ -249,6 +250,12 @@ Some example commands:\n
                         choices=["default", "high", "highest"])
     parser.add_argument("--synthetic", action="store_true",
                         help="use synthetic source text (hermetic, no network)")
+    parser.add_argument("--maxsim", action="store_true",
+                        help="doc-level MaxSim ground truth (proper ColBERT "
+                             "late interaction) instead of the reference's "
+                             "flat token-vs-token kNN; neighbor indices are "
+                             "base passage ids and distances are negative "
+                             "MaxSim scores")
     args = parser.parse_args(argv)
 
     assert args.model_name == EmbeddingModelName.COLBERT_V2.value, \
@@ -287,16 +294,19 @@ Some example commands:\n
 
     token_embed_columns = [f"token_embedding_{i}" for i in range(input_dimensions)]
 
+    marker = "_docs" if args.maxsim else ""
+
     _section("Generating query dataset with embeddings")
     section_time = time.time()
-    query_file = f"{data_dir}/{model_prefix}_{input_dimensions}_query_token{args.query_token_count}_src.parquet"
+    query_file = f"{data_dir}/{model_prefix}_{input_dimensions}_query_token{args.query_token_count}{marker}_src.parquet"
     if not os.path.exists(query_file):
         src = sources.load_query_source(
             synthetic_rows=args.query_token_count if args.synthetic else None)
         streamer = ParquetStreamer(query_file, token_embed_columns)
         stats = process_source_dataset(streamer, token_generator, src,
                                        input_dimensions, args.query_token_count,
-                                       "question", logger=logger)
+                                       "question", logger=logger,
+                                       track_docs=args.maxsim)
         streamer.close()
         print_dataset_info("query", args.query_token_count, *stats)
     else:
@@ -305,14 +315,15 @@ Some example commands:\n
 
     _section("Generating base dataset with embeddings")
     section_time = time.time()
-    base_file = f"{data_dir}/{model_prefix}_{input_dimensions}_base_token{args.base_token_count}_src.parquet"
+    base_file = f"{data_dir}/{model_prefix}_{input_dimensions}_base_token{args.base_token_count}{marker}_src.parquet"
     if not os.path.exists(base_file):
         src = sources.load_base_source(
             synthetic_rows=args.base_token_count if args.synthetic else None)
         streamer = ParquetStreamer(base_file, token_embed_columns)
         stats = process_source_dataset(streamer, token_generator, src,
                                        input_dimensions, args.base_token_count,
-                                       "text", logger=logger)
+                                       "text", logger=logger,
+                                       track_docs=args.maxsim)
         streamer.close()
         print_dataset_info("base", args.base_token_count, *stats)
     else:
@@ -321,20 +332,31 @@ Some example commands:\n
 
     cleanup_partial_parquet(f"{data_dir}/partial")
 
-    _section("Computing knn")
-    section_time = time.time()
-    timer = process_knn_computation(data_dir, base_file, args.base_token_count,
-                                    query_file, args.query_token_count,
-                                    mem_tune=args.enable_memory_tuning,
-                                    k=args.k, metric=args.metric,
-                                    precision=args.precision)
-    print(timer.report())
-    _duration(section_time, start_time)
+    if args.maxsim:
+        _section("Computing doc-level MaxSim ground truth")
+        section_time = time.time()
+        timer, n_q_docs, n_b_docs = compute_maxsim_knn(
+            data_dir, query_file, base_file, k=args.k,
+            precision=args.precision)
+        print(timer.report())
+        print(f"MaxSim: {n_q_docs} query passages x {n_b_docs} base passages")
+        _duration(section_time, start_time)
+    else:
+        _section("Computing knn")
+        section_time = time.time()
+        timer = process_knn_computation(
+            data_dir, base_file, args.base_token_count,
+            query_file, args.query_token_count,
+            mem_tune=args.enable_memory_tuning,
+            k=args.k, metric=args.metric,
+            precision=args.precision)
+        print(timer.report())
+        _duration(section_time, start_time)
 
-    _section("Merging indices and distances")
-    section_time = time.time()
-    merge_indices_and_distances(data_dir, k=args.k)
-    _duration(section_time, start_time)
+        _section("Merging indices and distances")
+        section_time = time.time()
+        merge_indices_and_distances(data_dir, k=args.k)
+        _duration(section_time, start_time)
 
     _section("Generating ivec's and fvec's")
     section_time = time.time()

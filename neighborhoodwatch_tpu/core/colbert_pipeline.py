@@ -8,21 +8,35 @@ the proper MaxSim scoring lives in ops/maxsim.py as the TPU generalization).
 """
 
 import numpy as np
+import pyarrow.parquet as pq
 
 from neighborhoodwatch_tpu.core.pipeline import compute_knn_ds
 from neighborhoodwatch_tpu.data.sources import split_into_sentences
+from neighborhoodwatch_tpu.utils.misc import round_up
 
 
 def process_source_dataset(streamer, generator, dataset, input_dimensions,
-                           token_count, column_to_embed, logger=None):
+                           token_count, column_to_embed, logger=None,
+                           track_docs=False):
     """Stream per-token embeddings to parquet until `token_count` tokens
-    (reference: colbert_knn.py:31-81). Returns
+    (reference: colbert_knn.py:31-81). With `track_docs`, every token row
+    additionally carries the int32 id of the passage (encoded sentence) it
+    came from, enabling doc-level MaxSim scoring downstream. Returns
     (rows_read, sentence_count, token_count_written, zero_embedding_count)."""
     processed_tokens = 0
     zero_text_embeddings = 0
     total_sentences = 0
     cur_row = 0
     token_rows: list[np.ndarray] = []
+    doc_ids: list[np.ndarray] = []
+
+    def flush():
+        toks = np.concatenate(token_rows, axis=0)
+        if track_docs:
+            streamer.stream_tokens_with_doc_ids(
+                toks, np.concatenate(doc_ids, axis=0))
+        else:
+            streamer.stream_to_parquet_without_src_metadata(toks)
 
     for cur_row, row in enumerate(dataset, start=1):
         sentence_list = split_into_sentences(row[column_to_embed])
@@ -37,23 +51,22 @@ def process_source_dataset(streamer, generator, dataset, input_dimensions,
             tokens = flat.reshape(-1, input_dimensions)
             take = min(len(tokens), token_count - processed_tokens)
             token_rows.append(tokens[:take])
+            doc_ids.append(np.full(take, total_sentences, dtype=np.int32))
             processed_tokens += take
             total_sentences += 1
             if processed_tokens >= token_count:
                 break
         # flush periodically to bound memory
         if sum(len(t) for t in token_rows) >= 100_000:
-            streamer.stream_to_parquet_without_src_metadata(
-                np.concatenate(token_rows, axis=0))
-            token_rows = []
+            flush()
+            token_rows, doc_ids = [], []
         if processed_tokens >= token_count:
             break
 
     if token_rows:
         if logger is not None:
             logger.info(f"[final] processed_token_embedding_cnt: {processed_tokens}")
-        streamer.stream_to_parquet_without_src_metadata(
-            np.concatenate(token_rows, axis=0))
+        flush()
     return cur_row, total_sentences, processed_tokens, zero_text_embeddings
 
 
@@ -71,6 +84,111 @@ def process_knn_computation(data_dir, base_filename, base_count, query_filename,
                           initial_batch_size=initial_batch_size,
                           max_memory_threshold=max_memory_threshold,
                           metric=metric, precision=precision)
+
+
+def _split_by_doc(tokens: np.ndarray, doc_ids: np.ndarray):
+    """(n, d) tokens + ascending (n,) doc ids -> list of per-doc arrays."""
+    if len(doc_ids) == 0:
+        return []
+    bounds = np.nonzero(np.diff(doc_ids))[0] + 1
+    return np.split(tokens, bounds)
+
+
+def _read_doc_tokens(filename: str):
+    """Read a doc-tracked token parquet -> (token matrix, doc_ids)."""
+    table = pq.read_table(filename)
+    assert "doc_id" in table.schema.names, \
+        f"{filename} lacks a doc_id column — regenerate with --maxsim"
+    doc_ids = table.column("doc_id").to_numpy()
+    embed_cols = [n for n in table.schema.names if n != "doc_id"]
+    mat = np.stack([table.column(n).to_numpy(zero_copy_only=False)
+                    for n in embed_cols], axis=1).astype(np.float32)
+    return mat, doc_ids
+
+
+def compute_maxsim_knn(data_dir, query_filename, base_filename, k,
+                       tile_docs=512, precision="highest",
+                       batch_rows=500_000):
+    """Doc-level ColBERT MaxSim ground truth: for every query passage,
+    the top-k base passages by sum-of-max token similarity.
+
+    The TPU generalization of the reference's flat token kNN
+    (colbert_knn.py:84-126 treats tokens independently); exact late
+    interaction per the ColBERT scoring model. Base token rows are
+    streamed, grouped into passages on the doc_id column, bucketed by
+    token-length (tile shapes stay static per bucket -> few compiles),
+    and merged on device through StreamingMaxSim.
+
+    Writes final_{indices,distances} parquet where indices are base *doc*
+    ids and distances are **negative MaxSim scores** (ascending distance ==
+    best-first, preserving the pipeline's distance contract)."""
+    from neighborhoodwatch_tpu.io.parquet_io import write_matrix_to_parquet
+    from neighborhoodwatch_tpu.ops.maxsim import (
+        StreamingMaxSim, pad_token_lists,
+    )
+    from neighborhoodwatch_tpu.utils import naming
+    from neighborhoodwatch_tpu.utils.profiling import StageTimer
+
+    timer = StageTimer()
+    with timer.stage("load_queries"):
+        q_mat, q_ids = _read_doc_tokens(query_filename)
+        q_docs = _split_by_doc(q_mat, q_ids)
+        dim = q_mat.shape[1]
+        queries, q_mask = pad_token_lists(q_docs, dim)
+
+    engine = StreamingMaxSim(queries, q_mask, k=k, precision=precision)
+
+    pf = pq.ParquetFile(base_filename)
+    pending_docs: list[np.ndarray] = []   # complete, not yet tiled
+    leftover: np.ndarray | None = None    # tokens of the trailing open doc
+    leftover_id = None
+
+    def emit_tiles(docs, final=False):
+        while len(docs) >= tile_docs or (final and docs):
+            chunk, docs = docs[:tile_docs], docs[tile_docs:]
+            n_valid = len(chunk)
+            if n_valid < tile_docs:       # pad the last tile's doc axis
+                chunk = chunk + [np.zeros((1, dim), np.float32)] * \
+                    (tile_docs - n_valid)
+            td = round_up(max(len(c) for c in chunk[:n_valid]), 16)
+            tile, tmask = pad_token_lists(chunk, dim, max_tokens=td)
+            if n_valid < tile_docs:
+                tmask[n_valid:] = False
+            engine.update(tile, tmask, n_valid=n_valid)
+        return docs
+
+    with timer.stage("stream_base"):
+        for batch in pf.iter_batches(batch_size=batch_rows):
+            ids = batch.column(
+                batch.schema.get_field_index("doc_id")).to_numpy()
+            cols = [n for n in batch.schema.names if n != "doc_id"]
+            mat = np.stack([batch.column(n).to_numpy(zero_copy_only=False)
+                            for n in cols], axis=1).astype(np.float32)
+            if leftover is not None and len(ids) and ids[0] == leftover_id:
+                mat = np.concatenate([leftover, mat], axis=0)
+                ids = np.concatenate(
+                    [np.full(len(leftover), leftover_id, np.int32), ids])
+            elif leftover is not None:
+                pending_docs.append(leftover)
+                leftover = None
+            docs = _split_by_doc(mat, ids)
+            if docs:
+                leftover, leftover_id = docs[-1], ids[-1]
+                pending_docs.extend(docs[:-1])
+            pending_docs = emit_tiles(pending_docs)
+        if leftover is not None:
+            pending_docs.append(leftover)
+        emit_tiles(pending_docs, final=True)
+
+    with timer.stage("finalize"):
+        scores, idx = engine.finalize()
+        n_docs = engine.docs_seen
+        assert k <= n_docs, f"k={k} exceeds base doc count {n_docs}"
+        write_matrix_to_parquet(
+            naming.get_partial_indices_filename(data_dir, -1), idx)
+        write_matrix_to_parquet(
+            naming.get_partial_distances_filename(data_dir, -1), -scores)
+    return timer, len(q_docs), n_docs
 
 
 def print_dataset_info(source_dataset_name, token_count, actual_row_cnt,

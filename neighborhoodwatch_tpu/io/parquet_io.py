@@ -56,6 +56,23 @@ class ParquetStreamer:
             self.writer = pq.ParquetWriter(self.filename, table.schema)
         self.writer.write_table(table)
 
+    def stream_tokens_with_doc_ids(self, embedding_array, doc_ids) -> None:
+        """Token-embedding rows + an int32 `doc_id` column marking which
+        document (passage) each token belongs to — the extra bookkeeping
+        the doc-level MaxSim pipeline needs (absent in the reference,
+        whose flat token kNN discards passage boundaries)."""
+        embedding_array = np.asarray(embedding_array)
+        doc_ids = np.asarray(doc_ids, dtype=np.int32)
+        assert len(self.columns) == embedding_array.shape[1]
+        assert len(doc_ids) == embedding_array.shape[0]
+        df = pd.DataFrame(embedding_array.astype("float32"),
+                          columns=self.columns)
+        df.insert(0, "doc_id", doc_ids)
+        table = pa.Table.from_pandas(df)
+        if self.writer is None:
+            self.writer = pq.ParquetWriter(self.filename, table.schema)
+        self.writer.write_table(table)
+
     def close(self) -> None:
         if self.writer:
             self.writer.close()
@@ -155,11 +172,11 @@ def read_and_extract(data_dir, input_parquet, rowcount, dimensions,
     table = table.slice(0, rowcount)
     if column_names is None:
         column_names = [f"embedding_{i}" for i in range(dimensions)]
-        drop = list(set(table.schema.names) - set(column_names))
-        for col in drop:
-            if col in table.schema.names:
-                table = table.remove_column(table.schema.get_field_index(col))
-    return table.to_pandas()
+    # keep only the embedding columns (drops bookkeeping columns such as
+    # doc_id from the maxsim pipeline), preserving embedding order
+    keep = [n for n in column_names if n in table.schema.names]
+    assert keep, f"none of the expected embedding columns in {full}"
+    return table.select(keep).to_pandas()
 
 
 def read_parquet_to_dataframe(data_dir, filename) -> pd.DataFrame:

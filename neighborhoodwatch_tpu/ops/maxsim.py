@@ -113,6 +113,52 @@ def maxsim_topk(queries, q_mask, docs, d_mask, k: int,
     return run_s, run_i
 
 
+class StreamingMaxSim:
+    """Running top-k of document MaxSim scores over host-streamed doc tiles.
+
+    The doc-level analog of ops.knn.StreamingKNN: feed padded
+    (tile, Td, d) token tensors in ascending doc-offset order; the
+    (score, idx) state stays on device. Used by the `ck --maxsim`
+    pipeline to stream a corpus that never fits in HBM at once."""
+
+    def __init__(self, queries, q_mask, k: int, precision: str = "highest"):
+        self.queries = jnp.asarray(queries, dtype=jnp.float32)
+        self.q_mask = jnp.asarray(q_mask, dtype=bool)
+        self.k = k
+        self.precision = precision
+        q_n = self.queries.shape[0]
+        self.state = (jnp.full((q_n, k), -jnp.inf, dtype=jnp.float32),
+                      jnp.zeros((q_n, k), dtype=jnp.int32))
+        self._seen = 0
+
+    def update(self, doc_tile, tile_mask, offset: int | None = None,
+               n_valid: int | None = None) -> None:
+        """Merge one (tile, Td, d) doc tile. `n_valid` < tile rows marks
+        trailing padding rows (added to keep tile shapes static) invalid."""
+        if offset is None:
+            offset = self._seen
+        assert offset == self._seen, \
+            "doc tiles must arrive in ascending contiguous offset order"
+        n = doc_tile.shape[0] if n_valid is None else n_valid
+        run_s, run_i = self.state
+        self.state = _maxsim_tile_step(
+            run_s, run_i, self.queries, self.q_mask,
+            jnp.asarray(doc_tile, dtype=jnp.float32),
+            jnp.asarray(tile_mask, dtype=bool),
+            offset, offset + n, self.k, self.precision)
+        self._seen += n
+
+    @property
+    def docs_seen(self) -> int:
+        return self._seen
+
+    def finalize(self):
+        """(scores desc, doc indices) as numpy."""
+        assert self._seen >= 1, "no documents streamed"
+        s, i = self.state
+        return np.asarray(s), np.asarray(i)
+
+
 def maxsim_oracle(queries, q_mask, docs, d_mask, k):
     """float64 numpy reference for tests."""
     q = np.asarray(queries, dtype=np.float64)

@@ -3,7 +3,8 @@
 import numpy as np
 
 from neighborhoodwatch_tpu.ops.maxsim import (
-    maxsim_scores, maxsim_topk, maxsim_oracle, pad_token_lists,
+    StreamingMaxSim, maxsim_scores, maxsim_topk, maxsim_oracle,
+    pad_token_lists,
 )
 
 
@@ -44,6 +45,78 @@ def test_maxsim_topk_exact(rng):
     # scores descending
     s = np.asarray(scores)
     assert (np.diff(s, axis=1) <= 1e-6).all()
+
+
+def test_streaming_maxsim_matches_oracle(rng):
+    """Uneven device-streamed tiles (with trailing padded rows and
+    per-tile token widths) reproduce the oracle exactly."""
+    q, qm, d, dm = _toy(rng, d_n=57)
+    k = 7
+    engine = StreamingMaxSim(q, qm, k=k)
+    off = 0
+    for size in (16, 5, 23, 13):            # 57 total
+        tile, tmask = d[off:off + size], dm[off:off + size]
+        pad = 8 - size % 8 if size % 8 else 0
+        if pad:                              # static-shape style padding
+            tile = np.pad(tile, ((0, pad), (0, 0), (0, 0)))
+            tmask = np.pad(tmask, ((0, pad), (0, 0)))
+        engine.update(tile, tmask, n_valid=size)
+        off += size
+    scores, idx = engine.finalize()
+    exp_scores, exp_idx = maxsim_oracle(q, qm, d, dm, k=k)
+    np.testing.assert_array_equal(idx, exp_idx)
+    np.testing.assert_allclose(scores, exp_scores, atol=1e-4)
+
+
+def test_compute_maxsim_knn_pipeline(rng, tmp_path):
+    """Doc-tracked token parquet -> compute_maxsim_knn -> final files match
+    the oracle (doc ids, negative-score distances)."""
+    from neighborhoodwatch_tpu.core.colbert_pipeline import compute_maxsim_knn
+    from neighborhoodwatch_tpu.io.parquet_io import ParquetStreamer
+    from neighborhoodwatch_tpu.utils import naming
+    import pyarrow.parquet as pq
+
+    dim, k = 16, 4
+    cols = [f"token_embedding_{i}" for i in range(dim)]
+    data_dir = str(tmp_path)
+    (tmp_path / "partial").mkdir()
+
+    def write(filename, docs):
+        streamer = ParquetStreamer(filename, cols)
+        toks = np.concatenate(docs, axis=0)
+        ids = np.concatenate([np.full(len(t), i, np.int32)
+                              for i, t in enumerate(docs)])
+        # two writes to exercise doc continuation across record batches
+        half = len(toks) // 2
+        streamer.stream_tokens_with_doc_ids(toks[:half], ids[:half])
+        streamer.stream_tokens_with_doc_ids(toks[half:], ids[half:])
+        streamer.close()
+
+    q_docs = [rng.standard_normal((rng.integers(2, 6), dim)).astype(np.float32)
+              for _ in range(5)]
+    b_docs = [rng.standard_normal((rng.integers(2, 9), dim)).astype(np.float32)
+              for _ in range(23)]
+    qf = f"{data_dir}/q_src.parquet"
+    bf = f"{data_dir}/b_src.parquet"
+    write(qf, q_docs)
+    write(bf, b_docs)
+
+    timer, n_q, n_b = compute_maxsim_knn(data_dir, qf, bf, k=k, tile_docs=8,
+                                         batch_rows=40)
+    assert (n_q, n_b) == (5, 23)
+
+    idx = pq.read_table(
+        naming.get_partial_indices_filename(data_dir, -1)).to_pandas().values
+    dist = pq.read_table(
+        naming.get_partial_distances_filename(data_dir, -1)).to_pandas().values
+
+    q, qm = pad_token_lists(q_docs, dim)
+    d, dm = pad_token_lists(b_docs, dim)
+    exp_scores, exp_idx = maxsim_oracle(q, qm, d, dm, k=k)
+    np.testing.assert_array_equal(idx, exp_idx)
+    np.testing.assert_allclose(dist, -exp_scores, atol=1e-4)
+    # distance contract: ascending per row
+    assert (np.diff(dist, axis=1) >= -1e-6).all()
 
 
 def test_maxsim_padding_invariance(rng):
