@@ -217,6 +217,10 @@ def _screened_select(query, base, cand_d, cand_i, k: int, m: int,
         refine_block,
         (qp.reshape(-1, block, dim), ip.reshape(-1, block, m)),
     ).reshape(q_pad, m)[:q_count]
+    # +inf screen values are masked bins (ragged-tail padding), not real
+    # candidates — their idx slot is 0 and re-ranking them would fabricate
+    # a duplicate of base row 0
+    d_exact = jnp.where(jnp.isinf(scr), jnp.inf, d_exact)
 
     negk, selk = jax.lax.top_k(-d_exact, k)
     dist = -negk
@@ -257,42 +261,37 @@ def screened_knn(query, base, k: int, metric: str = "sqeuclidean",
     """Exact kNN via the fused Pallas screen kernel + certified re-rank.
 
     Screens the full base with bf16x3 ("high") or bf16 ("default") MXU
-    passes, keeps 3 candidates per 216-row bin on-chip, exactly re-ranks
-    the merged top-M in fp32-highest, and proves per-query exactness with
-    the bin-trio certificate; unproven queries are recomputed with the
-    exact engine (expected <1% on non-degenerate data)."""
+    passes, keeps the 4 smallest per lane bin on-chip (the 4th is
+    certificate-only), exactly re-ranks the merged top-M in fp32-highest,
+    and proves per-query exactness with the bin certificate; unproven
+    queries are recomputed with the exact engine (measured ~0.01% at
+    224-row bins / ~0.1% at the 448-row bins used for big bases)."""
     query = jnp.asarray(query, dtype=jnp.float32)
     base = jnp.asarray(base, dtype=jnp.float32)
     n_base = base.shape[0]
     assert k <= n_base, f"k={k} exceeds base row count {n_base}"
     passes = 3 if screen_precision == "high" else 1
 
-    # the kernel sweeps whole mega-tiles; the ragged tail (< 28672 rows) is
-    # handled by the plain engine and merged in — no multi-GB padded copy
-    n_aligned = (n_base // screen_kernel.MEGA) * screen_kernel.MEGA
-    if n_aligned == 0:
+    # tiny bases aren't worth a kernel launch over a mostly-masked mega
+    if n_base < screen_kernel.MEGA:
         return knn(query, base, k, metric=metric, precision="highest",
                    base_offset=base_offset, engine="exact")
 
+    # the kernel's grid rounds B up to whole mega-tiles: ragged-tail blocks
+    # read clamped rows whose +inf padded norms mask them from every bin,
+    # so no separate tail pass (a lax.top_k over the ~25k-row tail cost
+    # ~0.3s — more than the whole screen) and no multi-GB padded copy
     cand_d, cand_i, _ = screen_kernel.screen_candidates(
-        query, base, n_rows=n_aligned,
+        query, base, n_rows=n_base,
         epilogue=_EPILOGUE_FOR_METRIC[metric],
         screen_precision=screen_precision, interpret=interpret)
     cap = cand_d.shape[1]
     if m is None:
         m = max(256, round_up(k + 156, 128))
-    m = min(max(m, min(k, n_aligned)), cap)
+    m = min(max(m, k), cap)
 
-    k_pre = min(k, n_aligned)
-    dist, idx, ok = _screened_select(query, base, cand_d, cand_i, k_pre, m,
+    dist, idx, ok = _screened_select(query, base, cand_d, cand_i, k, m,
                                      metric, passes)
-
-    tail = n_base - n_aligned
-    if tail:
-        tail_p, _ = _pad_rows(base[n_aligned:], 128)
-        d_t, i_t = _knn_full(query, tail_p, tail, n_aligned, min(k, tail),
-                             metric, "highest", "exact")
-        dist, idx = merge_topk(dist, idx, d_t, i_t, k)
 
     ok_host = np.asarray(ok)
     if not ok_host.all():

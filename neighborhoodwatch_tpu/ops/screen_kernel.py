@@ -37,22 +37,30 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-TQ = 256            # query rows per block
+TQ = 256            # query rows per block (default; 512 for big batches —
+                    # halves the per-query-block re-reads of the base from
+                    # HBM and the scalar-core grid overhead)
 TB = 1024           # base rows per sub-tile (8 slices of 128 lanes)
-SUB_PER_MEGA = 28   # sub-tiles per mega-tile -> 28672 base rows
+SUB_PER_MEGA = 28   # sub-tiles per mega-tile -> 28672 base rows (default;
+                    # 56 for big bases — halves the candidate width the
+                    # select stage's exact top_k must chew through)
 MEGA = TB * SUB_PER_MEGA
 KEEP = 4            # mins kept per lane bin (the last is the certificate;
                     # with 224-row bins, P(5 of the top-100 sharing a bin
                     # over a 1M base) ~ 1e-6, so the exact-fallback path
-                    # almost never fires)
+                    # almost never fires; 448-row bins at sub=56 raise the
+                    # fallback rate to ~0.1%, still cheap to recompute)
 CAND_PER_MEGA = KEEP * LANES
+
+# base row count from which the wide (sub=56) mega-tile pays off
+_BIG_BASE = 16 * TB * 56
 
 SCREEN_PRECISIONS = ("default", "high")
 
 
 def _kernel(qn_ref, bn_ref, q_ref, b_ref, out_d_ref, out_i_ref,
             acc_ref, md_ref, mi_ref, *, n_dk: int, epilogue: str,
-            passes: int):
+            passes: int, tq: int, sub: int):
     qi = pl.program_id(0)
     bi = pl.program_id(1)
     dk = pl.program_id(2)
@@ -81,7 +89,7 @@ def _kernel(qn_ref, bn_ref, q_ref, b_ref, out_d_ref, out_i_ref,
         acc_ref[:] = acc_ref[:] + part
 
     # ---- at mega-tile start: reset the running trio ----
-    @pl.when(jnp.logical_and(bi % SUB_PER_MEGA == 0, dk == 0))
+    @pl.when(jnp.logical_and(bi % sub == 0, dk == 0))
     def _():
         md_ref[:] = jnp.full(md_ref.shape, jnp.inf, dtype=jnp.float32)
         mi_ref[:] = jnp.zeros(mi_ref.shape, dtype=jnp.int32)
@@ -103,17 +111,21 @@ def _kernel(qn_ref, bn_ref, q_ref, b_ref, out_d_ref, out_i_ref,
         ms = [md_ref[t] for t in range(KEEP)]
         iv = [mi_ref[t] for t in range(KEEP)]
         col0 = bi * TB
-        lane = jax.lax.broadcasted_iota(jnp.int32, (TQ, LANES), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tq, LANES), 1)
         for j in range(TB // LANES):
             dj = d[:, j * LANES:(j + 1) * LANES]
             ij = lane + (col0 + j * LANES)
             beats = [dj < ms[t] for t in range(KEEP)]
-            # sorted-insert dj into the per-lane KEEP smallest
+            # sorted-insert dj into the per-lane KEEP smallest; the last
+            # slot is certificate-only (its VALUE bounds what the bin
+            # excluded) so its index is never tracked — 2 fewer VPU
+            # selects per slice
             for t in range(KEEP - 1, 0, -1):
                 ms[t] = jnp.where(beats[t - 1], ms[t - 1],
                                   jnp.where(beats[t], dj, ms[t]))
-                iv[t] = jnp.where(beats[t - 1], iv[t - 1],
-                                  jnp.where(beats[t], ij, iv[t]))
+                if t < KEEP - 1:
+                    iv[t] = jnp.where(beats[t - 1], iv[t - 1],
+                                      jnp.where(beats[t], ij, iv[t]))
             ms[0] = jnp.where(beats[0], dj, ms[0])
             iv[0] = jnp.where(beats[0], ij, iv[0])
         for t in range(KEEP):
@@ -121,7 +133,7 @@ def _kernel(qn_ref, bn_ref, q_ref, b_ref, out_d_ref, out_i_ref,
             mi_ref[t] = iv[t]
 
         # ---- at mega-tile end: flush the mins as this block's candidates --
-        @pl.when(bi % SUB_PER_MEGA == SUB_PER_MEGA - 1)
+        @pl.when(bi % sub == sub - 1)
         def _():
             for t in range(KEEP):
                 out_d_ref[:, t * LANES:(t + 1) * LANES] = ms[t]
@@ -129,9 +141,10 @@ def _kernel(qn_ref, bn_ref, q_ref, b_ref, out_d_ref, out_i_ref,
 
 
 def _pick_dk(d: int) -> int:
-    # 256 keeps the double-buffered base block + accumulator + trio inside
-    # the 16MB VMEM budget (512 overflowed by ~3.4MB on v5e)
-    for dk in (256, 384, 128):
+    # 384 (then 256) keeps the double-buffered base block + accumulator +
+    # trio inside the 16MB VMEM budget (dk=512 overflowed by ~3.4MB on
+    # v5e); larger dk = fewer grid steps and accumulator round-trips
+    for dk in (384, 256, 128):
         if d % dk == 0:
             return dk
     raise AssertionError(f"dim {d} not a multiple of 128 after padding")
@@ -140,19 +153,28 @@ def _pick_dk(d: int) -> int:
 EPILOGUES = ("l2", "dot", "rdot")
 
 
-@partial(jax.jit, static_argnames=("epilogue", "passes", "interpret"))
-def _screen_call(q, base, qn, bn, epilogue: str, passes: int,
-                 interpret: bool):
+@partial(jax.jit, static_argnames=("epilogue", "passes", "tq", "sub",
+                                   "interpret"))
+def _screen_call(q, base, qn, bn, epilogue: str, passes: int, tq: int,
+                 sub: int, interpret: bool):
     Qp, D = q.shape
     Bp = bn.shape[1]          # virtual (mega-aligned) base rows
-    n_q = Qp // TQ
+    mega = TB * sub
+    n_q = Qp // tq
     n_b = Bp // TB
-    n_mega = Bp // MEGA
+    n_mega = Bp // mega
     dk_size = _pick_dk(D)
     n_dk = D // dk_size
+    # the grid may extend past the real base rows (ragged tail): a PARTIAL
+    # final block is legal, but blocks wholly out of bounds fail at run
+    # time (measured FAILED_PRECONDITION), so clamp the base block index —
+    # clamped steps re-read the last real block and their +inf bn entries
+    # mask every value out of the bins
+    b_last = (base.shape[0] - 1) // TB
 
     grid = (n_q, n_b, n_dk)
-    kernel = partial(_kernel, n_dk=n_dk, epilogue=epilogue, passes=passes)
+    kernel = partial(_kernel, n_dk=n_dk, epilogue=epilogue, passes=passes,
+                     tq=tq, sub=sub)
 
     out_shape = (
         jax.ShapeDtypeStruct((Qp, n_mega * CAND_PER_MEGA), jnp.float32),
@@ -163,32 +185,35 @@ def _screen_call(q, base, qn, bn, epilogue: str, passes: int,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TQ, 1), lambda qi, bi, dk: (qi, 0),
+            pl.BlockSpec((tq, 1), lambda qi, bi, dk: (qi, 0),
                          memory_space=pltpu.VMEM),            # qn (col vec)
             pl.BlockSpec((1, TB), lambda qi, bi, dk: (0, bi),
                          memory_space=pltpu.VMEM),            # bn (row vec)
-            pl.BlockSpec((TQ, dk_size), lambda qi, bi, dk: (qi, dk),
+            pl.BlockSpec((tq, dk_size), lambda qi, bi, dk: (qi, dk),
                          memory_space=pltpu.VMEM),            # q chunk
-            pl.BlockSpec((TB, dk_size), lambda qi, bi, dk: (bi, dk),
+            pl.BlockSpec((TB, dk_size),
+                         lambda qi, bi, dk: (jnp.minimum(bi, b_last), dk),
                          memory_space=pltpu.VMEM),            # base chunk
         ],
         out_specs=(
-            pl.BlockSpec((TQ, CAND_PER_MEGA),
-                         lambda qi, bi, dk: (qi, bi // SUB_PER_MEGA),
+            pl.BlockSpec((tq, CAND_PER_MEGA),
+                         lambda qi, bi, dk: (qi, bi // sub),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TQ, CAND_PER_MEGA),
-                         lambda qi, bi, dk: (qi, bi // SUB_PER_MEGA),
+            pl.BlockSpec((tq, CAND_PER_MEGA),
+                         lambda qi, bi, dk: (qi, bi // sub),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((TQ, TB), jnp.float32),          # dot accumulator
-            pltpu.VMEM((KEEP, TQ, LANES), jnp.float32),  # running mins
-            pltpu.VMEM((KEEP, TQ, LANES), jnp.int32),    # their indices
+            pltpu.VMEM((tq, TB), jnp.float32),          # dot accumulator
+            pltpu.VMEM((KEEP, tq, LANES), jnp.float32),  # running mins
+            pltpu.VMEM((KEEP, tq, LANES), jnp.int32),    # their indices
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=int(Qp * D * 4 + Bp * D * 4 * n_q),
             transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
         interpret=interpret,
     )(qn, bn, q, base)
     return cand_d, cand_i
@@ -197,15 +222,20 @@ def _screen_call(q, base, qn, bn, epilogue: str, passes: int,
 def screen_candidates(q, base, *, n_rows: int | None = None,
                       epilogue: str = "l2",
                       screen_precision: str = "high",
+                      tq: int | None = None, sub: int | None = None,
                       interpret: bool | None = None):
     """Fused distance+screen: (Q, D) x (B, D) -> (Q, C) candidate
-    (distance, global index) lists, C = KEEP*128 per 28672-row mega-tile.
+    (distance, global index) lists, C = KEEP*128 per (TB*sub)-row mega-tile.
 
     Screen-space distances by `epilogue`: "l2" squared-L2, "dot" -q.b,
     "rdot" -q.b/|b| (cosine ordering without prenormalizing the corpus).
     Padding base rows carry +inf norms and never win a bin.
     Returns (cand_d, cand_i, n_mega); the last KEEP-slab of each
-    mega-tile's candidates is the certificate slab."""
+    mega-tile's candidates is the certificate slab.
+
+    `tq`/`sub` default adaptively: big query batches use 512-row query
+    blocks (half the base HBM re-reads), big bases use 56-sub-tile megas
+    (half the candidate width downstream)."""
     assert screen_precision in SCREEN_PRECISIONS
     assert epilogue in EPILOGUES
     passes = 3 if screen_precision == "high" else 1
@@ -217,25 +247,34 @@ def screen_candidates(q, base, *, n_rows: int | None = None,
     Q, D = q.shape
     B = base.shape[0] if n_rows is None else n_rows
     assert B <= base.shape[0]
+    if tq is None:
+        # 512-row query blocks would halve the base HBM re-reads but the
+        # epilogue temporaries push peak VMEM to ~19MB > the 16MB/core
+        # physical budget (measured: compile-ok with a raised cap, then
+        # FAILED_PRECONDITION at run time) — stay at 256
+        tq = TQ
+    if sub is None:
+        sub = 56 if B >= _BIG_BASE else SUB_PER_MEGA
+    mega = TB * sub
 
     # pad D to a 128 multiple (zero columns leave distances unchanged)
     Dp = -(-D // LANES) * LANES
     if Dp != D:
         q = jnp.pad(q, ((0, 0), (0, Dp - D)))
         base = jnp.pad(base, ((0, 0), (0, Dp - D)))
-    Qp = -(-Q // TQ) * TQ
+    Qp = -(-Q // tq) * tq
     if Qp != Q:
         q = jnp.pad(q, ((0, Qp - Q), (0, 0)))
     # the base is NOT row-padded (that would copy the multi-GB corpus);
     # instead the grid covers a virtual mega-aligned row count and the tail
     # blocks read ragged/clamped rows whose +inf padded norms mask them out
     # of every bin (NaN/garbage distances never win a `<` comparison)
-    Bp = -(-B // MEGA) * MEGA
+    Bp = -(-B // mega) * mega
 
     qn = jnp.sum(q * q, axis=1, keepdims=True)              # (Qp, 1)
     bn = jnp.sum(base * base, axis=1)[:B]                   # (B,)
     bn = jnp.pad(bn, (0, Bp - B), constant_values=jnp.inf)[None, :]
 
     cand_d, cand_i = _screen_call(q, base, qn, bn, epilogue, passes,
-                                  interpret)
-    return cand_d[:Q], cand_i[:Q], Bp // MEGA
+                                  tq, sub, interpret)
+    return cand_d[:Q], cand_i[:Q], Bp // mega
