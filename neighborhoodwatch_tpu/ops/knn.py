@@ -155,8 +155,11 @@ _EPILOGUE_FOR_METRIC = {"sqeuclidean": "l2", "euclidean": "l2",
                         "cosine": "rdot", "dot": "dot"}
 # screening error bounds (relative to the natural scale of each metric's
 # screen space): bf16x3 residual ~2^-32 plus fp32 accumulation -> 1e-5 is
-# conservative; single-pass bf16 input rounding -> 2^-7
-_EPS_REL = {3: 1e-5, 1: 2.0 ** -7}
+# conservative; single-pass bf16 input rounding -> 2^-7. Both add the
+# packed-key quantization (screen_kernel.PACK_EPS_REL: POS_BITS mantissa
+# bits of the distance are replaced by the bin position).
+_EPS_REL = {3: 1e-5 + screen_kernel.PACK_EPS_REL,
+            1: 2.0 ** -7 + screen_kernel.PACK_EPS_REL}
 
 
 @partial(jax.jit, static_argnames=("k", "m", "metric", "passes", "block"))

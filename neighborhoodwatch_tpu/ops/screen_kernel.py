@@ -12,20 +12,29 @@ must be fused into the distance computation on-chip. This kernel:
    hi/lo bf16x3 decomposition ("high", ~fp32-accurate: the float32 operands
    are split as x = hi + lo with hi = bf16(x), and q.b = qhi.bhi + qlo.bhi
    + qhi.blo up to O(lo.lo) = 2^-32 relative);
-2. maintains the KEEP smallest (value, index) pairs per VMEM lane in scratch
-   across the sub-tiles of a 28672-row mega-tile — a 75x reduction of HBM
-   writes vs materializing the distance matrix (the (TQ, 128) trio update
-   is pure VPU work, ~18 ops per 128-lane slice);
-3. flushes KEEP x 128 candidates per (query row, mega-tile) to HBM.
+2. packs each distance and its position within the lane bin into ONE
+   sortable int32 key — the distance's IEEE bits (sign-flip-adjusted so
+   int order == float order, low POS_BITS mantissa bits replaced by the
+   position) — and keeps the KEEP smallest keys per VMEM lane in scratch
+   across the sub-tiles of a mega-tile. The packed sorted-insert is 7
+   int min/max ops per 128-lane slice (vs ~16 where/compare ops for a
+   separate (value, index) pair — the kernel is VPU-epilogue-bound, so
+   this is the difference between ~0.74s and ~0.5s on the 10k x 1M x
+   1536 headline workload), and candidate HBM writes halve;
+3. flushes KEEP x 128 packed keys per (query row, mega-tile) to HBM; the
+   host-side decode recovers (quantized distance, exact global row id).
 
 The KEEP-th minimum doubles as an **exactness certificate**: a lane bin
-holds 224 base rows; if m_KEEP >= tau + eps (tau = exact k-th distance after
-re-ranking, eps = screening error bound) then at most KEEP-1 bin members can
-be < tau and all are in the candidate set, so no true neighbor was lost.
-Queries whose certificate fails fall back to the exact engine (ops/knn.py).
+holds sub*8 base rows; if m_KEEP >= tau + eps (tau = exact k-th distance
+after re-ranking, eps = screening error bound INCLUDING the 2^-14 key
+quantization from the replaced mantissa bits) then at most KEEP-1 bin
+members can be < tau and all are in the candidate set, so no true
+neighbor was lost. Queries whose certificate fails fall back to the
+exact engine (ops/knn.py).
 
-Candidate indices are exact global row ids (tile offset + slice + lane),
-matching the reference's batch_offset bookkeeping (cu_knn.py:273).
+Candidate indices are exact global row ids (mega offset + packed bin
+position + lane), matching the reference's batch_offset bookkeeping
+(cu_knn.py:273).
 """
 
 from functools import partial
@@ -55,11 +64,19 @@ CAND_PER_MEGA = KEEP * LANES
 # base row count from which the wide (sub=56) mega-tile pays off
 _BIG_BASE = 16 * TB * 56
 
+# low mantissa bits of the fp32 distance replaced by the bin position
+# (sub*8 positions; 9 bits covers sub=56). Quantization: <= 2^-14 relative.
+POS_BITS = 9
+POS_MASK = (1 << POS_BITS) - 1
+# relative screening-error contribution of the key quantization (folded
+# into the certificate eps by ops/knn.py)
+PACK_EPS_REL = 2.0 ** -12
+
 SCREEN_PRECISIONS = ("default", "high")
 
 
-def _kernel(qn_ref, bn_ref, q_ref, b_ref, out_d_ref, out_i_ref,
-            acc_ref, md_ref, mi_ref, *, n_dk: int, epilogue: str,
+def _kernel(qn_ref, bn_ref, q_ref, b_ref, out_ref,
+            acc_ref, mk_ref, *, n_dk: int, epilogue: str,
             passes: int, tq: int, sub: int):
     qi = pl.program_id(0)
     bi = pl.program_id(1)
@@ -67,6 +84,9 @@ def _kernel(qn_ref, bn_ref, q_ref, b_ref, out_d_ref, out_i_ref,
     del qi
 
     # ---- MXU: accumulate q . b^T over D chunks (bf16 or bf16x3) ----
+    # the hi/lo split stays IN-kernel: hoisting it out (precomputed bf16
+    # operand arrays) measured no faster for the kernel itself and cost
+    # +6GB HBM for the base copies — disqualifying at 10M-row scale
     q = q_ref[:]
     b = b_ref[:]
     qhi = q.astype(jnp.bfloat16)
@@ -88,13 +108,15 @@ def _kernel(qn_ref, bn_ref, q_ref, b_ref, out_d_ref, out_i_ref,
     def _():
         acc_ref[:] = acc_ref[:] + part
 
-    # ---- at mega-tile start: reset the running trio ----
+    # ---- at mega-tile start: reset the running keys ----
     @pl.when(jnp.logical_and(bi % sub == 0, dk == 0))
     def _():
-        md_ref[:] = jnp.full(md_ref.shape, jnp.inf, dtype=jnp.float32)
-        mi_ref[:] = jnp.zeros(mi_ref.shape, dtype=jnp.int32)
+        # INT32_MAX > any packed key (max real key is the +inf bit
+        # pattern 0x7F800000 | pos); every bin takes sub*8 >= KEEP
+        # insertions per mega, so the sentinel never reaches the output
+        mk_ref[:] = jnp.full(mk_ref.shape, jnp.int32(0x7FFFFFFF))
 
-    # ---- on the last D chunk: distances + trio update (VPU) ----
+    # ---- on the last D chunk: distances + packed-key update (VPU) ----
     @pl.when(dk == n_dk - 1)
     def _():
         acc = acc_ref[:]
@@ -108,36 +130,35 @@ def _kernel(qn_ref, bn_ref, q_ref, b_ref, out_d_ref, out_i_ref,
             d = jnp.where(jnp.isinf(bn), jnp.inf,
                           -acc * jax.lax.rsqrt(jnp.maximum(bn, 1e-30)))
 
-        ms = [md_ref[t] for t in range(KEEP)]
-        iv = [mi_ref[t] for t in range(KEEP)]
-        col0 = bi * TB
-        lane = jax.lax.broadcasted_iota(jnp.int32, (tq, LANES), 1)
-        for j in range(TB // LANES):
-            dj = d[:, j * LANES:(j + 1) * LANES]
-            ij = lane + (col0 + j * LANES)
-            beats = [dj < ms[t] for t in range(KEEP)]
-            # sorted-insert dj into the per-lane KEEP smallest; the last
-            # slot is certificate-only (its VALUE bounds what the bin
-            # excluded) so its index is never tracked — 2 fewer VPU
-            # selects per slice
-            for t in range(KEEP - 1, 0, -1):
-                ms[t] = jnp.where(beats[t - 1], ms[t - 1],
-                                  jnp.where(beats[t], dj, ms[t]))
-                if t < KEEP - 1:
-                    iv[t] = jnp.where(beats[t - 1], iv[t - 1],
-                                      jnp.where(beats[t], ij, iv[t]))
-            ms[0] = jnp.where(beats[0], dj, ms[0])
-            iv[0] = jnp.where(beats[0], ij, iv[0])
-        for t in range(KEEP):
-            md_ref[t] = ms[t]
-            mi_ref[t] = iv[t]
+        bits = jax.lax.bitcast_convert_type(d, jnp.int32)
+        if epilogue != "l2":
+            # negative distances possible: flip the magnitude bits of
+            # negatives so int32 order matches float order
+            neg = jax.lax.shift_right_arithmetic(bits, 31)
+            bits = bits ^ (neg & jnp.int32(0x7FFFFFFF))
 
-        # ---- at mega-tile end: flush the mins as this block's candidates --
+        ks = [mk_ref[t] for t in range(KEEP)]
+        pos0 = (bi % sub) * (TB // LANES)
+        for j in range(TB // LANES):
+            # pack: quantized distance bits | position-in-bin (scalar
+            # per slice: every lane's bin receives exactly one row here)
+            kj = (bits[:, j * LANES:(j + 1) * LANES]
+                  & jnp.int32(~POS_MASK)) | (pos0 + j)
+            # sorted insert via a pure min/max network (7 VPU ops)
+            hi = kj
+            for t in range(KEEP):
+                lo = jnp.minimum(ks[t], hi)
+                if t < KEEP - 1:
+                    hi = jnp.maximum(ks[t], hi)
+                ks[t] = lo
+        for t in range(KEEP):
+            mk_ref[t] = ks[t]
+
+        # ---- at mega-tile end: flush the keys as this block's candidates --
         @pl.when(bi % sub == sub - 1)
         def _():
             for t in range(KEEP):
-                out_d_ref[:, t * LANES:(t + 1) * LANES] = ms[t]
-                out_i_ref[:, t * LANES:(t + 1) * LANES] = iv[t]
+                out_ref[:, t * LANES:(t + 1) * LANES] = ks[t]
 
 
 def _pick_dk(d: int) -> int:
@@ -176,12 +197,9 @@ def _screen_call(q, base, qn, bn, epilogue: str, passes: int, tq: int,
     kernel = partial(_kernel, n_dk=n_dk, epilogue=epilogue, passes=passes,
                      tq=tq, sub=sub)
 
-    out_shape = (
-        jax.ShapeDtypeStruct((Qp, n_mega * CAND_PER_MEGA), jnp.float32),
-        jax.ShapeDtypeStruct((Qp, n_mega * CAND_PER_MEGA), jnp.int32),
-    )
+    out_shape = jax.ShapeDtypeStruct((Qp, n_mega * CAND_PER_MEGA), jnp.int32)
     flops = 2 * Qp * Bp * D * passes
-    cand_d, cand_i = pl.pallas_call(
+    keys = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -195,19 +213,13 @@ def _screen_call(q, base, qn, bn, epilogue: str, passes: int, tq: int,
                          lambda qi, bi, dk: (jnp.minimum(bi, b_last), dk),
                          memory_space=pltpu.VMEM),            # base chunk
         ],
-        out_specs=(
-            pl.BlockSpec((tq, CAND_PER_MEGA),
-                         lambda qi, bi, dk: (qi, bi // sub),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tq, CAND_PER_MEGA),
-                         lambda qi, bi, dk: (qi, bi // sub),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=pl.BlockSpec((tq, CAND_PER_MEGA),
+                               lambda qi, bi, dk: (qi, bi // sub),
+                               memory_space=pltpu.VMEM),
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((tq, TB), jnp.float32),          # dot accumulator
-            pltpu.VMEM((KEEP, tq, LANES), jnp.float32),  # running mins
-            pltpu.VMEM((KEEP, tq, LANES), jnp.int32),    # their indices
+            pltpu.VMEM((KEEP, tq, LANES), jnp.int32),    # running keys
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=int(Qp * D * 4 + Bp * D * 4 * n_q),
@@ -216,6 +228,20 @@ def _screen_call(q, base, qn, bn, epilogue: str, passes: int, tq: int,
             dimension_semantics=("parallel", "arbitrary", "arbitrary")),
         interpret=interpret,
     )(qn, bn, q, base)
+
+    # ---- decode keys -> (quantized distance, exact global row id) ----
+    signed = epilogue != "l2"
+    vbits = keys & jnp.int32(~POS_MASK)
+    if signed:
+        neg = jax.lax.shift_right_arithmetic(vbits, 31)
+        vbits = vbits ^ (neg & jnp.int32(0x7FFFFFFF))
+    cand_d = jax.lax.bitcast_convert_type(vbits, jnp.float32)
+    pos = keys & POS_MASK
+    col = jax.lax.broadcasted_iota(jnp.int32, keys.shape, 1)
+    mega_i = col // CAND_PER_MEGA
+    lane = col % LANES
+    cand_i = (mega_i * (TB * sub) + (pos // (TB // LANES)) * TB
+              + (pos % (TB // LANES)) * LANES + lane)
     return cand_d, cand_i
 
 
