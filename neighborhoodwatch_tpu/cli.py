@@ -93,7 +93,14 @@ Some example commands:\n
                         help="skip interactive confirmation prompts")
     parser.add_argument("--trace-dir", type=str, default=None,
                         help="write a jax.profiler trace of the kNN phase here")
+    parser.add_argument("--mesh", type=int, default=0, metavar="N",
+                        help="shard the kNN over an N-device mesh (base "
+                             "corpus split over the mp axis, ICI all_gather "
+                             "top-k merge); implies --use-dataset-api; "
+                             "0 = single device")
     args = parser.parse_args(argv)
+    if args.mesh:
+        args.use_dataset_api = True
 
     assert is_valid_model_name(args.model_name), \
         f"The given model name is invalid; must be one of: {get_valid_model_names_string()}"
@@ -152,13 +159,17 @@ Some example commands:\n
     _section("Computing knn")
     section_time = time.time()
     from neighborhoodwatch_tpu.utils.profiling import device_trace
+    mesh = None
+    if args.mesh:
+        from neighborhoodwatch_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(args.mesh)
     with device_trace(args.trace_dir):
         if args.use_dataset_api:
             timer = compute_knn_ds(data_dir, output_dimension, query_filename,
                                    args.query_count, base_filename,
                                    args.base_count, args.enable_memory_tuning,
                                    args.k, metric=args.metric,
-                                   precision=args.precision)
+                                   precision=args.precision, mesh=mesh)
         else:
             timer = compute_knn(data_dir, args.model_name, output_dimension,
                                 query_filename, args.query_count, base_filename,

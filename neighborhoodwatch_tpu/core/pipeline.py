@@ -126,10 +126,14 @@ def compute_knn_ds(data_dir: str,
                    initial_batch_size: int = 200_000,
                    max_memory_threshold: float = 0.2,
                    metric: str = "sqeuclidean",
-                   precision: str = "highest") -> StageTimer:
+                   precision: str = "highest",
+                   mesh=None) -> StageTimer:
     """Dataset path: out-of-core streaming + device-resident running top-k;
     writes final_{indices,distances}.parquet directly (reference
-    cu_knn_ds.py:232-233 also skips the merge for its single pass)."""
+    cu_knn_ds.py:232-233 also skips the merge for its single pass).
+
+    With `mesh`, every streamed batch is row-sharded over the mesh's "mp"
+    axis and per-shard top-k lists merge over ICI (BASELINE.md config 5)."""
     timer = StageTimer()
     with timer.stage("load_query"):
         query = read_embeddings(data_dir, query_filename, query_count, dimensions)
@@ -137,14 +141,23 @@ def compute_knn_ds(data_dir: str,
     n_base = min(base_count, parquet_row_count(data_dir, base_filename))
     assert k <= n_base, f"k={k} exceeds base row count {n_base}"
     threshold = max_memory_threshold if mem_tune else 0.5
+    n_chips = 1 if mesh is None else mesh.devices.size
     plan = plan_knn(query.shape[0], query.shape[1], k, base_count=n_base,
                     max_memory_threshold=threshold,
-                    initial_batch_size=initial_batch_size)
+                    initial_batch_size=initial_batch_size * n_chips)
     batch_size = min(plan.batch_size, n_base)
 
     with timer.stage("knn_stream"):
-        acc = StreamingKNN(query, k=k, metric=metric, precision=precision,
-                           tile_size=plan.tile_size)
+        if mesh is None:
+            acc = StreamingKNN(query, k=k, metric=metric,
+                               precision=precision, tile_size=plan.tile_size)
+        else:
+            from neighborhoodwatch_tpu.parallel.sharded_knn import (
+                ShardedStreamingKNN,
+            )
+            acc = ShardedStreamingKNN(query, k=k, mesh=mesh, metric=metric,
+                                      precision=precision,
+                                      tile_size=plan.tile_size)
         batches = iter_embedding_batches(data_dir, base_filename,
                                          batch_size=batch_size, count=n_base)
         for offset, chunk in _prefetch(batches):

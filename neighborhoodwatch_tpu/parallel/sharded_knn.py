@@ -86,6 +86,124 @@ def sharded_knn(query, base, k: int, mesh, metric: str = "sqeuclidean",
     return jax.jit(fn)(query, base)
 
 
+@partial(jax.jit, static_argnames=("k", "metric", "precision", "engine",
+                                   "tile_size", "mesh"))
+def _sharded_fold(run_d, run_i, query, batch, offset, n_valid, k: int,
+                  metric: str, precision: str, engine: str, tile_size: int,
+                  mesh=None):
+    """One sharded streaming step: fold an mp-sharded base batch into the
+    dp-sharded running top-k. `offset` (global row id of batch row 0) and
+    `n_valid` (real rows in the padded batch) are traced scalars so every
+    batch reuses one compiled program."""
+    from neighborhoodwatch_tpu.ops.knn import _knn_scan, _knn_full
+
+    mp = mesh.shape[MP_AXIS]
+    shard_rows = batch.shape[0] // mp
+
+    def _shard_fn(run_d, run_i, q_local, b_local, offset, n_valid):
+        my_shard = jax.lax.axis_index(MP_AXIS)
+        shard_off = offset + my_shard * shard_rows
+        local_valid = jnp.clip(n_valid - my_shard * shard_rows,
+                               0, shard_rows)
+        if shard_rows > tile_size:
+            d, i = _knn_scan(q_local, b_local, local_valid, shard_off,
+                             min(k, shard_rows), metric, precision,
+                             tile_size, engine)
+        else:
+            d, i = _knn_full(q_local, b_local, local_valid, shard_off,
+                             min(k, shard_rows), metric, precision, engine)
+        all_d = jax.lax.all_gather(d, MP_AXIS)   # (mp, q_local, <=k)
+        all_i = jax.lax.all_gather(i, MP_AXIS)
+        md, mi = merge_topk_many(all_d, all_i, min(k, mp * d.shape[1]))
+        return merge_topk(run_d, run_i, md, mi, k)
+
+    return shard_map(
+        _shard_fn, mesh=mesh,
+        in_specs=(P(DP_AXIS, None), P(DP_AXIS, None),
+                  P(DP_AXIS, None), P(MP_AXIS, None), P(), P()),
+        out_specs=(P(DP_AXIS, None), P(DP_AXIS, None)),
+        check_vma=False,
+    )(run_d, run_i, query, batch, offset, n_valid)
+
+
+class ShardedStreamingKNN:
+    """Running top-k over host-streamed base batches, sharded over a mesh.
+
+    The multi-chip generalization of ops.knn.StreamingKNN and the engine
+    of BASELINE.md config 5 (100M-row corpora): each streamed batch is
+    row-sharded over the "mp" mesh axis (so per-chip HBM only holds
+    batch/mp rows), every chip folds its shard with exact global indices,
+    and the per-shard top-k lists merge over ICI with `all_gather` — the
+    (Q/dp, k) payload is tiny next to the shard compute. Queries and the
+    running (dist, idx) state stay dp-sharded on device across batches.
+    """
+
+    def __init__(self, query, k: int, mesh, metric: str = "sqeuclidean",
+                 precision: str = "highest", tile_size: int = 8192,
+                 engine: str = "auto"):
+        from jax.sharding import NamedSharding
+
+        self.mesh = mesh
+        self.k = k
+        self.metric = metric
+        self.precision = precision
+        self.tile_size = tile_size
+        self.engine = _trace_safe_engine(engine)
+        self.dp = mesh.shape[DP_AXIS]
+        self.mp = mesh.shape[MP_AXIS]
+
+        query = jnp.asarray(query, dtype=jnp.float32)
+        self._q_rows = query.shape[0]
+        pad = (-self._q_rows) % self.dp
+        if pad:  # zero query rows produce junk rows sliced off in finalize
+            query = jnp.pad(query, ((0, pad), (0, 0)))
+        qsh = NamedSharding(mesh, P(DP_AXIS, None))
+        self.query = jax.device_put(query, qsh)
+        q = query.shape[0]
+        self.state = (
+            jax.device_put(jnp.full((q, k), jnp.inf, dtype=jnp.float32), qsh),
+            jax.device_put(jnp.zeros((q, k), dtype=jnp.int32), qsh),
+        )
+        self._seen = 0
+        self._batch_rows = None
+
+    def update(self, base_batch, offset: int | None = None) -> None:
+        from jax.sharding import NamedSharding
+
+        if offset is None:
+            offset = self._seen
+        assert offset == self._seen, \
+            "batches must arrive in ascending contiguous offset order"
+        n = base_batch.shape[0]
+        base_batch = jnp.asarray(base_batch, dtype=jnp.float32)
+        if self._batch_rows is None:
+            # fix the padded batch width at the first (largest) batch so
+            # every later (ragged) batch reuses one compiled fold
+            self._batch_rows = -(-n // self.mp) * self.mp
+        assert n <= self._batch_rows, \
+            f"batch of {n} rows exceeds the first batch's {self._batch_rows}"
+        pad = self._batch_rows - n
+        if pad:
+            base_batch = jnp.pad(base_batch, ((0, pad), (0, 0)))
+        bsh = NamedSharding(self.mesh, P(MP_AXIS, None))
+        base_batch = jax.device_put(base_batch, bsh)
+        run_d, run_i = self.state
+        self.state = _sharded_fold(
+            run_d, run_i, self.query, base_batch,
+            jnp.int32(offset), jnp.int32(n), self.k, self.metric,
+            self.precision, self.engine, self.tile_size, self.mesh)
+        self._seen += n
+
+    def finalize(self):
+        """(distances, indices) as numpy, original query rows only."""
+        assert self._seen >= self.k, \
+            f"saw only {self._seen} base rows but k={self.k}"
+        dist, idx = self.state
+        import numpy as np
+        return (np.asarray(dist)[: self._q_rows],
+                np.asarray(idx)[: self._q_rows])
+
+
 def ring_knn(query, base, k: int, mesh, metric: str = "sqeuclidean",
              precision: str = "highest"):
     """Ring-rotation variant: each chip starts with its own base shard and

@@ -78,3 +78,71 @@ def test_explicit_shardings_compile(mesh8, normalized_vectors):
     d, i = sharded_knn(qd, bd, k=10, mesh=mesh8)
     ref_d, ref_i = knn(q, b, k=10)
     np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+
+
+def test_sharded_streaming_knn_matches_single_device(mesh2x4,
+                                                     normalized_vectors):
+    """Streamed ragged batches over the mesh == one-shot single device."""
+    from neighborhoodwatch_tpu.parallel.sharded_knn import ShardedStreamingKNN
+
+    q, b = normalized_vectors
+    k = 10
+    ref_d, ref_i = knn(q, b, k=k)
+
+    acc = ShardedStreamingKNN(q, k=k, mesh=mesh2x4)
+    off = 0
+    for size in (400, 400, 200):  # last batch ragged (pads to mp multiple)
+        acc.update(b[off:off + size], off)
+        off += size
+    d, i = acc.finalize()
+    np.testing.assert_array_equal(i, np.asarray(ref_i))
+    np.testing.assert_allclose(d, np.asarray(ref_d), atol=1e-6)
+
+
+def test_sharded_streaming_odd_query_rows(mesh8):
+    """Query rows not divisible by dp get padded and sliced back."""
+    from neighborhoodwatch_tpu.parallel.sharded_knn import ShardedStreamingKNN
+
+    rng = np.random.default_rng(7)
+    q = rng.standard_normal((13, 64)).astype(np.float32)
+    b = rng.standard_normal((512, 64)).astype(np.float32)
+    mesh = make_mesh(8, dp=2)
+    ref_d, ref_i = knn(q, b, k=5)
+    acc = ShardedStreamingKNN(q, k=5, mesh=mesh)
+    acc.update(b[:256], 0)
+    acc.update(b[256:], 256)
+    d, i = acc.finalize()
+    assert d.shape == (13, 5)
+    np.testing.assert_array_equal(i, np.asarray(ref_i))
+
+
+def test_compute_knn_ds_with_mesh(tmp_path, normalized_vectors):
+    """The dataset pipeline path end-to-end over a mesh writes finals
+    identical to the single-device path."""
+    from neighborhoodwatch_tpu.core.pipeline import compute_knn_ds
+    from neighborhoodwatch_tpu.io.parquet_io import write_matrix_to_parquet
+    from neighborhoodwatch_tpu.utils import naming
+    import pyarrow.parquet as pq
+    import pandas as pd
+
+    q, b = normalized_vectors
+    k = 10
+    data_dir = str(tmp_path)
+    (tmp_path / "partial").mkdir()
+
+    def write_embeds(name, mat):
+        df = pd.DataFrame(
+            {f"embedding_{i}": mat[:, i] for i in range(mat.shape[1])})
+        pq.write_table(__import__("pyarrow").Table.from_pandas(df),
+                       f"{data_dir}/{name}")
+
+    write_embeds("q.parquet", q)
+    write_embeds("b.parquet", b)
+
+    compute_knn_ds(data_dir, q.shape[1], "q.parquet", q.shape[0],
+                   "b.parquet", b.shape[0], k=k,
+                   initial_batch_size=300, mesh=make_mesh(8))
+    idx = pq.read_table(
+        naming.get_partial_indices_filename(data_dir, -1)).to_pandas().values
+    ref_d, ref_i = knn(q, b, k=k)
+    np.testing.assert_array_equal(idx, np.asarray(ref_i))
