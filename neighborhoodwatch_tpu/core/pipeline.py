@@ -20,6 +20,7 @@ the reference's probe-and-grow rmm loop.
 """
 
 import math
+import os
 import queue
 import threading
 
@@ -115,6 +116,38 @@ def compute_knn(data_dir: str,
     return timer
 
 
+def _stream_ckpt_path(data_dir: str) -> str:
+    return f"{data_dir}/partial/stream_state.npz"
+
+
+def _save_stream_ckpt(path: str, acc, fingerprint: dict) -> None:
+    """Atomic checkpoint of the device-resident running top-k — the
+    streaming path's analog of the table path's per-batch partial files
+    (reference resume model: SURVEY.md §5 checkpoint/resume)."""
+    dist, idx, seen = acc.state_arrays()
+    tmp = path + ".tmp.npz"      # np.savez appends .npz unless present
+    np.savez(tmp, dist=dist, idx=idx, seen=seen, **fingerprint)
+    os.replace(tmp, path)
+
+
+def _load_stream_ckpt(path: str, fingerprint: dict):
+    """Return (dist, idx, seen) if a checkpoint exists and matches the
+    workload fingerprint, else None."""
+    if not os.path.exists(path):
+        return None
+    try:
+        with np.load(path, allow_pickle=False) as z:
+            for key, val in fingerprint.items():
+                if str(z[key]) != str(val):
+                    print(f"stream checkpoint ignored: {key} mismatch "
+                          f"({z[key]} != {val})")
+                    return None
+            return z["dist"], z["idx"], int(z["seen"])
+    except (OSError, ValueError, KeyError) as e:
+        print(f"stream checkpoint unreadable, starting fresh: {e}")
+        return None
+
+
 def compute_knn_ds(data_dir: str,
                    dimensions: int,
                    query_filename: str,
@@ -127,13 +160,18 @@ def compute_knn_ds(data_dir: str,
                    max_memory_threshold: float = 0.2,
                    metric: str = "sqeuclidean",
                    precision: str = "highest",
-                   mesh=None) -> StageTimer:
+                   mesh=None,
+                   checkpoint_every: int = 10) -> StageTimer:
     """Dataset path: out-of-core streaming + device-resident running top-k;
     writes final_{indices,distances}.parquet directly (reference
     cu_knn_ds.py:232-233 also skips the merge for its single pass).
 
     With `mesh`, every streamed batch is row-sharded over the mesh's "mp"
-    axis and per-shard top-k lists merge over ICI (BASELINE.md config 5)."""
+    axis and per-shard top-k lists merge over ICI (BASELINE.md config 5).
+
+    Every `checkpoint_every` batches the running (dist, idx, rows_seen)
+    state checkpoints to partial/stream_state.npz; an interrupted run
+    resumes from it, re-reading only the unseen base rows (0 disables)."""
     timer = StageTimer()
     with timer.stage("load_query"):
         query = read_embeddings(data_dir, query_filename, query_count, dimensions)
@@ -158,10 +196,29 @@ def compute_knn_ds(data_dir: str,
             acc = ShardedStreamingKNN(query, k=k, mesh=mesh, metric=metric,
                                       precision=precision,
                                       tile_size=plan.tile_size)
+        ckpt_path = _stream_ckpt_path(data_dir)
+        fingerprint = {"f_k": k, "f_metric": metric, "f_dims": dimensions,
+                       "f_base": base_filename, "f_nbase": n_base,
+                       "f_q": query.shape[0]}
+        if checkpoint_every:
+            saved = _load_stream_ckpt(ckpt_path, fingerprint)
+            if saved is not None:
+                acc.restore(*saved)
+                print(f"resuming kNN stream from checkpoint: "
+                      f"{acc.rows_seen}/{n_base} base rows done")
+
         batches = iter_embedding_batches(data_dir, base_filename,
                                          batch_size=batch_size, count=n_base)
-        for offset, chunk in _prefetch(batches):
+        done = acc.rows_seen
+        for b, (offset, chunk) in enumerate(_prefetch(batches)):
+            if offset + chunk.shape[0] <= done:
+                continue                       # fully covered by checkpoint
+            if offset < done:                  # partial overlap: trim
+                chunk = chunk[done - offset:]
+                offset = done
             acc.update(chunk, offset)
+            if checkpoint_every and (b + 1) % checkpoint_every == 0:
+                _save_stream_ckpt(ckpt_path, acc, fingerprint)
         dist, idx = acc.finalize()
 
     with timer.stage("write_final"):
@@ -169,4 +226,6 @@ def compute_knn_ds(data_dir: str,
         write_matrix_to_parquet(get_partial_distances_filename(data_dir, -1), dist)
         write_matrix_to_parquet(get_partial_indices_filename(data_dir, -1),
                                 idx.astype(np.int32))
+        if checkpoint_every and os.path.exists(ckpt_path):
+            os.remove(ckpt_path)
     return timer

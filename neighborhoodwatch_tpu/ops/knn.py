@@ -394,6 +394,23 @@ class StreamingKNN:
         self.state = merge_topk(self.state[0], self.state[1], d, i, self.k)
         self._seen += n
 
+    @property
+    def rows_seen(self) -> int:
+        return self._seen
+
+    def state_arrays(self):
+        """(dist, idx, seen) as host arrays — the streaming checkpoint."""
+        return np.asarray(self.state[0]), np.asarray(self.state[1]), self._seen
+
+    def restore(self, dist, idx, seen: int) -> None:
+        """Resume from a checkpoint taken by `state_arrays` (the running
+        top-k over the first `seen` base rows)."""
+        q = self.query.shape[0]
+        assert dist.shape == (q, self.k) and idx.shape == (q, self.k)
+        self.state = (jnp.asarray(dist, dtype=jnp.float32),
+                      jnp.asarray(idx, dtype=jnp.int32))
+        self._seen = int(seen)
+
     def finalize(self):
         """Return (distances, indices) as numpy, ascending per row."""
         assert self._seen >= self.k, \

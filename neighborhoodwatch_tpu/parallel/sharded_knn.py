@@ -176,12 +176,10 @@ class ShardedStreamingKNN:
             "batches must arrive in ascending contiguous offset order"
         n = base_batch.shape[0]
         base_batch = jnp.asarray(base_batch, dtype=jnp.float32)
-        if self._batch_rows is None:
-            # fix the padded batch width at the first (largest) batch so
-            # every later (ragged) batch reuses one compiled fold
+        if self._batch_rows is None or n > self._batch_rows:
+            # pad batches to the widest seen so ragged tails (and trimmed
+            # resume chunks) reuse the widest batch's compiled fold
             self._batch_rows = -(-n // self.mp) * self.mp
-        assert n <= self._batch_rows, \
-            f"batch of {n} rows exceeds the first batch's {self._batch_rows}"
         pad = self._batch_rows - n
         if pad:
             base_batch = jnp.pad(base_batch, ((0, pad), (0, 0)))
@@ -193,6 +191,25 @@ class ShardedStreamingKNN:
             jnp.int32(offset), jnp.int32(n), self.k, self.metric,
             self.precision, self.engine, self.tile_size, self.mesh)
         self._seen += n
+
+    @property
+    def rows_seen(self) -> int:
+        return self._seen
+
+    def state_arrays(self):
+        """(dist, idx, seen) as host arrays — the streaming checkpoint
+        (padded query rows included so restore round-trips exactly)."""
+        import numpy as np
+        return np.asarray(self.state[0]), np.asarray(self.state[1]), self._seen
+
+    def restore(self, dist, idx, seen: int) -> None:
+        from jax.sharding import NamedSharding
+        qsh = NamedSharding(self.mesh, P(DP_AXIS, None))
+        self.state = (
+            jax.device_put(jnp.asarray(dist, dtype=jnp.float32), qsh),
+            jax.device_put(jnp.asarray(idx, dtype=jnp.int32), qsh),
+        )
+        self._seen = int(seen)
 
     def finalize(self):
         """(distances, indices) as numpy, original query rows only."""

@@ -125,3 +125,37 @@ def test_tuner_plans_are_deterministic():
     bs = tune_memory(5000, 100, 384, 10, initial_batch_size=100_000,
                      max_memory_threshold=0.1)
     assert 0 < bs <= 5000 + 1024
+
+
+def test_streaming_checkpoint_resume(dataset_dir, normalized_vectors):
+    """An interrupted stream resumes from partial/stream_state.npz and
+    produces results identical to a fresh run; mismatched fingerprints
+    are ignored."""
+    import os
+    from neighborhoodwatch_tpu.core.pipeline import (
+        _load_stream_ckpt, _save_stream_ckpt, _stream_ckpt_path,
+    )
+    from neighborhoodwatch_tpu.ops.knn import StreamingKNN
+
+    data_dir, qfile, bfile = dataset_dir
+    q, b = normalized_vectors
+    cleanup_partial_parquet(f"{data_dir}/partial")
+
+    # simulate a run that died after the first 400 base rows
+    fingerprint = {"f_k": K, "f_metric": "sqeuclidean", "f_dims": DIMENSIONS,
+                   "f_base": bfile, "f_nbase": BASE_COUNT, "f_q": QUERY_COUNT}
+    acc = StreamingKNN(q, k=K)
+    acc.update(b[:400], 0)
+    ckpt = _stream_ckpt_path(data_dir)
+    _save_stream_ckpt(ckpt, acc, fingerprint)
+    assert _load_stream_ckpt(ckpt, fingerprint) is not None
+    assert _load_stream_ckpt(ckpt, {**fingerprint, "f_k": K + 1}) is None
+
+    compute_knn_ds(data_dir, DIMENSIONS, qfile, QUERY_COUNT, bfile,
+                   BASE_COUNT, k=K, initial_batch_size=200)
+    import pyarrow.parquet as pq
+    got_i = pq.read_table(
+        naming.get_partial_indices_filename(data_dir, -1)).to_pandas().values
+    ref_d, ref_i = knn(q, b, k=K)
+    np.testing.assert_array_equal(got_i, np.asarray(ref_i))
+    assert not os.path.exists(ckpt)  # consumed on success
