@@ -81,9 +81,15 @@ def compute_knn(data_dir: str,
                 max_memory_threshold: float = 0.1,
                 split: bool = True,
                 metric: str = "sqeuclidean",
-                precision: str = "highest") -> StageTimer:
+                precision: str = "highest",
+                query_split_rows: int | None = None) -> StageTimer:
     """Table path: per-base-batch partial top-k files + later merge
-    (signature parity with reference cu_knn.py:151-162)."""
+    (signature parity with reference cu_knn.py:151-162).
+
+    `split` chunks the query axis per base batch (reference query-split
+    loop cu_knn.py:225-235) so giant query sets never need to be resident
+    on device at once; rows re-stack before the partial write, so the
+    partial-file layout is unchanged."""
     timer = StageTimer()
     with timer.stage("load_query"):
         query = read_embeddings(data_dir, query_filename, query_count, dimensions)
@@ -102,14 +108,28 @@ def compute_knn(data_dir: str,
     assert (n_base % batch_size == 0) or k <= (n_base % batch_size), \
         f"Cannot generate k of {k} with only {n_base} rows and batch_size {batch_size}."
 
+    q_rows = query.shape[0]
+    if not split:
+        q_chunk = q_rows
+    elif query_split_rows is not None:
+        q_chunk = query_split_rows
+    else:
+        # bound device residency of the query block + the (chunk, tile)
+        # distance matrix to a few GB regardless of the query count
+        q_chunk = min(q_rows, max(1024, (1 << 28) // (4 * query.shape[1])))
+
     with timer.stage("knn_batches"):
         for b in range(batch_count):
             off = b * batch_size
             chunk = base[off: off + batch_size]
-            d, i = knn(query, chunk, k=k, metric=metric,
-                       precision=precision, tile_size=plan.tile_size,
-                       base_offset=off)
-            d, i = np.asarray(d), np.asarray(i)
+            parts = []
+            for qs in range(0, q_rows, q_chunk):
+                d, i = knn(query[qs: qs + q_chunk], chunk, k=k, metric=metric,
+                           precision=precision, tile_size=plan.tile_size,
+                           base_offset=off)
+                parts.append((np.asarray(d), np.asarray(i)))
+            d = np.vstack([p[0] for p in parts])
+            i = np.vstack([p[1] for p in parts])
             write_matrix_to_parquet(get_partial_distances_filename(data_dir, b), d)
             write_matrix_to_parquet(get_partial_indices_filename(data_dir, b),
                                     i.astype(np.int32))

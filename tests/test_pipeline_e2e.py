@@ -159,3 +159,19 @@ def test_streaming_checkpoint_resume(dataset_dir, normalized_vectors):
     ref_d, ref_i = knn(q, b, k=K)
     np.testing.assert_array_equal(got_i, np.asarray(ref_i))
     assert not os.path.exists(ckpt)  # consumed on success
+
+
+def test_table_path_query_split(dataset_dir, normalized_vectors):
+    """Query-axis splitting preserves the exact partial-file layout."""
+    import pyarrow.parquet as pq
+
+    data_dir, qfile, bfile = dataset_dir
+    q, b = normalized_vectors
+    cleanup_partial_parquet(f"{data_dir}/partial")
+    compute_knn(data_dir, MODEL, DIMENSIONS, qfile, QUERY_COUNT, bfile,
+                BASE_COUNT, k=K, initial_batch_size=300, query_split_rows=33)
+    merge_indices_and_distances(data_dir, k=K)
+    got_i = pq.read_table(
+        naming.get_partial_indices_filename(data_dir, -1)).to_pandas().values
+    ref_d, ref_i = knn(q, b, k=K)
+    np.testing.assert_array_equal(got_i, np.asarray(ref_i))
