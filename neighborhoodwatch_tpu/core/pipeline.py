@@ -28,8 +28,8 @@ import numpy as np
 
 from neighborhoodwatch_tpu.core.tuner import plan_knn
 from neighborhoodwatch_tpu.io.parquet_io import (
-    read_embeddings, iter_embedding_batches, write_matrix_to_parquet,
-    parquet_row_count,
+    read_embeddings, read_embeddings_device, iter_embedding_batches,
+    write_matrix_to_parquet, parquet_row_count,
 )
 from neighborhoodwatch_tpu.ops.knn import knn, StreamingKNN
 from neighborhoodwatch_tpu.ops.topk import check_monotonic
@@ -94,7 +94,10 @@ def compute_knn(data_dir: str,
     with timer.stage("load_query"):
         query = read_embeddings(data_dir, query_filename, query_count, dimensions)
     with timer.stage("load_base"):
-        base = read_embeddings(data_dir, base_filename, base_count, dimensions)
+        # col-major host read + on-device transpose: the (n, d) assembly
+        # is ~20x cheaper on memory-bound hosts (see table_to_colmajor)
+        base = read_embeddings_device(data_dir, base_filename, base_count,
+                                      dimensions)
 
     n_base = base.shape[0]
     threshold = max_memory_threshold if mem_tune else 0.5
@@ -176,7 +179,7 @@ def compute_knn_ds(data_dir: str,
                    base_count: int,
                    mem_tune: bool = False,
                    k: int = 100,
-                   initial_batch_size: int = 200_000,
+                   initial_batch_size: int = 1_000_000,
                    max_memory_threshold: float = 0.2,
                    metric: str = "sqeuclidean",
                    precision: str = "highest",
@@ -227,16 +230,20 @@ def compute_knn_ds(data_dir: str,
                 print(f"resuming kNN stream from checkpoint: "
                       f"{acc.rows_seen}/{n_base} base rows done")
 
+        import jax
+        import jax.numpy as jnp
+        dev_t = jax.jit(jnp.transpose)   # (d, n) host batch -> (n, d) device
         batches = iter_embedding_batches(data_dir, base_filename,
-                                         batch_size=batch_size, count=n_base)
+                                         batch_size=batch_size, count=n_base,
+                                         layout="col")
         done = acc.rows_seen
-        for b, (offset, chunk) in enumerate(_prefetch(batches)):
-            if offset + chunk.shape[0] <= done:
+        for b, (offset, chunk_t) in enumerate(_prefetch(batches)):
+            if offset + chunk_t.shape[1] <= done:
                 continue                       # fully covered by checkpoint
             if offset < done:                  # partial overlap: trim
-                chunk = chunk[done - offset:]
+                chunk_t = chunk_t[:, done - offset:]
                 offset = done
-            acc.update(chunk, offset)
+            acc.update(dev_t(jax.device_put(chunk_t)), offset)
             if checkpoint_every and (b + 1) % checkpoint_every == 0:
                 _save_stream_ckpt(ckpt_path, acc, fingerprint)
         dist, idx = acc.finalize()

@@ -52,6 +52,38 @@ class E5FlaxEmbeddingGenerator(EmbeddingGenerator):
         emb = self._forward(self.params, jnp.asarray(ids), jnp.asarray(mask))
         return np.asarray(emb, dtype=np.float32)
 
+    def generate_embedding(self, text_list, *args, **kwargs):
+        """ABC-contract override that defers the device->host sync: all
+        chunks are dispatched first (jax dispatch is async, so tokenize of
+        chunk i+1 overlaps encode of chunk i), then read back in order —
+        one pipeline instead of a blocking round-trip per 64-row chunk."""
+        if isinstance(text_list, str):
+            text_list = [text_list]
+        zero = np.zeros(self.output_dimension, dtype=np.float32)
+        pending = []            # (device array | None, row count)
+        for start in range(0, len(text_list), self.chunk_size):
+            process = ["query:" + s
+                       for s in text_list[start:start + self.chunk_size]]
+            try:
+                ids, mask = self.tokenizer(process, max_length=self.max_length)
+                dev = self._forward(self.params, jnp.asarray(ids),
+                                    jnp.asarray(mask))
+                pending.append((dev, len(process)))
+            except Exception as e:
+                print(f"   >>> [WARN] failed to retrieve the embeddings: {e}")
+                pending.append((None, len(process)))
+        embeddings = []
+        for dev, n in pending:
+            if dev is None:
+                embeddings.extend([zero] * n)
+                continue
+            try:
+                embeddings.extend(np.asarray(dev, dtype=np.float32))
+            except Exception as e:
+                print(f"   >>> [WARN] failed to retrieve the embeddings: {e}")
+                embeddings.extend([zero] * n)
+        return embeddings
+
     def encode(self, texts, batch_size: int = 64):
         """Convenience bulk encode (normalized embeddings)."""
         out = []

@@ -176,3 +176,31 @@ def test_naming_parity(tmp_path):
         == f"{d}/m_384_query_vector_data_100.parquet"
     assert naming.get_source_base_dataset_filename(d, "m", 100, 384, "int8") \
         == f"{d}/m_384_int8_base_vector_data_100.parquet"
+
+
+def test_table_to_colmajor_matches_matrix(tmp_path):
+    """(d, n) col-major fast path == transposed (n, d) path, including
+    column order and multi-chunk tables."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from neighborhoodwatch_tpu.io.parquet_io import (
+        iter_embedding_batches, table_to_colmajor, table_to_matrix,
+    )
+
+    rng = np.random.default_rng(3)
+    mat = rng.standard_normal((257, 8)).astype(np.float32)
+    tab = pa.table({f"embedding_{i}": mat[:, i] for i in range(8)})
+    # two chunks to exercise the batch loop
+    tab = pa.concat_tables([tab.slice(0, 100), tab.slice(100)])
+    np.testing.assert_array_equal(table_to_colmajor(tab), mat.T)
+    np.testing.assert_array_equal(table_to_matrix(tab), mat)
+
+    f = str(tmp_path / "emb.parquet")
+    pq.write_table(tab, f)
+    rows = list(iter_embedding_batches(str(tmp_path), "emb.parquet",
+                                       batch_size=64, count=200,
+                                       layout="col"))
+    got = np.concatenate([m for _, m in rows], axis=1)
+    np.testing.assert_array_equal(got, mat[:200].T)
+    assert [off for off, _ in rows] == [0, 64, 128, 192]
