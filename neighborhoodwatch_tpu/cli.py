@@ -93,6 +93,12 @@ Some example commands:\n
                         help="skip interactive confirmation prompts")
     parser.add_argument("--trace-dir", type=str, default=None,
                         help="write a jax.profiler trace of the kNN phase here")
+    parser.add_argument("--engine", type=str, default="auto",
+                        choices=["auto", "exact", "verified", "screened"],
+                        help="kNN engine: exact (lax.top_k oracle), verified "
+                             "(approx_min_k + exactness proof), screened "
+                             "(fused Pallas kernel + certificate; fastest on "
+                             "TPU), auto (pick by backend and base size)")
     parser.add_argument("--mesh", type=int, default=0, metavar="N",
                         help="shard the kNN over an N-device mesh (base "
                              "corpus split over the mp axis, ICI all_gather "
@@ -169,13 +175,14 @@ Some example commands:\n
                                    args.query_count, base_filename,
                                    args.base_count, args.enable_memory_tuning,
                                    args.k, metric=args.metric,
-                                   precision=args.precision, mesh=mesh)
+                                   precision=args.precision, mesh=mesh,
+                                   engine=args.engine)
         else:
             timer = compute_knn(data_dir, args.model_name, output_dimension,
                                 query_filename, args.query_count, base_filename,
                                 args.base_count, args.enable_memory_tuning,
                                 args.k, metric=args.metric,
-                                precision=args.precision)
+                                precision=args.precision, engine=args.engine)
     print(timer.report())
     _duration(section_time, start_time)
 

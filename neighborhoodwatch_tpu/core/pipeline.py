@@ -82,7 +82,8 @@ def compute_knn(data_dir: str,
                 split: bool = True,
                 metric: str = "sqeuclidean",
                 precision: str = "highest",
-                query_split_rows: int | None = None) -> StageTimer:
+                query_split_rows: int | None = None,
+                engine: str = "auto") -> StageTimer:
     """Table path: per-base-batch partial top-k files + later merge
     (signature parity with reference cu_knn.py:151-162).
 
@@ -129,7 +130,7 @@ def compute_knn(data_dir: str,
             for qs in range(0, q_rows, q_chunk):
                 d, i = knn(query[qs: qs + q_chunk], chunk, k=k, metric=metric,
                            precision=precision, tile_size=plan.tile_size,
-                           base_offset=off)
+                           base_offset=off, engine=engine)
                 parts.append((np.asarray(d), np.asarray(i)))
             d = np.vstack([p[0] for p in parts])
             i = np.vstack([p[1] for p in parts])
@@ -184,7 +185,8 @@ def compute_knn_ds(data_dir: str,
                    metric: str = "sqeuclidean",
                    precision: str = "highest",
                    mesh=None,
-                   checkpoint_every: int = 10) -> StageTimer:
+                   checkpoint_every: int = 10,
+                   engine: str = "auto") -> StageTimer:
     """Dataset path: out-of-core streaming + device-resident running top-k;
     writes final_{indices,distances}.parquet directly (reference
     cu_knn_ds.py:232-233 also skips the merge for its single pass).
@@ -211,14 +213,15 @@ def compute_knn_ds(data_dir: str,
     with timer.stage("knn_stream"):
         if mesh is None:
             acc = StreamingKNN(query, k=k, metric=metric,
-                               precision=precision, tile_size=plan.tile_size)
+                               precision=precision, tile_size=plan.tile_size,
+                               engine=engine)
         else:
             from neighborhoodwatch_tpu.parallel.sharded_knn import (
                 ShardedStreamingKNN,
             )
             acc = ShardedStreamingKNN(query, k=k, mesh=mesh, metric=metric,
                                       precision=precision,
-                                      tile_size=plan.tile_size)
+                                      tile_size=plan.tile_size, engine=engine)
         ckpt_path = _stream_ckpt_path(data_dir)
         fingerprint = {"f_k": k, "f_metric": metric, "f_dims": dimensions,
                        "f_base": base_filename, "f_nbase": n_base,
