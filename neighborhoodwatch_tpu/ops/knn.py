@@ -305,13 +305,16 @@ def screened_knn(query, base, k: int, metric: str = "sqeuclidean",
         bucket = max(64, int(2 ** np.ceil(np.log2(n_bad))))
         sel_rows = np.pad(bad, (0, bucket - n_bad), mode="edge")
         q_bad = query[jnp.asarray(sel_rows)]
+        # "verified" is exact (approx_min_k + count proof + cond fallback)
+        # at 2.5-3x the speed of the plain top_k scan
+        fb_engine = "verified" if jax.default_backend() == "tpu" else "exact"
         if n_base <= DEFAULT_TILE:
             base_p, _ = _pad_rows(base, 128)
             d_f, i_f = _knn_full(q_bad, base_p, n_base, 0, k, metric,
-                                 "highest", "exact")
+                                 "highest", fb_engine)
         else:
             d_f, i_f = _knn_scan(q_bad, base, n_base, 0, k, metric,
-                                 "highest", DEFAULT_TILE, "exact")
+                                 "highest", DEFAULT_TILE, fb_engine)
         dist = np.array(dist)
         idx = np.array(idx)
         dist[bad] = np.asarray(d_f)[:n_bad]
