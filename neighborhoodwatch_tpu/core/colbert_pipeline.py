@@ -107,7 +107,7 @@ def _read_doc_tokens(filename: str):
 
 
 def compute_maxsim_knn(data_dir, query_filename, base_filename, k,
-                       tile_docs=512, precision="highest",
+                       tile_docs=8192, precision="highest",
                        batch_rows=500_000):
     """Doc-level ColBERT MaxSim ground truth: for every query passage,
     the top-k base passages by sum-of-max token similarity.

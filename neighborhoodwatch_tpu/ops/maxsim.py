@@ -81,15 +81,34 @@ def _maxsim_tile_step(run_s, run_i, queries, q_mask, tile, tmask, start,
     return -md, mi
 
 
+def _maxsim_engine(engine: str, n_docs: int, tq: int, td: int) -> str:
+    """'screened' = the fused Pallas kernel + certified re-rank (21x the
+    XLA path on TPU, measured 0.50s vs 10.8s for 1k x 200k docs); usable
+    when token counts fit its VMEM tiling. 'exact' = the XLA tile loop."""
+    if engine != "auto":
+        return engine
+    if (jax.default_backend() == "tpu" and n_docs >= 4096
+            and tq <= 32 and td <= 32):
+        return "screened"
+    return "exact"
+
+
 def maxsim_topk(queries, q_mask, docs, d_mask, k: int,
-                precision: str = "highest", tile_docs: int = 128):
+                precision: str = "highest", tile_docs: int = 128,
+                engine: str = "exact"):
     """Top-k documents per query by MaxSim score.
 
-    Returns (scores desc, doc indices), exact. Documents are processed in
+    Returns (scores desc, doc indices), exact. engine="auto" uses the
+    fused Pallas screen kernel on TPU when the token counts fit
+    (ops/maxsim_kernel.py). The default XLA path processes documents in
     `tile_docs` tiles through one compiled tile step driven by a host loop
     of async dispatches — a 4D `lax.scan` over the doc tensor compiles to
     a ~400x slower program on TPU (measured: 120s vs 0.29s over 1M base
     tokens), so the loop deliberately stays on the host."""
+    engine = _maxsim_engine(engine, docs.shape[0],
+                            queries.shape[1], docs.shape[1])
+    if engine == "screened":
+        return maxsim_topk_screened(queries, q_mask, docs, d_mask, k)
     queries = jnp.asarray(queries, dtype=jnp.float32)
     docs = jnp.asarray(docs, dtype=jnp.float32)
     q_mask = jnp.asarray(q_mask, dtype=bool)
@@ -113,6 +132,111 @@ def maxsim_topk(queries, q_mask, docs, d_mask, k: int,
     return run_s, run_i
 
 
+@partial(jax.jit, static_argnames=("k", "m", "block"))
+def _maxsim_select(queries, q_mask, docs, d_mask, cand_neg, cand_doc,
+                   k: int, m: int, block: int = 128):
+    """Top-M merge of screened MaxSim candidates + exact fp32 re-rank +
+    exactness certificate (the MaxSim analog of ops.knn._screened_select).
+    Returns (scores desc, doc ids, ok)."""
+    from neighborhoodwatch_tpu.ops import maxsim_kernel as mk
+
+    q_count, tq, dim = queries.shape
+    td = docs.shape[1]
+    keep, lanes = mk.KEEP, mk.LANES
+    n4 = cand_neg.reshape(q_count, -1, keep, lanes)
+    d4 = cand_doc.reshape(q_count, -1, keep, lanes)
+    cert_last = n4[:, :, keep - 1, :]
+    merge_n = n4[:, :, : keep - 1, :].reshape(q_count, -1)
+    merge_d = d4[:, :, : keep - 1, :].reshape(q_count, -1)
+
+    negk, sel = jax.lax.top_k(-merge_n, m)
+    scr = -negk                                   # ascending negated score
+    doc_m = jnp.take_along_axis(merge_d, sel, axis=1)
+    doc_m = jnp.minimum(doc_m, docs.shape[0] - 1)  # padded megas decode past D
+
+    q_pad = (-q_count) % block
+    qp = jnp.pad(queries, ((0, q_pad), (0, 0), (0, 0)))
+    qmp = jnp.pad(q_mask, ((0, q_pad), (0, 0)))
+    dp = jnp.pad(doc_m, ((0, q_pad), (0, 0)))
+
+    def refine(args):
+        qb, qmb, ib = args                        # (B,tq,dim),(B,tq),(B,m)
+        cb = docs[ib]                             # (B, m, td, dim)
+        cmb = d_mask[ib]                          # (B, m, td)
+        sims = jnp.einsum("btd,bmsd->btms", qb, cb,
+                          precision=jax.lax.Precision.HIGHEST,
+                          preferred_element_type=jnp.float32)
+        sims = jnp.where(cmb[:, None, :, :], sims, NEG)
+        per_tok = jnp.max(sims, axis=3)           # (B, tq, m)
+        per_tok = jnp.where(qmb[:, :, None], per_tok, 0.0)
+        return jnp.sum(per_tok, axis=1)           # (B, m)
+
+    s_exact = jax.lax.map(
+        refine,
+        (qp.reshape(-1, block, tq, dim), qmp.reshape(-1, block, tq),
+         dp.reshape(-1, block, m)),
+    ).reshape(-1, m)[:q_count]
+    # huge negated screen values are padding bins/docs, never candidates
+    s_exact = jnp.where(scr > 1e29, -jnp.inf, s_exact)
+
+    sk, selk = jax.lax.top_k(s_exact, k)
+    doc_k = jnp.take_along_axis(doc_m, selk, axis=1)
+    tau = sk[:, k - 1]
+
+    # per-query screening error bound on the score scale
+    q_norms = jnp.linalg.norm(queries, axis=2)
+    q_scale = jnp.sum(jnp.where(q_mask, q_norms, 0.0), axis=1)
+    d_norms = jnp.linalg.norm(docs, axis=2)
+    d_max = jnp.max(jnp.where(d_mask, d_norms, 0.0))
+    eps = mk.MAXSIM_EPS_REL * q_scale * jnp.maximum(d_max, 1e-6)
+    thresh = (-tau + eps)[:, None]
+
+    cert_bins = jnp.min(cert_last, axis=(1, 2)) >= thresh[:, 0]
+    c_all = jnp.sum((merge_n < thresh).astype(jnp.int32), axis=1)
+    c_sel = jnp.sum((scr < thresh).astype(jnp.int32), axis=1)
+    ok = jnp.logical_and(cert_bins, c_all == c_sel)
+    return sk, doc_k, ok
+
+
+def maxsim_topk_screened(queries, q_mask, docs, d_mask, k: int,
+                         m: int | None = None):
+    """Exact top-k documents by MaxSim via the fused Pallas screen kernel
+    (ops/maxsim_kernel.py) + certified fp32 re-rank; queries whose
+    certificate fails are recomputed with the exact XLA path. ~20x the
+    XLA path's throughput on TPU for large doc sets."""
+    from neighborhoodwatch_tpu.ops import maxsim_kernel as mk
+
+    queries = jnp.asarray(queries, dtype=jnp.float32)
+    docs = jnp.asarray(docs, dtype=jnp.float32)
+    q_mask = jnp.asarray(q_mask, dtype=bool)
+    d_mask = jnp.asarray(d_mask, dtype=bool)
+    n_docs = docs.shape[0]
+    assert k <= n_docs
+
+    cand_neg, cand_doc, _ = mk.screen_maxsim(queries, q_mask, docs, d_mask)
+    cap = (cand_neg.shape[1] // mk.KEEP) * (mk.KEEP - 1)
+    if m is None:
+        m = max(256, round_up(k + 156, 128))
+    m = min(max(m, k), cap)
+
+    scores, idx, ok = _maxsim_select(queries, q_mask, docs, d_mask,
+                                     cand_neg, cand_doc, k, m)
+    ok_host = np.asarray(ok)
+    if not ok_host.all():
+        bad = np.nonzero(~ok_host)[0]
+        n_bad = len(bad)
+        bucket = max(8, int(2 ** np.ceil(np.log2(n_bad))))
+        sel_rows = np.pad(bad, (0, bucket - n_bad), mode="edge")
+        s_f, i_f = maxsim_topk(queries[jnp.asarray(sel_rows)],
+                               q_mask[jnp.asarray(sel_rows)],
+                               docs, d_mask, k=k, tile_docs=2048)
+        scores = np.array(scores)
+        idx = np.array(idx)
+        scores[bad] = np.asarray(s_f)[:n_bad]
+        idx[bad] = np.asarray(i_f)[:n_bad]
+    return scores, idx
+
+
 class StreamingMaxSim:
     """Running top-k of document MaxSim scores over host-streamed doc tiles.
 
@@ -121,11 +245,13 @@ class StreamingMaxSim:
     (score, idx) state stays on device. Used by the `ck --maxsim`
     pipeline to stream a corpus that never fits in HBM at once."""
 
-    def __init__(self, queries, q_mask, k: int, precision: str = "highest"):
+    def __init__(self, queries, q_mask, k: int, precision: str = "highest",
+                 engine: str = "auto"):
         self.queries = jnp.asarray(queries, dtype=jnp.float32)
         self.q_mask = jnp.asarray(q_mask, dtype=bool)
         self.k = k
         self.precision = precision
+        self.engine = engine
         q_n = self.queries.shape[0]
         self.state = (jnp.full((q_n, k), -jnp.inf, dtype=jnp.float32),
                       jnp.zeros((q_n, k), dtype=jnp.int32))
@@ -140,12 +266,24 @@ class StreamingMaxSim:
         assert offset == self._seen, \
             "doc tiles must arrive in ascending contiguous offset order"
         n = doc_tile.shape[0] if n_valid is None else n_valid
+        doc_tile = jnp.asarray(doc_tile, dtype=jnp.float32)
+        tile_mask = jnp.asarray(tile_mask, dtype=bool)
+        engine = _maxsim_engine(self.engine, doc_tile.shape[0],
+                                self.queries.shape[1], doc_tile.shape[1])
         run_s, run_i = self.state
-        self.state = _maxsim_tile_step(
-            run_s, run_i, self.queries, self.q_mask,
-            jnp.asarray(doc_tile, dtype=jnp.float32),
-            jnp.asarray(tile_mask, dtype=bool),
-            offset, offset + n, self.k, self.precision)
+        if engine == "screened":
+            kk = min(self.k, n)
+            ts, ti = maxsim_topk_screened(self.queries, self.q_mask,
+                                          doc_tile, tile_mask, k=kk)
+            ts = jnp.asarray(ts)
+            ti = (jnp.asarray(ti) + offset).astype(jnp.int32)
+            md, mi = merge_topk(-run_s, run_i, -ts, ti, self.k)
+            self.state = (-md, mi)
+        else:
+            self.state = _maxsim_tile_step(
+                run_s, run_i, self.queries, self.q_mask,
+                doc_tile, tile_mask,
+                offset, offset + n, self.k, self.precision)
         self._seen += n
 
     @property

@@ -129,3 +129,42 @@ def test_maxsim_padding_invariance(rng):
     s1 = np.asarray(maxsim_scores(q, qm, d, dm))
     s2 = np.asarray(maxsim_scores(q2, qm2, d2, dm2))
     np.testing.assert_allclose(s1, s2, atol=1e-5)
+
+
+def test_maxsim_screened_matches_oracle(rng):
+    """Pallas-screened MaxSim == float64 oracle (interpret mode on CPU);
+    covers ragged doc counts, padded query/doc tokens, and the
+    certificate's fallback path."""
+    from neighborhoodwatch_tpu.ops.maxsim import maxsim_topk_screened
+
+    dim, k = 32, 7
+    qs = [rng.standard_normal((int(rng.integers(2, 9)), dim))
+          .astype(np.float32) for _ in range(11)]
+    ds = [rng.standard_normal((int(rng.integers(2, 13)), dim))
+          .astype(np.float32) for _ in range(300)]
+    q, qm = pad_token_lists(qs, dim)
+    d, dm = pad_token_lists(ds, dim)
+    scores, idx = maxsim_topk_screened(q, qm, d, dm, k=k)
+    exp_scores, exp_idx = maxsim_oracle(q, qm, d, dm, k=k)
+    np.testing.assert_array_equal(np.asarray(idx), exp_idx)
+    np.testing.assert_allclose(np.asarray(scores), exp_scores, atol=1e-3)
+
+
+def test_maxsim_screened_planted_collisions(rng):
+    """Five near-identical docs 128 apart land in one lane bin; the
+    certificate must detect the bin overflow and fall back exactly."""
+    from neighborhoodwatch_tpu.ops.maxsim import maxsim_topk_screened
+
+    dim, k = 16, 6
+    q = rng.standard_normal((3, 4, dim)).astype(np.float32)
+    qm = np.ones((3, 4), bool)
+    d = rng.standard_normal((640, 8, dim)).astype(np.float32) * 0.01
+    dm = np.ones((640, 8), bool)
+    # plant 5 clones of a strong match in the same lane bin (stride 128)
+    best = np.repeat(q[0].mean(0, keepdims=True), 8, axis=0) * 10
+    for j in range(5):
+        d[j * 128] = best + rng.standard_normal((8, dim)).astype(np.float32) * 1e-4
+    scores, idx = maxsim_topk_screened(q, qm, d, dm, k=k)
+    exp_scores, exp_idx = maxsim_oracle(q, qm, d, dm, k=k)
+    np.testing.assert_array_equal(np.asarray(idx), exp_idx)
+    np.testing.assert_allclose(np.asarray(scores), exp_scores, atol=1e-3)
