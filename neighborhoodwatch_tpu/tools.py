@@ -304,6 +304,34 @@ def hdf5_duplicates(filename: str, groups=("train", "test"),
     return report
 
 
+def inspect_ifvec(filename: str, head: int = 3, out=None) -> dict:
+    """Count/dim/head/value-stats of an fvec or ivec file (the operator
+    equivalent of the reference's standalone misc/ifvec_reader.py:6-37,
+    reading through the same codec the pipeline writes with)."""
+    from neighborhoodwatch_tpu.io import fvec as fv
+
+    out = out or sys.stdout
+    dirname = os.path.dirname(filename) or "."
+    basename = os.path.basename(filename)
+    is_ivec = filename.endswith(".ivec") or ".ivec" in basename
+    count = fv.count_vectors(dirname, basename)
+    rows = [fv.get_nth_vector(dirname, basename, n)
+            for n in range(min(head, count))]
+    dim = len(rows[0]) if rows else 0
+    sample = np.asarray(rows, dtype=np.int32 if is_ivec else np.float32)
+    report = {
+        "file": filename,
+        "kind": "ivec" if is_ivec else "fvec",
+        "vectors": count,
+        "dim": dim,
+        "head": sample[:head].tolist(),
+    }
+    if not is_ivec and len(sample):
+        report["head_norms"] = np.linalg.norm(sample, axis=1).round(4).tolist()
+    print(json.dumps(report), file=out)
+    return report
+
+
 # ---------------------------------------------------------------------------
 # CLI
 # ---------------------------------------------------------------------------
@@ -338,6 +366,10 @@ def main(argv=None) -> int:
     p.add_argument("file")
     p.add_argument("--groups", nargs="+", default=["train", "test"])
 
+    p = sub.add_parser("ifvec", help="count/dim/head of an fvec|ivec file")
+    p.add_argument("file")
+    p.add_argument("--head", type=int, default=3)
+
     args = parser.parse_args(argv)
     if args.cmd == "inspect":
         inspect_parquet(args.file, head=args.head)
@@ -353,6 +385,8 @@ def main(argv=None) -> int:
         print(json.dumps({"rows": rows, "dst": args.dst}))
     elif args.cmd == "hdf5-dupes":
         hdf5_duplicates(args.file, groups=tuple(args.groups))
+    elif args.cmd == "ifvec":
+        inspect_ifvec(args.file, head=args.head)
     return 0
 
 

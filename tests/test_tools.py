@@ -116,3 +116,21 @@ def test_cli_entry(scalar_parquet, capsys):
     assert tools.main(["validate", path]) == 0
     out = capsys.readouterr().out
     assert json.loads(out.splitlines()[0])["rows"] == 300
+
+
+def test_ifvec_inspect(tmp_path, capsys):
+    import numpy as np
+    from neighborhoodwatch_tpu.io import fvec
+    from neighborhoodwatch_tpu.tools import inspect_ifvec, main
+
+    mat = np.arange(12, dtype=np.float32).reshape(3, 4)
+    fvec.write_vectors(str(tmp_path / "x.fvec"), mat, "f")
+    rep = inspect_ifvec(str(tmp_path / "x.fvec"))
+    assert rep["vectors"] == 3 and rep["dim"] == 4 and rep["kind"] == "fvec"
+    np.testing.assert_allclose(rep["head"][0], mat[0])
+
+    idx = np.arange(6, dtype=np.int32).reshape(2, 3)
+    fvec.write_vectors(str(tmp_path / "y.ivec"), idx, "i")
+    assert main(["ifvec", str(tmp_path / "y.ivec")]) == 0
+    out = capsys.readouterr().out
+    assert '"kind": "ivec"' in out and '"vectors": 2' in out
