@@ -87,13 +87,19 @@ class ColbertFlaxEmbeddingGenerator(EmbeddingGenerator):
 
     def encode_passages(self, texts, batch_size: int = 64):
         """(total_tokens, 128) embeddings + per-passage token counts —
-        the CollectionEncoder.encode_passages contract."""
-        all_tokens, counts = [], []
+        the CollectionEncoder.encode_passages contract. All batches are
+        dispatched before the first device->host read so tokenization of
+        batch i+1 overlaps the encode of batch i (jax dispatch is async)."""
+        pending = []
         for s in range(0, len(texts), batch_size):
             batch = texts[s:s + batch_size]
             ids, mask = self.tokenizer(batch, max_length=self.max_length)
-            emb = np.asarray(self._forward(self.params, jnp.asarray(ids),
-                                           jnp.asarray(mask)), dtype=np.float32)
+            dev = self._forward(self.params, jnp.asarray(ids),
+                                jnp.asarray(mask))
+            pending.append((dev, mask))
+        all_tokens, counts = [], []
+        for dev, mask in pending:
+            emb = np.asarray(dev, dtype=np.float32)
             for row_emb, row_mask in zip(emb, mask):
                 n = int(row_mask.sum())
                 all_tokens.append(row_emb[:n])

@@ -37,9 +37,10 @@ from neighborhoodwatch_tpu.ops.screen_kernel import (
 from neighborhoodwatch_tpu.utils.misc import round_up
 
 TQR = 256          # query-token rows per block (QB queries x padded Tq)
-DB = 256           # docs per block (2 lane slices)
-SUB_PER_MEGA = 32  # doc blocks per mega-tile -> 8192 docs, 64-doc bins
-MEGA_DOCS = DB * SUB_PER_MEGA
+DB = 256           # docs per block at td<=16; 128 at td<=32 (the (TQR,
+                   # td*DB) similarity tile must stay inside VMEM)
+SUB_PER_MEGA = 32
+MEGA_DOCS = DB * SUB_PER_MEGA  # 8192 docs per mega-tile regardless of DB
 CAND_PER_MEGA = KEEP * LANES
 NEG_BIAS = -1e30   # doc-token padding bias (finite: avoids inf-inf NaNs)
 
@@ -48,11 +49,11 @@ MAXSIM_EPS_REL = 1e-5 + PACK_EPS_REL
 
 
 def _kernel(db_ref, q_ref, d_ref, out_ref, mk_ref, *,
-            tq: int, td: int, qb: int, sub: int):
+            tq: int, td: int, qb: int, sub: int, db: int):
     bi = pl.program_id(1)
 
     q = q_ref[:].reshape(TQR, q_ref.shape[-1])        # (QB*tq, dim)
-    d = d_ref[:].reshape(td * DB, d_ref.shape[-1])    # (td*DB, dim)
+    d = d_ref[:].reshape(td * db, d_ref.shape[-1])    # (td*db, dim)
     qhi = q.astype(jnp.bfloat16)
     dhi = d.astype(jnp.bfloat16)
     dims = (((1,), (1,)), ((), ()))
@@ -67,13 +68,13 @@ def _kernel(db_ref, q_ref, d_ref, out_ref, mk_ref, *,
     # Query-token masking needs no in-kernel work: masked/padded query
     # tokens are pre-zeroed, and a zero token's max over any doc with a
     # valid token is exactly 0 — the masked contribution.
-    sims = sims + db_ref[:].reshape(1, td * DB)
+    sims = sims + db_ref[:].reshape(1, td * db)
 
     # per-query-token max over the doc's td tokens: td-major layout makes
     # token s of all DB docs one contiguous column slab
-    m = sims[:, :DB]
+    m = sims[:, :db]
     for s in range(1, td):
-        m = jnp.maximum(m, sims[:, s * DB:(s + 1) * DB])  # (TQR, DB)
+        m = jnp.maximum(m, sims[:, s * db:(s + 1) * db])  # (TQR, db)
 
     # sum over each query's tq token rows (tq-major: contiguous row slabs)
     acc = m[0:qb]
@@ -91,8 +92,8 @@ def _kernel(db_ref, q_ref, d_ref, out_ref, mk_ref, *,
         mk_ref[:] = jnp.full(mk_ref.shape, jnp.int32(0x7FFFFFFF))
 
     ks = [mk_ref[t] for t in range(KEEP)]
-    pos0 = (bi % sub) * (DB // LANES)
-    for j in range(DB // LANES):
+    pos0 = (bi % sub) * (db // LANES)
+    for j in range(db // LANES):
         kj = (bits[:, j * LANES:(j + 1) * LANES]
               & jnp.int32(~POS_MASK)) | (pos0 + j)
         hi = kj
@@ -110,8 +111,8 @@ def _kernel(db_ref, q_ref, d_ref, out_ref, mk_ref, *,
             out_ref[:, t * LANES:(t + 1) * LANES] = ks[t]
 
 
-@partial(jax.jit, static_argnames=("tq", "td", "interpret"))
-def _maxsim_screen_call(q_t, d_t, dbias_t, tq: int, td: int,
+@partial(jax.jit, static_argnames=("tq", "td", "db", "interpret"))
+def _maxsim_screen_call(q_t, d_t, dbias_t, tq: int, td: int, db: int,
                         interpret: bool):
     """q_t: (tq, Qp, dim) tq-major query tokens (masked tokens pre-zeroed);
     d_t: (td, Dp, dim) td-major doc tokens; dbias_t: (td, Dp) 0/NEG_BIAS.
@@ -119,26 +120,27 @@ def _maxsim_screen_call(q_t, d_t, dbias_t, tq: int, td: int,
     Qp, dim = q_t.shape[1], q_t.shape[2]
     Dp = d_t.shape[1]
     qb = TQR // tq
+    sub = MEGA_DOCS // db
     n_q = Qp // qb
-    n_b = Dp // DB
+    n_b = Dp // db
     n_mega = Dp // MEGA_DOCS
     grid = (n_q, n_b)
 
-    kernel = partial(_kernel, tq=tq, td=td, qb=qb, sub=SUB_PER_MEGA)
+    kernel = partial(_kernel, tq=tq, td=td, qb=qb, sub=sub, db=db)
     out_shape = jax.ShapeDtypeStruct((Qp, n_mega * CAND_PER_MEGA), jnp.int32)
     keys = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((td, DB), lambda qi, bi: (0, bi),
+            pl.BlockSpec((td, db), lambda qi, bi: (0, bi),
                          memory_space=pltpu.VMEM),          # doc-token bias
             pl.BlockSpec((tq, qb, dim), lambda qi, bi: (0, qi, 0),
                          memory_space=pltpu.VMEM),          # query tokens
-            pl.BlockSpec((td, DB, dim), lambda qi, bi: (0, bi, 0),
+            pl.BlockSpec((td, db, dim), lambda qi, bi: (0, bi, 0),
                          memory_space=pltpu.VMEM),          # doc tokens
         ],
         out_specs=pl.BlockSpec((qb, CAND_PER_MEGA),
-                               lambda qi, bi: (qi, bi // SUB_PER_MEGA),
+                               lambda qi, bi: (qi, bi // sub),
                                memory_space=pltpu.VMEM),
         out_shape=out_shape,
         scratch_shapes=[
@@ -162,8 +164,8 @@ def _maxsim_screen_call(q_t, d_t, dbias_t, tq: int, td: int,
     col = jax.lax.broadcasted_iota(jnp.int32, keys.shape, 1)
     mega_i = col // CAND_PER_MEGA
     lane = col % LANES
-    n_slice = DB // LANES
-    cand_doc = (mega_i * MEGA_DOCS + (pos // n_slice) * DB
+    n_slice = db // LANES
+    cand_doc = (mega_i * MEGA_DOCS + (pos // n_slice) * db
                 + (pos % n_slice) * LANES + lane)
     return cand_negscore, cand_doc
 
@@ -211,6 +213,8 @@ def screen_maxsim(queries, q_mask, docs, d_mask, *,
     dbias_t = jnp.where(jnp.swapaxes(d_mask, 0, 1), 0.0, NEG_BIAS) \
         .astype(jnp.float32)
 
+    # the (TQR, td*db) similarity tile must fit VMEM with its bf16 copies
+    db = DB if td <= 16 else DB // 2
     cand_neg, cand_doc = _maxsim_screen_call(q_t, d_t, dbias_t,
-                                             tq, td, interpret)
+                                             tq, td, db, interpret)
     return cand_neg[:Q], cand_doc[:Q], Dp // MEGA_DOCS

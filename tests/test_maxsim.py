@@ -168,3 +168,21 @@ def test_maxsim_screened_planted_collisions(rng):
     exp_scores, exp_idx = maxsim_oracle(q, qm, d, dm, k=k)
     np.testing.assert_array_equal(np.asarray(idx), exp_idx)
     np.testing.assert_allclose(np.asarray(scores), exp_scores, atol=1e-3)
+
+
+def test_maxsim_screened_wide_tokens(rng):
+    """td in (17..32] engages the narrow doc-block config (db=128)."""
+    from neighborhoodwatch_tpu.ops.maxsim import maxsim_topk_screened
+
+    dim, k = 16, 5
+    qs = [rng.standard_normal((int(rng.integers(20, 33)), dim))
+          .astype(np.float32) for _ in range(4)]
+    ds = [rng.standard_normal((int(rng.integers(20, 33)), dim))
+          .astype(np.float32) for _ in range(150)]
+    q, qm = pad_token_lists(qs, dim)
+    d, dm = pad_token_lists(ds, dim)
+    assert d.shape[1] > 16
+    scores, idx = maxsim_topk_screened(q, qm, d, dm, k=k)
+    exp_scores, exp_idx = maxsim_oracle(q, qm, d, dm, k=k)
+    np.testing.assert_array_equal(np.asarray(idx), exp_idx)
+    np.testing.assert_allclose(np.asarray(scores), exp_scores, atol=1e-3)
