@@ -39,7 +39,7 @@ def main():
     parser.add_argument("--k", type=int, default=100)
     parser.add_argument("--engine", type=str, default="auto",
                         choices=["auto", "exact", "verified", "screened"])
-    parser.add_argument("--iters", type=int, default=3)
+    parser.add_argument("--iters", type=int, default=5)
     parser.add_argument("--small", action="store_true",
                         help="tiny CPU-friendly smoke configuration")
     parser.add_argument("--verify-queries", type=int, default=256,
@@ -79,12 +79,16 @@ def main():
     _ = np.asarray(dist)[0, 0]
     log("compile + first run done")
 
-    t0 = time.perf_counter()
+    times = []
     for _i in range(args.iters):
+        t0 = time.perf_counter()
         dist, idx = run()
         _ = np.asarray(dist)[0, 0]
-    elapsed = (time.perf_counter() - t0) / args.iters
-    log(f"timed {args.iters} iters: {elapsed:.3f}s each")
+        times.append(time.perf_counter() - t0)
+    # median: the axon tunnel adds +-0.1s run-to-run jitter
+    elapsed = float(np.median(times))
+    log(f"timed {args.iters} iters: median {elapsed:.3f}s "
+        f"(min {min(times):.3f}, max {max(times):.3f})")
     idx = np.asarray(idx)
 
     # exactness cross-check vs the exact device engine (recall of the
