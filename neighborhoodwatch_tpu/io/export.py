@@ -10,13 +10,18 @@ files. Writing is vectorized (io/fvec.py) instead of per-row struct packing.
 import os
 
 from neighborhoodwatch_tpu.io import fvec
-from neighborhoodwatch_tpu.io.hdf5_io import write_hdf5
+from neighborhoodwatch_tpu.io.hdf5_io import write_hdf5, write_hdf5_slab
 from neighborhoodwatch_tpu.io.parquet_io import (
-    read_and_extract, read_parquet_to_dataframe,
+    iter_embedding_batches, read_and_extract, read_parquet_to_dataframe,
 )
 from neighborhoodwatch_tpu.utils.naming import (
     get_full_filename, get_hdf5_filename, get_ivec_fvec_filenames,
 )
+
+# base exports above this row count stream parquet batches instead of
+# materializing the full (n, d) matrix (10M x 1536 would be 61GB of host
+# memory in the reference's whole-DataFrame approach)
+STREAMING_ROWS = 262_144
 
 
 def is_empty_file(filename: str) -> bool:
@@ -42,6 +47,10 @@ def generate_base_vectors_fvec(data_dir, model_name, input_parquet, base_count,
                                dimensions, base_vectors_fvec_file,
                                output_hdf5=True, column_names=None, hdf5_file=None,
                                output_dtype=None):
+    if base_count > STREAMING_ROWS:
+        return _generate_base_vectors_streaming(
+            data_dir, model_name, input_parquet, base_count,
+            base_vectors_fvec_file, output_hdf5, hdf5_file, output_dtype)
     df = read_and_extract(data_dir, input_parquet, base_count, dimensions, column_names)
     if is_empty_file(base_vectors_fvec_file):
         fvec.write_ivec_fvec_from_dataframe(
@@ -50,6 +59,33 @@ def generate_base_vectors_fvec(data_dir, model_name, input_parquet, base_count,
         print(f"File {base_vectors_fvec_file} already exists")
     if output_hdf5:
         write_hdf5(data_dir, model_name, df, hdf5_file, "train", output_dtype)
+
+
+def _generate_base_vectors_streaming(data_dir, model_name, input_parquet,
+                                     base_count, base_vectors_fvec_file,
+                                     output_hdf5, hdf5_file, output_dtype,
+                                     batch_rows: int = 131_072):
+    """Out-of-core base export: parquet batches append to the fvec file
+    and fill a preallocated hdf5 dataset slab by slab."""
+    full_fvec = get_full_filename(data_dir, base_vectors_fvec_file)
+    need_fvec = is_empty_file(full_fvec)
+    if not need_fvec:
+        print(f"File {base_vectors_fvec_file} already exists")
+    hdf5_live = output_hdf5
+    for offset, mat in iter_embedding_batches(data_dir, input_parquet,
+                                              batch_size=batch_rows,
+                                              count=base_count):
+        if need_fvec:
+            if offset == 0:
+                fvec.write_vectors(full_fvec, mat, "f")
+            else:
+                fvec.append_vectors(full_fvec, mat, "f")
+        if hdf5_live:
+            hdf5_live = write_hdf5_slab(data_dir, model_name, mat, hdf5_file,
+                                        "train", base_count, offset,
+                                        output_dtype)
+        if not need_fvec and not hdf5_live:
+            break
 
 
 def generate_indices_ivec(data_dir, model_name, input_parquet, k,

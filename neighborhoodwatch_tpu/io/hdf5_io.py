@@ -46,6 +46,48 @@ def write_hdf5(data_dir, model_name, data, filename, group, output_dtype=None):
             ds.attrs["encoding"] = "binary_uint8"
 
 
+def _voyage_dtype(model_name, output_dtype):
+    assert model_name.startswith("voyage")
+    if output_dtype == "float":
+        return np.float32, None
+    if output_dtype in ("int8", "binary"):
+        return np.int8, ("binary_int8" if output_dtype == "binary" else None)
+    if output_dtype in ("uint8", "ubinary"):
+        return np.uint8, ("binary_uint8" if output_dtype == "ubinary" else None)
+    raise ValueError(f"unsupported output_dtype: {output_dtype}")
+
+
+def write_hdf5_slab(data_dir, model_name, batch, filename, group,
+                    total_rows, offset, output_dtype=None) -> bool:
+    """Streamed variant of write_hdf5: creates the (total_rows, dim)
+    dataset on the first slab and fills `batch` at `offset`, so 10M-row
+    exports never hold the full matrix in host memory. Returns False
+    (no-op) if the group already existed before this export began."""
+    batch = np.asarray(batch.values if hasattr(batch, "values") else batch)
+    full_filename = get_full_filename(data_dir, filename)
+    with h5py.File(full_filename, "a") as f:
+        if group in f:
+            ds = f[group]
+            if ds.attrs.get("_streaming") != 1 or offset == 0:
+                print(f"Group '{group}' already exists in file "
+                      f"'{full_filename}'")
+                return False
+        else:
+            if output_dtype is None:
+                t, enc = batch.dtype, None
+            else:
+                t, enc = _voyage_dtype(model_name, output_dtype)
+            ds = f.create_dataset(group, shape=(total_rows, batch.shape[1]),
+                                  dtype=t)
+            ds.attrs["_streaming"] = 1
+            if enc:
+                ds.attrs["encoding"] = enc
+        ds[offset:offset + len(batch)] = batch
+        if offset + len(batch) >= total_rows:
+            del ds.attrs["_streaming"]     # complete: future runs no-op
+    return True
+
+
 def read_hdf5_group(data_dir, filename, group) -> np.ndarray:
     full_filename = get_full_filename(data_dir, filename)
     with h5py.File(full_filename, "r") as f:

@@ -204,3 +204,44 @@ def test_table_to_colmajor_matches_matrix(tmp_path):
     got = np.concatenate([m for _, m in rows], axis=1)
     np.testing.assert_array_equal(got, mat[:200].T)
     assert [off for off, _ in rows] == [0, 64, 128, 192]
+
+
+def test_streaming_base_export_matches_direct(tmp_path):
+    """Out-of-core base export (fvec append + hdf5 slabs) is byte-identical
+    to the whole-DataFrame path."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import h5py
+    from neighborhoodwatch_tpu.io import fvec
+    from neighborhoodwatch_tpu.io.export import (
+        _generate_base_vectors_streaming, generate_base_vectors_fvec,
+    )
+
+    rng = np.random.default_rng(5)
+    mat = rng.standard_normal((517, 12)).astype(np.float32)
+    data_dir = str(tmp_path)
+    pq.write_table(pa.table({f"embedding_{i}": mat[:, i] for i in range(12)}),
+                   f"{data_dir}/b.parquet")
+
+    generate_base_vectors_fvec(data_dir, "m", "b.parquet", 517, 12,
+                               "direct.fvec", output_hdf5=True,
+                               hdf5_file="direct.hdf5")
+    _generate_base_vectors_streaming(data_dir, "m", "b.parquet", 517,
+                                     "streamed.fvec", True, "streamed.hdf5",
+                                     None, batch_rows=100)
+
+    a = open(f"{data_dir}/direct.fvec", "rb").read()
+    b = open(f"{data_dir}/streamed.fvec", "rb").read()
+    assert a == b and len(a) == 517 * (1 + 12) * 4
+    with h5py.File(f"{data_dir}/direct.hdf5") as f1, \
+         h5py.File(f"{data_dir}/streamed.hdf5") as f2:
+        np.testing.assert_array_equal(np.asarray(f1["train"]),
+                                      np.asarray(f2["train"]))
+        assert "_streaming" not in f2["train"].attrs
+
+    # resume: a second streamed run is a no-op (files unchanged)
+    _generate_base_vectors_streaming(data_dir, "m", "b.parquet", 517,
+                                     "streamed.fvec", True, "streamed.hdf5",
+                                     None, batch_rows=100)
+    assert open(f"{data_dir}/streamed.fvec", "rb").read() == b
