@@ -135,6 +135,42 @@ def iter_vector_batches(filename: str, batch_rows: int, count: int | None = None
             offset += take
 
 
+def read_selected(filename: str, row_ids) -> np.ndarray:
+    """Read only `row_ids` (any order, duplicates allowed) from an
+    fvec/ivec file with one sequential chunked scan — memory stays
+    O(selected + chunk) instead of the whole file, which matters when the
+    validators hit a 10M x 1536 (61GB) base export."""
+    row_ids = np.asarray(row_ids, dtype=np.int64)
+    uniq, inverse = np.unique(row_ids, return_inverse=True)
+    type_char = _type_char_for(filename)
+    payload_dtype = np.dtype("<i4") if type_char == "i" else np.dtype("<f4")
+    size = os.path.getsize(filename)
+    with open(filename, "rb") as f:
+        dim = struct.unpack("<i", f.read(4))[0]
+        row_bytes = 4 * (dim + 1)
+        n = size // row_bytes
+        assert uniq.size == 0 or (0 <= uniq[0] and uniq[-1] < n), \
+            f"row id out of range for {filename} ({n} rows)"
+        out = np.empty((uniq.size, dim), dtype=payload_dtype)
+        chunk_rows = max(1, (64 << 20) // row_bytes)
+        got = 0
+        f.seek(0)
+        for start in range(0, n, chunk_rows):
+            lo = np.searchsorted(uniq, start)
+            hi = np.searchsorted(uniq, min(start + chunk_rows, n))
+            if lo == hi:
+                continue
+            f.seek(start * row_bytes)
+            count = min(chunk_rows, n - start)
+            raw = np.fromfile(f, dtype=np.dtype("<i4"),
+                              count=count * (dim + 1)).reshape(count, dim + 1)
+            out[lo:hi] = raw[uniq[lo:hi] - start, 1:].view(payload_dtype)
+            got += hi - lo
+            if got == uniq.size:
+                break
+    return out[inverse].reshape(*row_ids.shape, dim)
+
+
 def count_vectors(data_dir: str, filename: str) -> int:
     """Number of vectors in the file (reference: parquet_to_format.py:37-48)."""
     full_filename = get_full_filename(data_dir, filename)

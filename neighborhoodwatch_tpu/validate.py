@@ -30,12 +30,30 @@ def _read(data_dir, filename):
     return fvec.read_vectors(get_full_filename(data_dir, filename))
 
 
-def _gathered_similarities(queries, base, indices, batch=1024):
-    """sim[q, j] = <queries[q], base[indices[q, j]]> computed in batches."""
-    out = np.empty(indices.shape, dtype=np.float32)
+# above this base row count the validators gather only the referenced rows
+# (one sequential chunked scan) instead of loading the whole base fvec —
+# the 10M x 1536 target would otherwise need 61GB of host memory
+_SELECTED_READ_ROWS = 1 << 19
+
+
+def _base_neighbor_vectors(data_dir, base_fvec, indices):
+    """(Q, k, d) base vectors for every index; the full base matrix too
+    when it is small enough to keep (else None)."""
+    from neighborhoodwatch_tpu.utils.naming import get_full_filename
+    n = fvec.count_vectors(data_dir, base_fvec)
+    if n > _SELECTED_READ_ROWS:
+        full = get_full_filename(data_dir, base_fvec)
+        return fvec.read_selected(full, indices), None
+    base = _read(data_dir, base_fvec)
+    return base[indices], base
+
+
+def _gathered_similarities(queries, neighbors, batch=1024):
+    """sim[q, j] = <queries[q], neighbors[q, j]> computed in batches."""
+    out = np.empty(neighbors.shape[:2], dtype=np.float32)
     for s in range(0, len(queries), batch):
         qb = queries[s:s + batch]
-        nb = base[indices[s:s + batch]]  # (b, k, d)
+        nb = neighbors[s:s + batch]      # (b, k, d)
         out[s:s + batch] = np.einsum("qd,qkd->qk", qb, nb, dtype=np.float64)
     return out
 
@@ -45,16 +63,16 @@ def validate_files_v0(data_dir, query_vector_fvec, base_vector_fvec,
     """raft-convention check `1 - sim == distance / 2`
     (reference: parquet_to_format.py:351-383). Returns mismatch count."""
     queries = _read(data_dir, query_vector_fvec)
-    base = _read(data_dir, base_vector_fvec)
     indices = _read(data_dir, indices_ivec).astype(np.int64)
     distances = _read(data_dir, distances_fvec)
+    neighbors, _ = _base_neighbor_vectors(data_dir, base_vector_fvec, indices)
 
     nonzero = np.any(queries != 0, axis=1)
     skipped = int((~nonzero).sum())
     if skipped:
         print(f"Skipping {skipped} zero query vectors")
 
-    sims = _gathered_similarities(queries, base, indices)
+    sims = _gathered_similarities(queries, neighbors)
     mismatch = ~np.isclose(1.0 - sims, distances / 2.0, atol=atol)
     mismatch &= nonzero[:, None]
     total_mismatch = int(mismatch.sum())
@@ -74,9 +92,10 @@ def validate_files(data_dir, query_vector_fvec, base_vector_fvec, indices_ivec,
     cross-check on mismatch (reference: parquet_to_format.py:386-491).
     Returns mismatch count."""
     queries = _read(data_dir, query_vector_fvec)
-    base = _read(data_dir, base_vector_fvec)
     indices = _read(data_dir, indices_ivec).astype(np.int64)
     distances = _read(data_dir, distances_fvec)
+    neighbors, base = _base_neighbor_vectors(data_dir, base_vector_fvec,
+                                             indices)
 
     nonzero = np.any(queries != 0, axis=1)
 
@@ -85,7 +104,7 @@ def validate_files(data_dir, query_vector_fvec, base_vector_fvec, indices_ivec,
     assert not mono_viol[nonzero].any(), \
         f"distances not monotonically nondecreasing for rows {np.nonzero(mono_viol.any(1))[0][:10]}"
 
-    sims = _gathered_similarities(queries, base, indices)
+    sims = _gathered_similarities(queries, neighbors)
     mismatch = ~np.isclose(1.0 - sims, distances, atol=atol)
     mismatch &= nonzero[:, None]
     total_mismatch = int(mismatch.sum())
@@ -96,12 +115,17 @@ def validate_files(data_dir, query_vector_fvec, base_vector_fvec, indices_ivec,
         # kNN and the pairwise distances for offending queries.
         bad_rows = np.unique(np.nonzero(mismatch)[0])[:8]
         k = indices.shape[1]
-        re_d, re_i = knn(queries[bad_rows], base, k=k, metric="cosine")
+        if base is not None:
+            re_d, re_i = knn(queries[bad_rows], base, k=k, metric="cosine")
+            re_d = np.asarray(re_d)
+        else:   # base too large to re-rank fully; pairwise check only
+            re_d = None
         for r, qi in enumerate(bad_rows):
             pw = np.asarray(pairwise_distance(
-                queries[qi:qi + 1], base[indices[qi][mismatch[qi]][:4]],
+                queries[qi:qi + 1], neighbors[qi][mismatch[qi]][:4],
                 metric="cosine"))
-            print(f"query {qi}: recomputed top-k dists {np.asarray(re_d)[r][:5]} "
+            recomputed = re_d[r][:5] if re_d is not None else "(skipped)"
+            print(f"query {qi}: recomputed top-k dists {recomputed} "
                   f"vs file {distances[qi][:5]}; pairwise cross-check {pw[0]}")
     print(f"Total mismatch count: {total_mismatch}")
     return total_mismatch

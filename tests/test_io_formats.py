@@ -245,3 +245,26 @@ def test_streaming_base_export_matches_direct(tmp_path):
                                      "streamed.fvec", True, "streamed.hdf5",
                                      None, batch_rows=100)
     assert open(f"{data_dir}/streamed.fvec", "rb").read() == b
+
+
+def test_read_selected_matches_full(tmp_path):
+    import numpy as np
+    from neighborhoodwatch_tpu.io import fvec
+
+    rng = np.random.default_rng(9)
+    mat = rng.standard_normal((1000, 6)).astype(np.float32)
+    f = str(tmp_path / "m.fvec")
+    fvec.write_vectors(f, mat, "f")
+    ids = np.array([[999, 0, 512], [7, 7, 123]])
+    got = fvec.read_selected(f, ids)
+    np.testing.assert_array_equal(got, mat[ids])
+    # validators use the large-base path when forced
+    from neighborhoodwatch_tpu import validate as V
+    old = V._SELECTED_READ_ROWS
+    try:
+        V._SELECTED_READ_ROWS = 10
+        nb, base = V._base_neighbor_vectors(str(tmp_path), "m.fvec", ids)
+        assert base is None
+        np.testing.assert_array_equal(nb, mat[ids])
+    finally:
+        V._SELECTED_READ_ROWS = old
