@@ -264,6 +264,11 @@ Some example commands:\n
                         choices=["sqeuclidean", "euclidean", "cosine", "dot"],
                         help="token distance metric (dot matches the "
                              "reference torch engine)")
+    parser.add_argument("--engine", type=str, default="auto",
+                        choices=["auto", "exact", "verified", "screened"],
+                        help="kNN engine for the flat token path (the "
+                             "reference's raft/cuvs/torch choice maps to "
+                             "one exact TPU engine family)")
     parser.add_argument("--precision", type=str, default="highest",
                         choices=["default", "high", "highest"])
     parser.add_argument("--synthetic", action="store_true",
@@ -367,7 +372,7 @@ Some example commands:\n
             query_file, args.query_token_count,
             mem_tune=args.enable_memory_tuning,
             k=args.k, metric=args.metric,
-            precision=args.precision)
+            precision=args.precision, engine=args.engine)
         print(timer.report())
         _duration(section_time, start_time)
 

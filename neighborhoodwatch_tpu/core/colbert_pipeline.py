@@ -74,7 +74,8 @@ def process_knn_computation(data_dir, base_filename, base_count, query_filename,
                             query_count, mem_tune=False,
                             initial_batch_size=1_000_000,
                             max_memory_threshold=0.1, k=100,
-                            metric="dot", precision="highest"):
+                            metric="dot", precision="highest",
+                            engine="auto"):
     """Token-vs-token exact kNN (reference: colbert_knn.py:84-126, which
     defaults to the torch `1 - matmul` engine — metric='dot' here).
 
@@ -83,7 +84,7 @@ def process_knn_computation(data_dir, base_filename, base_count, query_filename,
                           base_filename, base_count, mem_tune=mem_tune, k=k,
                           initial_batch_size=initial_batch_size,
                           max_memory_threshold=max_memory_threshold,
-                          metric=metric, precision=precision)
+                          metric=metric, precision=precision, engine=engine)
 
 
 def _split_by_doc(tokens: np.ndarray, doc_ids: np.ndarray):
