@@ -175,3 +175,25 @@ def test_table_path_query_split(dataset_dir, normalized_vectors):
         naming.get_partial_indices_filename(data_dir, -1)).to_pandas().values
     ref_d, ref_i = knn(q, b, k=K)
     np.testing.assert_array_equal(got_i, np.asarray(ref_i))
+
+
+def test_validator_large_base_path(dataset_dir, normalized_vectors,
+                                   monkeypatch):
+    """validate_files_v0 over the selected-row (big-base) read path gives
+    the same verdict as the in-memory path."""
+    from neighborhoodwatch_tpu import validate as V
+
+    data_dir, qfile, bfile = dataset_dir
+    cleanup_partial_parquet(f"{data_dir}/partial")
+    compute_knn(data_dir, MODEL, DIMENSIONS, qfile, QUERY_COUNT, bfile,
+                BASE_COUNT, k=K, initial_batch_size=300)
+    merge_indices_and_distances(data_dir, k=K)
+    files = generate_output_files(
+        data_dir, naming.get_model_prefix(MODEL) + "big", DIMENSIONS, bfile,
+        qfile, BASE_COUNT, QUERY_COUNT,
+        naming.get_partial_indices_filename(data_dir, -1),
+        naming.get_partial_distances_filename(data_dir, -1),
+        K, output_hdf5=False)
+    qf, bf, inf, df = files
+    monkeypatch.setattr(V, "_SELECTED_READ_ROWS", 10)
+    assert V.validate_files_v0(data_dir, qf, bf, inf, df) == 0
