@@ -1,10 +1,11 @@
 """`nw` and `ck` command-line entry points.
 
 Flag parity with the reference CLIs (neighborhoodwatch.py:42-61,
-colbert_knn.py:155-172) plus TPU-native extras: --metric, --precision,
---streaming (device-merged finals, no partial files), --mesh (multi-chip
-sharding), --synthetic (hermetic source data, no network), --trace-dir
-(jax.profiler).
+colbert_knn.py:155-172) plus TPU-native extras: --metric, --precision, --engine,
+--use-dataset-api (streams the base out-of-core with device-merged finals
+and no partial files), --mesh (multi-chip sharding), --synthetic (hermetic
+source data, no network), --trace-dir (jax.profiler), ck --maxsim
+(doc-level late-interaction ground truth).
 """
 
 import argparse
