@@ -288,13 +288,26 @@ def screened_knn(query, base, k: int, metric: str = "sqeuclidean",
         query, base, n_rows=n_base,
         epilogue=_EPILOGUE_FOR_METRIC[metric],
         screen_precision=screen_precision, interpret=interpret)
-    cap = cand_d.shape[1]
+    # merge capacity excludes the certificate slab (1 of KEEP per mega)
+    cap = (cand_d.shape[1] // screen_kernel.KEEP) * (screen_kernel.KEEP - 1)
+    if k > cap:
+        # the screen cannot even represent k candidates for this base
+        # size; the certificate could never pass — go straight exact
+        return knn(query, base, k, metric=metric, precision="highest",
+                   base_offset=base_offset,
+                   engine="verified" if jax.default_backend() == "tpu"
+                   else "exact")
     if m is None:
         m = max(256, round_up(k + 156, 128))
     m = min(max(m, k), cap)
 
+    # bound the re-rank gather buffer (block, m, dim) to ~256MB: large k
+    # (hence large m) would otherwise materialize multi-GB gathers
+    block = 512
+    while block > 8 and block * m * query.shape[1] * 4 > (1 << 28):
+        block //= 2
     dist, idx, ok = _screened_select(query, base, cand_d, cand_i, k, m,
-                                     metric, passes)
+                                     metric, passes, block=block)
 
     ok_host = np.asarray(ok)
     if not ok_host.all():

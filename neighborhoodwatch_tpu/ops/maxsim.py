@@ -215,12 +215,20 @@ def maxsim_topk_screened(queries, q_mask, docs, d_mask, k: int,
 
     cand_neg, cand_doc, _ = mk.screen_maxsim(queries, q_mask, docs, d_mask)
     cap = (cand_neg.shape[1] // mk.KEEP) * (mk.KEEP - 1)
+    if k > cap:   # screen cannot represent k candidates -> exact XLA path
+        return maxsim_topk(queries, q_mask, docs, d_mask, k=k,
+                           tile_docs=2048)
     if m is None:
         m = max(256, round_up(k + 156, 128))
     m = min(max(m, k), cap)
 
+    # bound the re-rank gather buffer (block, m, td, dim) to ~256MB
+    block = 128
+    per_row = m * docs.shape[1] * docs.shape[2] * 4
+    while block > 8 and block * per_row > (1 << 28):
+        block //= 2
     scores, idx, ok = _maxsim_select(queries, q_mask, docs, d_mask,
-                                     cand_neg, cand_doc, k, m)
+                                     cand_neg, cand_doc, k, m, block=block)
     ok_host = np.asarray(ok)
     if not ok_host.all():
         bad = np.nonzero(~ok_host)[0]

@@ -110,3 +110,17 @@ def test_screen_kernel_candidate_indices_valid():
            - 2 * q.astype(np.float64) @ b[:MEGA].astype(np.float64).T)
     np.testing.assert_array_equal(ci[np.arange(4), cd.argmin(1)],
                                   d64.argmin(1))
+
+
+def test_screened_large_k():
+    """Large k widens the merged top-M; the re-rank block shrinks to keep
+    the gather buffer bounded and results stay exact."""
+    q, b = _data(4, 2 * MEGA, 24, seed=11)
+    k = 600
+    d_s, i_s = screened_knn(jnp.asarray(q), jnp.asarray(b), k)
+    d64 = ((q.astype(np.float64) ** 2).sum(1)[:, None]
+           + (b.astype(np.float64) ** 2).sum(1)[None, :]
+           - 2 * q.astype(np.float64) @ b.astype(np.float64).T)
+    oracle = np.argsort(d64, axis=1, kind="stable")[:, :k]
+    for r in range(4):
+        assert set(np.asarray(i_s)[r]) == set(oracle[r])
