@@ -332,6 +332,49 @@ def inspect_ifvec(filename: str, head: int = 3, out=None) -> dict:
     return report
 
 
+def knn_over_fvec(query_file: str, base_file: str, k: int,
+                  metric: str = "sqeuclidean", engine: str = "auto",
+                  batch_rows: int = 500_000, out_dir: str | None = None,
+                  out=None) -> tuple[str, str]:
+    """Exact kNN directly over existing fvec corpora: streams the base
+    file (through the native double-buffered reader when libnwio is
+    available) into the device-resident running top-k and writes
+    indices.ivec + distances.fvec next to the inputs.
+
+    The operator path for corpora that already live in fvec form —
+    the reference can only search vectors it generated itself."""
+    from neighborhoodwatch_tpu.io import fvec as fv
+    from neighborhoodwatch_tpu.native import nwio
+    from neighborhoodwatch_tpu.ops.knn import StreamingKNN
+
+    out = out or sys.stdout
+    queries = fv.read_vectors(query_file)
+    acc = StreamingKNN(queries, k=k, metric=metric, engine=engine)
+
+    if nwio.available():
+        stream = nwio.FvecStream(base_file, batch_rows, np.dtype("<f4"))
+        n_base = stream.n_rows
+    else:
+        mat = fv.read_vectors(base_file)
+        n_base = len(mat)
+        stream = ((s, mat[s:s + batch_rows])
+                  for s in range(0, n_base, batch_rows))
+    for offset, batch in stream:
+        acc.update(batch, offset)
+    dist, idx = acc.finalize()
+
+    out_dir = out_dir or (os.path.dirname(base_file) or ".")
+    stem = os.path.splitext(os.path.basename(query_file))[0]
+    idx_file = f"{out_dir}/{stem}_k{k}_indices.ivec"
+    dist_file = f"{out_dir}/{stem}_k{k}_distances.fvec"
+    fv.write_vectors(idx_file, idx.astype(np.int32), "i")
+    fv.write_vectors(dist_file, dist, "f")
+    print(json.dumps({"queries": len(queries), "base": n_base, "k": k,
+                      "metric": metric, "indices": idx_file,
+                      "distances": dist_file}), file=out)
+    return idx_file, dist_file
+
+
 # ---------------------------------------------------------------------------
 # CLI
 # ---------------------------------------------------------------------------
@@ -370,6 +413,17 @@ def main(argv=None) -> int:
     p.add_argument("file")
     p.add_argument("--head", type=int, default=3)
 
+    p = sub.add_parser("knn", help="exact kNN over existing fvec files")
+    p.add_argument("query_fvec")
+    p.add_argument("base_fvec")
+    p.add_argument("-k", type=int, default=100)
+    p.add_argument("--metric", default="sqeuclidean",
+                   choices=["sqeuclidean", "euclidean", "cosine", "dot"])
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "exact", "verified", "screened"])
+    p.add_argument("--batch-rows", type=int, default=500_000)
+    p.add_argument("--out-dir", default=None)
+
     args = parser.parse_args(argv)
     if args.cmd == "inspect":
         inspect_parquet(args.file, head=args.head)
@@ -387,6 +441,10 @@ def main(argv=None) -> int:
         hdf5_duplicates(args.file, groups=tuple(args.groups))
     elif args.cmd == "ifvec":
         inspect_ifvec(args.file, head=args.head)
+    elif args.cmd == "knn":
+        knn_over_fvec(args.query_fvec, args.base_fvec, k=args.k,
+                      metric=args.metric, engine=args.engine,
+                      batch_rows=args.batch_rows, out_dir=args.out_dir)
     return 0
 
 

@@ -134,3 +134,22 @@ def test_ifvec_inspect(tmp_path, capsys):
     assert main(["ifvec", str(tmp_path / "y.ivec")]) == 0
     out = capsys.readouterr().out
     assert '"kind": "ivec"' in out and '"vectors": 2' in out
+
+
+def test_knn_over_fvec(tmp_path):
+    import numpy as np
+    from neighborhoodwatch_tpu.io import fvec
+    from neighborhoodwatch_tpu.ops.knn import knn
+    from neighborhoodwatch_tpu.tools import knn_over_fvec
+
+    rng = np.random.default_rng(13)
+    q = rng.standard_normal((20, 24)).astype(np.float32)
+    b = rng.standard_normal((500, 24)).astype(np.float32)
+    qf, bf = str(tmp_path / "q.fvec"), str(tmp_path / "b.fvec")
+    fvec.write_vectors(qf, q, "f")
+    fvec.write_vectors(bf, b, "f")
+
+    idx_file, dist_file = knn_over_fvec(qf, bf, k=7, batch_rows=128)
+    idx = fvec.read_vectors(idx_file)
+    ref_d, ref_i = knn(q, b, k=7)
+    np.testing.assert_array_equal(idx, np.asarray(ref_i))
