@@ -40,10 +40,24 @@ class StageTimer:
 
 @contextlib.contextmanager
 def device_trace(trace_dir: str | None):
-    """Wrap a region in a jax.profiler trace when `trace_dir` is set."""
+    """Wrap a region in a jax.profiler trace when `trace_dir` is set.
+
+    Profiler failures must never kill a multi-hour generation run: start
+    errors degrade to no tracing, stop errors are reported and swallowed."""
     if not trace_dir:
         yield
         return
     import jax
-    with jax.profiler.trace(trace_dir):
+    try:
+        jax.profiler.start_trace(trace_dir)
+    except Exception as e:  # pragma: no cover - environment dependent
+        print(f"[warn] profiler trace unavailable ({e}); continuing untraced")
         yield
+        return
+    try:
+        yield
+    finally:
+        try:
+            jax.profiler.stop_trace()
+        except Exception as e:  # pragma: no cover
+            print(f"[warn] profiler stop_trace failed: {e}")
