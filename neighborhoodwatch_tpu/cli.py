@@ -38,6 +38,7 @@ def nw_main(argv=None):
     from neighborhoodwatch_tpu.models.registry import (
         EmbeddingModelName, get_effective_embedding_size,
         get_valid_model_names_string, is_valid_model_name,
+        local_weight_status,
     )
     from neighborhoodwatch_tpu.utils import naming
     from neighborhoodwatch_tpu.validate import validate_files_v0
@@ -131,7 +132,8 @@ Some example commands:\n
   hdf5:                {args.gen_hdf5}
   post validation:     {args.post_validation}
   memory tuning:       {args.enable_memory_tuning}
-  metric/precision:    {args.metric}/{args.precision}""")
+  metric/precision:    {args.metric}/{args.precision}
+  model weights:       {local_weight_status(args.model_name)}""")
 
     model_prefix = naming.get_model_prefix(args.model_name)
     data_dir = naming.setup_model_output_folder(
@@ -212,7 +214,7 @@ Some example commands:\n
             _section("Validating ivec's and fvec's")
             section_time = time.time()
             validate_files_v0(data_dir, query_fvec, base_fvec, indices_ivec,
-                              distances_fvec)
+                              distances_fvec, metric=args.metric)
             _duration(section_time, start_time)
 
 
@@ -303,6 +305,14 @@ Some example commands:\n
     embedding_chunk_size = scale_map[args.embedding_scale]
 
     token_generator = ColbertFlaxEmbeddingGenerator(chunk_size=embedding_chunk_size)
+    if token_generator.head_pretrained:
+        weight_status = "pretrained (colbertv2.0 backbone + projection head)"
+    elif token_generator.pretrained:
+        weight_status = ("pretrained backbone + RANDOM projection head "
+                         "— NOT ground truth")
+    else:
+        weight_status = "RANDOM INIT (no local checkpoint) — NOT ground truth"
+    print(f"  model weights:       {weight_status}")
 
     logging.basicConfig(
         level=logging.INFO,

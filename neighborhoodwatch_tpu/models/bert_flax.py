@@ -153,6 +153,20 @@ def load_hf_weights(model_name: str, config: BertConfig):
               f"falling back to random init")
         return None
     sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    return convert_torch_state_dict(sd, config)
+
+
+def convert_torch_state_dict(sd: dict, config: BertConfig, prefix: str = ""):
+    """Pure torch-BERT state_dict -> BertEncoder param-tree conversion.
+
+    `sd` maps HF BERT key names (``embeddings.word_embeddings.weight``,
+    ``encoder.layer.{i}.attention.self.query.weight``, ...) to numpy arrays.
+    `prefix` strips a leading scope (ColBERT checkpoints nest the backbone
+    under ``bert.``). Numerical parity with torch is asserted by
+    tests/test_torch_parity.py against a live torch BertModel.
+    """
+    if prefix:
+        sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
 
     def lin(prefix):
         return {"kernel": sd[f"{prefix}.weight"].T, "bias": sd[f"{prefix}.bias"]}

@@ -21,13 +21,54 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from neighborhoodwatch_tpu.models.bert_flax import (
-    BertEncoder, COLBERT_BASE_CONFIG, load_hf_weights,
+    BertEncoder, COLBERT_BASE_CONFIG, convert_torch_state_dict, load_hf_weights,
 )
 from neighborhoodwatch_tpu.models.generators import EmbeddingGenerator
 from neighborhoodwatch_tpu.models.registry import EmbeddingModelName
 from neighborhoodwatch_tpu.models.tokenizer import load_tokenizer
 
 COLBERT_DIM = 128
+COLBERT_HF_REPO = "colbert-ir/colbertv2.0"
+# bert-base-uncased [unused1] — colbert-ai's "[D]" document marker, inserted
+# after [CLS] by its DocTokenizer before encoding.
+DOC_MARKER_ID = 2
+
+
+def colbert_params_from_state_dict(sd: dict, config=COLBERT_BASE_CONFIG):
+    """Map a ColBERT torch state_dict (BERT backbone under ``bert.`` + the
+    128-d ``linear.weight`` projection, no bias — the checkpoint layout of
+    colbert-ir/colbertv2.0, which the reference downloads as the Stanford
+    tarball, model_generator.py:410-427) onto :class:`ColbertModel` params."""
+    backbone = convert_torch_state_dict(sd, config, prefix="bert.")
+    head = np.asarray(sd["linear.weight"])
+    assert head.shape == (COLBERT_DIM, config.hidden_size), head.shape
+    return {"params": {"bert": backbone["params"],
+                       "linear": {"kernel": jnp.asarray(head.T)}}}
+
+
+def load_colbert_hf_weights(model_name: str = COLBERT_HF_REPO,
+                            config=COLBERT_BASE_CONFIG):
+    """Full pretrained ColBERT params (backbone + projection head) from a
+    locally cached HF checkpoint; None when unavailable (zero egress)."""
+    try:
+        from transformers.utils import hub as _hub
+        sd = None
+        path = _hub.try_to_load_from_cache(model_name, "model.safetensors")
+        if isinstance(path, str):
+            from safetensors.numpy import load_file
+            sd = load_file(path)
+        else:
+            path = _hub.try_to_load_from_cache(model_name, "pytorch_model.bin")
+            if isinstance(path, str):
+                import torch
+                raw = torch.load(path, map_location="cpu", weights_only=True)
+                sd = {k: v.numpy() for k, v in raw.items()}
+        if sd is None:
+            raise FileNotFoundError(f"{model_name} not in local HF cache")
+        return colbert_params_from_state_dict(sd, config)
+    except Exception as e:
+        print(f"   [warn] no local ColBERT checkpoint ({e})")
+        return None
 
 
 class ColbertModel(nn.Module):
@@ -53,23 +94,37 @@ class ColbertFlaxEmbeddingGenerator(EmbeddingGenerator):
                          output_dimension=COLBERT_DIM)
         self.max_length = max_length
         self.config = config
-        self.tokenizer = load_tokenizer(hf_backbone)
+        # prefer the real ColBERT tokenizer config when cached; the backbone
+        # tokenizer is identical (bert-base-uncased vocab) as a fallback
+        self.tokenizer = load_tokenizer(COLBERT_HF_REPO, quiet=True)
+        if self.tokenizer.is_hashed:
+            self.tokenizer = load_tokenizer(hf_backbone)
         self.model = ColbertModel(config)
+        self.head_pretrained = False
         if params is None:
-            backbone = load_hf_weights(hf_backbone, self.config)
-            if backbone is not None:
-                # graft the pretrained backbone under this module's scope;
-                # the projection head stays random without the ColBERT ckpt
-                rng_params = self._random_params(seed)
-                rng_params["params"]["bert"] = backbone["params"]
-                params = rng_params
-                self.pretrained = True
+            params = load_colbert_hf_weights(config=self.config)
+            if params is not None:
+                # full checkpoint: backbone + real 128-d projection head
+                self.pretrained = self.head_pretrained = True
             else:
-                params = self._random_params(seed)
-                self.pretrained = False
+                backbone = load_hf_weights(hf_backbone, self.config)
+                if backbone is not None:
+                    # graft the pretrained backbone under this module's
+                    # scope; projection head stays random — NOT ground truth
+                    params = self._random_params(seed)
+                    params["params"]["bert"] = backbone["params"]
+                    self.pretrained = True
+                else:
+                    params = self._random_params(seed)
+                    self.pretrained = False
         else:
-            self.pretrained = True
+            self.pretrained = self.head_pretrained = True
         self.params = params
+        # doc-encoding fidelity with colbert-ai's CollectionEncoder: insert
+        # the "[D]" marker after [CLS] and drop punctuation tokens from the
+        # output stream. Only meaningful with real vocab + real weights.
+        self.use_doc_marker = self.head_pretrained and not self.tokenizer.is_hashed
+        self._skiplist = self._punctuation_ids() if self.use_doc_marker else frozenset()
 
         @partial(jax.jit, static_argnums=())
         def _forward(params, input_ids, attention_mask):
@@ -82,6 +137,15 @@ class ColbertFlaxEmbeddingGenerator(EmbeddingGenerator):
         return self.model.init(jax.random.PRNGKey(seed), dummy,
                                jnp.ones_like(dummy))
 
+    def _punctuation_ids(self):
+        """Token ids colbert-ai's CollectionEncoder masks out of document
+        streams (its `skiplist`: every punctuation symbol's token id)."""
+        import string
+        ids = set()
+        for ch in string.punctuation:
+            ids.update(self.tokenizer._tok.encode(ch, add_special_tokens=False))
+        return frozenset(ids)
+
     def _call_model_api(self, text_list, *args, **kwargs):
         raise NotImplementedError("ColBERT uses generate_embedding directly")
 
@@ -89,21 +153,30 @@ class ColbertFlaxEmbeddingGenerator(EmbeddingGenerator):
         """(total_tokens, 128) embeddings + per-passage token counts —
         the CollectionEncoder.encode_passages contract. All batches are
         dispatched before the first device->host read so tokenization of
-        batch i+1 overlaps the encode of batch i (jax dispatch is async)."""
+        batch i+1 overlaps the encode of batch i (jax dispatch is async).
+
+        With real weights + real vocab this matches colbert-ai's document
+        encoding: "[D]" marker after [CLS], punctuation tokens dropped."""
+        marker = DOC_MARKER_ID if self.use_doc_marker else None
         pending = []
         for s in range(0, len(texts), batch_size):
             batch = texts[s:s + batch_size]
-            ids, mask = self.tokenizer(batch, max_length=self.max_length)
+            ids, mask = self.tokenizer(batch, max_length=self.max_length,
+                                       insert_after_cls=marker)
             dev = self._forward(self.params, jnp.asarray(ids),
                                 jnp.asarray(mask))
-            pending.append((dev, mask))
+            pending.append((dev, ids, mask))
+        skip = np.fromiter(self._skiplist, dtype=np.int64) if self._skiplist \
+            else None
         all_tokens, counts = [], []
-        for dev, mask in pending:
+        for dev, ids, mask in pending:
             emb = np.asarray(dev, dtype=np.float32)
-            for row_emb, row_mask in zip(emb, mask):
-                n = int(row_mask.sum())
-                all_tokens.append(row_emb[:n])
-                counts.append(n)
+            keep = mask.astype(bool)
+            if skip is not None:
+                keep &= ~np.isin(ids, skip)
+            for row_emb, row_keep in zip(emb, keep):
+                all_tokens.append(row_emb[row_keep])
+                counts.append(int(row_keep.sum()))
         if not all_tokens:
             return np.empty((0, COLBERT_DIM), dtype=np.float32), []
         return np.concatenate(all_tokens, axis=0), counts

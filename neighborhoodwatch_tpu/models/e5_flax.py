@@ -59,29 +59,28 @@ class E5FlaxEmbeddingGenerator(EmbeddingGenerator):
         one pipeline instead of a blocking round-trip per 64-row chunk."""
         if isinstance(text_list, str):
             text_list = [text_list]
-        zero = np.zeros(self.output_dimension, dtype=np.float32)
         pending = []            # (device array | None, row count)
-        for start in range(0, len(text_list), self.chunk_size):
-            process = ["query:" + s
-                       for s in text_list[start:start + self.chunk_size]]
+        for chunk in self._iter_chunks(text_list):
             try:
-                ids, mask = self.tokenizer(process, max_length=self.max_length)
+                ids, mask = self.tokenizer(chunk, max_length=self.max_length)
                 dev = self._forward(self.params, jnp.asarray(ids),
                                     jnp.asarray(mask))
-                pending.append((dev, len(process)))
-            except Exception as e:
-                print(f"   >>> [WARN] failed to retrieve the embeddings: {e}")
-                pending.append((None, len(process)))
+                pending.append((dev, len(chunk)))
+            except Exception as exc:
+                print(f"   !! embedding chunk failed ({exc}); "
+                      f"emitting zero vectors for {len(chunk)} rows")
+                pending.append((None, len(chunk)))
         embeddings = []
         for dev, n in pending:
             if dev is None:
-                embeddings.extend([zero] * n)
+                embeddings.extend([self._zero_fallback()] * n)
                 continue
             try:
                 embeddings.extend(np.asarray(dev, dtype=np.float32))
-            except Exception as e:
-                print(f"   >>> [WARN] failed to retrieve the embeddings: {e}")
-                embeddings.extend([zero] * n)
+            except Exception as exc:
+                print(f"   !! embedding readback failed ({exc}); "
+                      f"emitting zero vectors for {n} rows")
+                embeddings.extend([self._zero_fallback()] * n)
         return embeddings
 
     def encode(self, texts, batch_size: int = 64):

@@ -14,7 +14,6 @@ exactly once, in the ABC.
 """
 
 import os
-import math
 from abc import ABC, abstractmethod
 
 import numpy as np
@@ -49,27 +48,30 @@ class EmbeddingGenerator(ABC):
     def dimensions(self) -> int:
         return self.output_dimension
 
+    def _iter_chunks(self, texts):
+        """Yield chunk_size-bounded slices, with the e5 "query:" prefix
+        applied exactly once here (the reference applies it twice — in the
+        ABC and again in the dataset layer; see module docstring)."""
+        prefix = "query:" if "e5" in self.model_name else None
+        for start in range(0, len(texts), self.chunk_size):
+            chunk = texts[start:start + self.chunk_size]
+            yield [prefix + t for t in chunk] if prefix else chunk
+
+    def _zero_fallback(self):
+        return np.zeros(self.output_dimension, dtype=np.float32)
+
     def generate_embedding(self, text_list, *args, **kwargs):
         if isinstance(text_list, str):
             text_list = [text_list]
-        embeddings = []
-        total_items = len(text_list)
-        chunks = math.ceil(total_items / self.chunk_size)
-        zero_vector = [0.0] * self.output_dimension
-
-        for i in range(chunks):
-            start = i * self.chunk_size
-            end = min(start + self.chunk_size, total_items)
-            process = text_list[start:end]
-            if "e5" in self.model_name:
-                process = ["query:" + s for s in process]
+        out = []
+        for chunk in self._iter_chunks(text_list):
             try:
-                model_output = self._call_model_api(process, *args, **kwargs)
-                embeddings.extend(model_output)
-            except Exception as e:
-                print(f"   >>> [WARN] failed to retrieve the embeddings: {e}")
-                embeddings.extend([zero_vector] * len(process))
-        return embeddings
+                out.extend(self._call_model_api(chunk, *args, **kwargs))
+            except Exception as exc:
+                print(f"   !! embedding chunk failed ({exc}); "
+                      f"emitting zero vectors for {len(chunk)} rows")
+                out.extend([self._zero_fallback()] * len(chunk))
+        return out
 
     @abstractmethod
     def _call_model_api(self, text_list: list, *args, **kwargs):

@@ -126,3 +126,30 @@ def get_embedding_generator_for_model(model_name, output_dimension=None,
                                             input_type=dataset_type,
                                             output_dtype=output_dtype)
     return None
+
+
+def local_weight_status(model_name: str) -> str:
+    """Weight provenance for the CLI banner. Local Flax models (e5, ColBERT)
+    silently fall back to deterministic random init in zero-egress
+    environments — that is pipeline-valid but NOT ground truth, so the CLIs
+    surface it loudly up front."""
+    def cached(repo, fname="config.json"):
+        try:
+            from transformers.utils import hub
+            return isinstance(hub.try_to_load_from_cache(repo, fname), str)
+        except Exception:
+            return False
+
+    if "e5" in model_name:
+        if cached(model_name):
+            return f"pretrained ({model_name}, local HF cache)"
+        return "RANDOM INIT (no local checkpoint) — NOT ground truth"
+    if model_name == EmbeddingModelName.COLBERT_V2.value:
+        if (cached("colbert-ir/colbertv2.0", "model.safetensors")
+                or cached("colbert-ir/colbertv2.0", "pytorch_model.bin")):
+            return "pretrained (colbertv2.0 backbone + projection head)"
+        if cached("bert-base-uncased"):
+            return ("pretrained backbone + RANDOM projection head "
+                    "— NOT ground truth")
+        return "RANDOM INIT (no local checkpoint) — NOT ground truth"
+    return "remote API (weights server-side)"

@@ -35,13 +35,15 @@ class HashTokenizer:
         span = self.vocab_size - _HASH_FLOOR
         return _HASH_FLOOR + int.from_bytes(digest, "little") % span
 
-    def __call__(self, texts, max_length: int = 512):
+    def __call__(self, texts, max_length: int = 512, insert_after_cls=None):
         ids_rows, mask_rows = [], []
         for text in texts:
             words = _WORD_RE.findall(text)[: max_length - 2]
             ids = [CLS_ID] + [self._word_id(w) for w in words] + [SEP_ID]
             ids_rows.append(ids)
             mask_rows.append([1] * len(ids))
+        ids_rows, mask_rows = _insert(ids_rows, mask_rows,
+                                      insert_after_cls, max_length)
         return _pad(ids_rows, mask_rows, max_length)
 
 
@@ -51,9 +53,22 @@ class HFTokenizer:
     def __init__(self, tok):
         self._tok = tok
 
-    def __call__(self, texts, max_length: int = 512):
-        enc = self._tok(list(texts), truncation=True, max_length=max_length)
-        return _pad(enc["input_ids"], enc["attention_mask"], max_length)
+    def __call__(self, texts, max_length: int = 512, insert_after_cls=None):
+        budget = max_length - (1 if insert_after_cls is not None else 0)
+        enc = self._tok(list(texts), truncation=True, max_length=budget)
+        ids_rows, mask_rows = _insert(enc["input_ids"], enc["attention_mask"],
+                                      insert_after_cls, max_length)
+        return _pad(ids_rows, mask_rows, max_length)
+
+
+def _insert(ids_rows, mask_rows, token_id, max_length):
+    """Insert a marker token right after [CLS] (colbert-ai's DocTokenizer
+    "[D]" convention), keeping the attention mask aligned."""
+    if token_id is None:
+        return ids_rows, mask_rows
+    ids_rows = [row[:1] + [token_id] + row[1:max_length - 1] for row in ids_rows]
+    mask_rows = [row[:1] + [1] + row[1:max_length - 1] for row in mask_rows]
+    return ids_rows, mask_rows
 
 
 def _pad(ids_rows, mask_rows, max_length):
@@ -74,7 +89,7 @@ def _pad(ids_rows, mask_rows, max_length):
     return ids, mask
 
 
-def load_tokenizer(model_name: str):
+def load_tokenizer(model_name: str, quiet: bool = False):
     """Local HF tokenizer if cached, else the hash fallback."""
     try:
         from transformers.utils import hub as _hub
@@ -84,6 +99,7 @@ def load_tokenizer(model_name: str):
         tok = AutoTokenizer.from_pretrained(model_name, local_files_only=True)
         return HFTokenizer(tok)
     except Exception:
-        print(f"   [warn] no local tokenizer for {model_name}; "
-              f"using deterministic hash tokenizer")
+        if not quiet:
+            print(f"   [warn] no local tokenizer for {model_name}; "
+                  f"using deterministic hash tokenizer")
         return HashTokenizer()

@@ -58,10 +58,26 @@ def _gathered_similarities(queries, neighbors, batch=1024):
     return out
 
 
+def _expected_one_minus_sim(distances, metric):
+    """Map a written distance back to the `1 - similarity` value each
+    metric convention implies (on normalized vectors): raft sqeuclidean
+    d == 2(1-sim) (reference parquet_to_format.py:373), euclidean is its
+    sqrt, cosine/dot d == 1-sim (reference :417,:425)."""
+    if metric == "sqeuclidean":
+        return distances / 2.0
+    if metric == "euclidean":
+        return np.square(distances.astype(np.float64)) / 2.0
+    if metric in ("cosine", "dot"):
+        return distances
+    raise ValueError(f"no validation convention for metric {metric!r}")
+
+
 def validate_files_v0(data_dir, query_vector_fvec, base_vector_fvec,
-                      indices_ivec, distances_fvec, atol=1e-4) -> int:
-    """raft-convention check `1 - sim == distance / 2`
-    (reference: parquet_to_format.py:351-383). Returns mismatch count."""
+                      indices_ivec, distances_fvec, atol=1e-4,
+                      metric="sqeuclidean") -> int:
+    """Recompute similarities and check the metric's distance convention
+    (reference: parquet_to_format.py:351-383, raft `1-sim == d/2`; here
+    dispatched on the generation metric). Returns mismatch count."""
     queries = _read(data_dir, query_vector_fvec)
     indices = _read(data_dir, indices_ivec).astype(np.int64)
     distances = _read(data_dir, distances_fvec)
@@ -73,24 +89,48 @@ def validate_files_v0(data_dir, query_vector_fvec, base_vector_fvec,
         print(f"Skipping {skipped} zero query vectors")
 
     sims = _gathered_similarities(queries, neighbors)
-    mismatch = ~np.isclose(1.0 - sims, distances / 2.0, atol=atol)
+    expected = _expected_one_minus_sim(distances, metric)
+    mismatch = ~np.isclose(1.0 - sims, expected, atol=atol)
     mismatch &= nonzero[:, None]
     total_mismatch = int(mismatch.sum())
     for qi, col in zip(*np.nonzero(mismatch)):
         if total_mismatch <= 20 or col == 0:
             print(f"Expected '1 - similarity' ({1 - sims[qi, col]}) equal to "
-                  f"distance ({distances[qi, col]}) for query vector {qi} and "
-                  f"base vector {indices[qi, col]}")
+                  f"{metric}-implied value ({expected[qi, col]}) for query "
+                  f"vector {qi} and base vector {indices[qi, col]}")
     print(f"Total mismatch count: {total_mismatch}")
     return total_mismatch
 
 
+def _numpy_knn_f64(queries, base, k, metric):
+    """Third independent engine: float64 numpy brute force — shares no code
+    with the JAX engines (analog of the reference's torch matmul/topk
+    fallback, parquet_to_format.py:460-466)."""
+    q = np.asarray(queries, dtype=np.float64)
+    b = np.asarray(base, dtype=np.float64)
+    if metric == "cosine":
+        q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+        b = b / np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-30)
+    dots = q @ b.T
+    if metric in ("sqeuclidean", "euclidean"):
+        d = np.maximum((q * q).sum(1)[:, None] + (b * b).sum(1)[None, :]
+                       - 2.0 * dots, 0.0)
+        if metric == "euclidean":
+            d = np.sqrt(d)
+    else:
+        d = 1.0 - dots
+    idx = np.argsort(d, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(d, idx, axis=1), idx
+
+
 def validate_files(data_dir, query_vector_fvec, base_vector_fvec, indices_ivec,
                    distances_fvec, columns=None, input_parquet=None,
-                   atol=1e-4) -> int:
-    """cosine-convention check + monotonicity + independent-engine
+                   atol=1e-4, metric="cosine") -> int:
+    """Metric-convention check + monotonicity + independent-engine
     cross-check on mismatch (reference: parquet_to_format.py:386-491).
-    Returns mismatch count."""
+    On mismatch three independent engines run — full exact kNN recompute,
+    pairwise distance, and float64 numpy brute force — approaching the
+    reference's 4-engine depth (:427-466). Returns mismatch count."""
     queries = _read(data_dir, query_vector_fvec)
     indices = _read(data_dir, indices_ivec).astype(np.int64)
     distances = _read(data_dir, distances_fvec)
@@ -105,27 +145,30 @@ def validate_files(data_dir, query_vector_fvec, base_vector_fvec, indices_ivec,
         f"distances not monotonically nondecreasing for rows {np.nonzero(mono_viol.any(1))[0][:10]}"
 
     sims = _gathered_similarities(queries, neighbors)
-    mismatch = ~np.isclose(1.0 - sims, distances, atol=atol)
+    expected = _expected_one_minus_sim(distances, metric)
+    mismatch = ~np.isclose(1.0 - sims, expected, atol=atol)
     mismatch &= nonzero[:, None]
     total_mismatch = int(mismatch.sum())
 
     if total_mismatch:
         # Independent-engine cross-check (analog of the reference's cuvs /
-        # full-rebuild / torch fallbacks :427-466): recompute the full exact
-        # kNN and the pairwise distances for offending queries.
+        # full-rebuild / single-vector / torch fallbacks :427-466).
         bad_rows = np.unique(np.nonzero(mismatch)[0])[:8]
         k = indices.shape[1]
         if base is not None:
-            re_d, re_i = knn(queries[bad_rows], base, k=k, metric="cosine")
+            re_d, _ = knn(queries[bad_rows], base, k=k, metric=metric)
             re_d = np.asarray(re_d)
+            np_d, _ = _numpy_knn_f64(queries[bad_rows], base, k, metric)
         else:   # base too large to re-rank fully; pairwise check only
-            re_d = None
+            re_d = np_d = None
         for r, qi in enumerate(bad_rows):
             pw = np.asarray(pairwise_distance(
                 queries[qi:qi + 1], neighbors[qi][mismatch[qi]][:4],
-                metric="cosine"))
+                metric=metric))
             recomputed = re_d[r][:5] if re_d is not None else "(skipped)"
-            print(f"query {qi}: recomputed top-k dists {recomputed} "
+            numpy64 = np_d[r][:5] if np_d is not None else "(skipped)"
+            print(f"query {qi}: recomputed top-k dists {recomputed}; "
+                  f"float64 numpy {numpy64} "
                   f"vs file {distances[qi][:5]}; pairwise cross-check {pw[0]}")
     print(f"Total mismatch count: {total_mismatch}")
     return total_mismatch
