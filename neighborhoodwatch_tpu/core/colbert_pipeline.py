@@ -43,14 +43,20 @@ def process_source_dataset(streamer, generator, dataset, input_dimensions,
         if not sentence_list:
             continue
         embeddings, counts = generator.generate_embedding(sentence_list)
-        for flat in embeddings:
-            flat = np.asarray(flat)
-            if not np.any(flat):
+        # the generator contract is ([flat tokens of ALL sentences], counts
+        # per sentence) — reference model_generator.py:433-439; split the
+        # flat stream back into per-sentence passages so each sentence gets
+        # its own doc id (one wikipedia article is many passages, not one)
+        flat = np.concatenate([np.asarray(e).reshape(-1, input_dimensions)
+                               for e in embeddings], axis=0)
+        assert len(flat) == sum(counts), \
+            f"token stream length {len(flat)} != sum of counts {sum(counts)}"
+        for passage in np.split(flat, np.cumsum(counts)[:-1]):
+            if not np.any(passage):
                 zero_text_embeddings += 1
                 continue
-            tokens = flat.reshape(-1, input_dimensions)
-            take = min(len(tokens), token_count - processed_tokens)
-            token_rows.append(tokens[:take])
+            take = min(len(passage), token_count - processed_tokens)
+            token_rows.append(passage[:take])
             doc_ids.append(np.full(take, total_sentences, dtype=np.int32))
             processed_tokens += take
             total_sentences += 1

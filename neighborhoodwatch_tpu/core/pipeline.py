@@ -28,7 +28,7 @@ import numpy as np
 
 from neighborhoodwatch_tpu.core.tuner import plan_knn
 from neighborhoodwatch_tpu.io.parquet_io import (
-    read_embeddings, read_embeddings_device, iter_embedding_batches,
+    read_embeddings, read_embeddings_colmajor, iter_embedding_batches,
     write_matrix_to_parquet, parquet_row_count,
 )
 from neighborhoodwatch_tpu.ops.knn import knn, StreamingKNN
@@ -68,6 +68,16 @@ def _prefetch(iterator, depth: int = 2):
         raise err[0]
 
 
+def _batch_to_device(base_t: np.ndarray, offset: int, batch_size: int):
+    """One (d, batch) host column slice -> (batch, d) device array. The
+    slice copy is sequential-friendly (>=batch*4-byte runs) and the
+    transpose is an on-device XLA relayout."""
+    import jax
+    import jax.numpy as jnp
+    sl = np.ascontiguousarray(base_t[:, offset: offset + batch_size])
+    return jax.jit(jnp.transpose)(jax.device_put(sl))
+
+
 def compute_knn(data_dir: str,
                 model_name: str,
                 dimensions: int,
@@ -95,12 +105,14 @@ def compute_knn(data_dir: str,
     with timer.stage("load_query"):
         query = read_embeddings(data_dir, query_filename, query_count, dimensions)
     with timer.stage("load_base"):
-        # col-major host read + on-device transpose: the (n, d) assembly
-        # is ~20x cheaper on memory-bound hosts (see table_to_colmajor)
-        base = read_embeddings_device(data_dir, base_filename, base_count,
-                                      dimensions)
+        # HOST-resident (d, n) matrix: the base may exceed HBM (61 GB at the
+        # 10M x 1536 target vs 16 GB/chip); each batch is device_put as a
+        # column slice and transposed on device (reference table path
+        # semantics: cu_knn.py:205-211 copies per batch from host arrow)
+        base_t = read_embeddings_colmajor(data_dir, base_filename, base_count,
+                                          dimensions)
 
-    n_base = base.shape[0]
+    n_base = base_t.shape[1]
     threshold = max_memory_threshold if mem_tune else 0.5
     plan = plan_knn(query.shape[0], query.shape[1], k, base_count=n_base,
                     max_memory_threshold=threshold,
@@ -125,7 +137,7 @@ def compute_knn(data_dir: str,
     with timer.stage("knn_batches"):
         for b in range(batch_count):
             off = b * batch_size
-            chunk = base[off: off + batch_size]
+            chunk = _batch_to_device(base_t, off, batch_size)
             parts = []
             for qs in range(0, q_rows, q_chunk):
                 d, i = knn(query[qs: qs + q_chunk], chunk, k=k, metric=metric,

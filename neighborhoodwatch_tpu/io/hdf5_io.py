@@ -66,13 +66,22 @@ def write_hdf5_slab(data_dir, model_name, batch, filename, group,
     batch = np.asarray(batch.values if hasattr(batch, "values") else batch)
     full_filename = get_full_filename(data_dir, filename)
     with h5py.File(full_filename, "a") as f:
-        if group in f:
-            ds = f[group]
-            if ds.attrs.get("_streaming") != 1 or offset == 0:
+        ds = f.get(group)
+        if ds is not None:
+            if ds.attrs.get("_streaming") != 1:
                 print(f"Group '{group}' already exists in file "
                       f"'{full_filename}'")
                 return False
-        else:
+            if offset == 0:
+                # leftover marker from a crashed export: the dataset is
+                # partially filled, not complete — restart from scratch
+                # rather than silently keeping zero rows past the crash
+                print(f"Group '{group}' is an incomplete streamed export "
+                      f"in '{full_filename}'; recreating")
+                del f[group]
+                ds = None
+            # else: resuming export continues filling the open stream
+        if ds is None:
             if output_dtype is None:
                 t, enc = batch.dtype, None
             else:

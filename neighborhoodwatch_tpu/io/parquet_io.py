@@ -159,6 +159,26 @@ def read_embeddings_device(data_dir: str, filename: str,
     return jax.jit(jnp.transpose)(jax.device_put(mat_t))
 
 
+def read_embeddings_colmajor(data_dir: str, filename: str,
+                             count: int | None = None,
+                             dimensions: int | None = None) -> np.ndarray:
+    """Load an embeddings parquet as a HOST (d, n) float32 matrix (the
+    embedding matrix transposed, sequential writes only). Callers stream
+    column slices to the device and transpose there — this is how the table
+    path keeps bases larger than HBM in host RAM (reference semantics:
+    cu_knn.py:205-211 keeps the arrow table on host and copies per batch)."""
+    full = get_full_filename(data_dir, filename)
+    schema = pq.read_schema(full)
+    columns = embedding_column_names(schema)
+    if dimensions is not None:
+        assert len(columns) == dimensions or dimensions == 8 * len(columns), \
+            f"Expected {dimensions} embedding columns, got {len(columns)} in {filename}"
+    table = pq.read_table(full, columns=columns)
+    if count is not None:
+        table = table.slice(0, count)
+    return table_to_colmajor(table, columns)
+
+
 def read_embeddings(data_dir: str, filename: str, count: int | None = None,
                     dimensions: int | None = None) -> np.ndarray:
     """Load the embedding matrix from an embeddings parquet file

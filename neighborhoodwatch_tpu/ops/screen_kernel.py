@@ -249,7 +249,8 @@ def screen_candidates(q, base, *, n_rows: int | None = None,
                       epilogue: str = "l2",
                       screen_precision: str = "high",
                       tq: int | None = None, sub: int | None = None,
-                      interpret: bool | None = None):
+                      interpret: bool | None = None,
+                      n_valid=None):
     """Fused distance+screen: (Q, D) x (B, D) -> (Q, C) candidate
     (distance, global index) lists, C = KEEP*128 per (TB*sub)-row mega-tile.
 
@@ -261,7 +262,12 @@ def screen_candidates(q, base, *, n_rows: int | None = None,
 
     `tq`/`sub` default adaptively: big query batches use 512-row query
     blocks (half the base HBM re-reads), big bases use 56-sub-tile megas
-    (half the candidate width downstream)."""
+    (half the candidate width downstream).
+
+    `n_valid` is an optional TRACED row count: rows at index >= n_valid get
+    +inf norms and never win a bin. This is what lets the kernel run under
+    shard_map, where the real row count of a statically-shaped padded shard
+    is a traced scalar (n_rows, by contrast, must be static)."""
     assert screen_precision in SCREEN_PRECISIONS
     assert epilogue in EPILOGUES
     passes = 3 if screen_precision == "high" else 1
@@ -299,6 +305,8 @@ def screen_candidates(q, base, *, n_rows: int | None = None,
 
     qn = jnp.sum(q * q, axis=1, keepdims=True)              # (Qp, 1)
     bn = jnp.sum(base * base, axis=1)[:B]                   # (B,)
+    if n_valid is not None:
+        bn = jnp.where(jnp.arange(B) < n_valid, bn, jnp.inf)
     bn = jnp.pad(bn, (0, Bp - B), constant_values=jnp.inf)[None, :]
 
     cand_d, cand_i = _screen_call(q, base, qn, bn, epilogue, passes,

@@ -34,9 +34,23 @@ from neighborhoodwatch_tpu.parallel.mesh import DP_AXIS, MP_AXIS
 
 
 def _trace_safe_engine(engine: str) -> str:
-    """Engines usable inside shard_map tracing. The screened engine's
-    certificate fallback is host-driven (np.asarray on the ok mask), so it
-    cannot run under a trace; use the fully-traced verified/exact paths."""
+    """Resolve the engine for shard_map-traced paths. "screened" runs
+    fully traced via ops.knn.screened_knn_traced (in-trace certificate
+    repair); "auto" picks screened on TPU — per-shard folds still fall back
+    to verified/exact when the shard is too small for the kernel."""
+    if engine in ("exact", "verified", "screened"):
+        return engine
+    return "screened" if jax.default_backend() == "tpu" else "exact"
+
+
+def _screen_mega() -> int:
+    from neighborhoodwatch_tpu.ops import screen_kernel
+    return screen_kernel.MEGA
+
+
+def _small_shard_engine(engine: str) -> str:
+    """Scan/full-tile engine when the shard is too small for the screen
+    kernel (or the caller asked for a non-screened engine)."""
     if engine in ("exact", "verified"):
         return engine
     return "verified" if jax.default_backend() == "tpu" else "exact"
@@ -67,9 +81,16 @@ def sharded_knn(query, base, k: int, mesh, metric: str = "sqeuclidean",
     def _shard_fn(q_local, b_local):
         my_shard = jax.lax.axis_index(MP_AXIS)
         offset = my_shard * shard_rows
-        d, i = _local_knn(q_local, b_local, k=k, metric=metric,
-                          precision=precision, tile_size=min(tile_size, shard_rows),
-                          base_offset=0, engine=engine)
+        if engine == "screened" and shard_rows >= _screen_mega():
+            from neighborhoodwatch_tpu.ops.knn import screened_knn_traced
+            d, i = screened_knn_traced(q_local, b_local,
+                                       jnp.int32(shard_rows), 0, k, metric)
+        else:
+            d, i = _local_knn(q_local, b_local, k=k, metric=metric,
+                              precision=precision,
+                              tile_size=min(tile_size, shard_rows),
+                              base_offset=0,
+                              engine=_small_shard_engine(engine))
         i = i + offset  # global base indices (reference cu_knn.py:273 analog)
         # gather per-shard top-k lists over ICI and merge on every chip
         all_d = jax.lax.all_gather(d, MP_AXIS)  # (mp, q_local, k)
@@ -95,7 +116,10 @@ def _sharded_fold(run_d, run_i, query, batch, offset, n_valid, k: int,
     dp-sharded running top-k. `offset` (global row id of batch row 0) and
     `n_valid` (real rows in the padded batch) are traced scalars so every
     batch reuses one compiled program."""
-    from neighborhoodwatch_tpu.ops.knn import _knn_scan, _knn_full
+    from neighborhoodwatch_tpu.ops import screen_kernel
+    from neighborhoodwatch_tpu.ops.knn import (
+        _knn_scan, _knn_full, screened_knn_traced,
+    )
 
     mp = mesh.shape[MP_AXIS]
     shard_rows = batch.shape[0] // mp
@@ -105,13 +129,19 @@ def _sharded_fold(run_d, run_i, query, batch, offset, n_valid, k: int,
         shard_off = offset + my_shard * shard_rows
         local_valid = jnp.clip(n_valid - my_shard * shard_rows,
                                0, shard_rows)
-        if shard_rows > tile_size:
+        if engine == "screened" and shard_rows >= screen_kernel.MEGA:
+            # the flagship Pallas kernel, fully traced (in-trace certificate
+            # repair) — BASELINE config 5 runs with the headline engine
+            d, i = screened_knn_traced(q_local, b_local, local_valid,
+                                       shard_off, min(k, shard_rows), metric)
+        elif shard_rows > tile_size:
             d, i = _knn_scan(q_local, b_local, local_valid, shard_off,
                              min(k, shard_rows), metric, precision,
-                             tile_size, engine)
+                             tile_size, _small_shard_engine(engine))
         else:
             d, i = _knn_full(q_local, b_local, local_valid, shard_off,
-                             min(k, shard_rows), metric, precision, engine)
+                             min(k, shard_rows), metric, precision,
+                             _small_shard_engine(engine))
         all_d = jax.lax.all_gather(d, MP_AXIS)   # (mp, q_local, <=k)
         all_i = jax.lax.all_gather(i, MP_AXIS)
         md, mi = merge_topk_many(all_d, all_i, min(k, mp * d.shape[1]))

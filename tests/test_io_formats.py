@@ -268,3 +268,36 @@ def test_read_selected_matches_full(tmp_path):
         np.testing.assert_array_equal(nb, mat[ids])
     finally:
         V._SELECTED_READ_ROWS = old
+
+
+def test_hdf5_slab_crashed_stream_restarts(tmp_path):
+    """A leftover _streaming marker from a crashed export must trigger a
+    restart-from-scratch, not a silent 'already exists' no-op that keeps
+    zero rows past the crash point (ADVICE r1)."""
+    import h5py
+    from neighborhoodwatch_tpu.io.hdf5_io import write_hdf5_slab
+
+    data_dir = str(tmp_path)
+    rng = np.random.default_rng(9)
+    full = rng.standard_normal((200, 8)).astype(np.float32)
+
+    # simulate a crash: only the first slab of a 200-row export lands
+    assert write_hdf5_slab(data_dir, "m", full[:100], "x.hdf5", "train",
+                           total_rows=200, offset=0)
+    with h5py.File(f"{data_dir}/x.hdf5") as f:
+        assert f["train"].attrs.get("_streaming") == 1
+
+    # rerun from scratch: must recreate and complete
+    assert write_hdf5_slab(data_dir, "m", full[:100], "x.hdf5", "train",
+                           total_rows=200, offset=0)
+    assert write_hdf5_slab(data_dir, "m", full[100:], "x.hdf5", "train",
+                           total_rows=200, offset=100)
+    with h5py.File(f"{data_dir}/x.hdf5") as f:
+        np.testing.assert_array_equal(np.asarray(f["train"]), full)
+        assert "_streaming" not in f["train"].attrs
+
+    # complete export: further slabs are a no-op
+    assert not write_hdf5_slab(data_dir, "m", np.zeros((100, 8), np.float32),
+                               "x.hdf5", "train", total_rows=200, offset=0)
+    with h5py.File(f"{data_dir}/x.hdf5") as f:
+        np.testing.assert_array_equal(np.asarray(f["train"]), full)

@@ -186,3 +186,43 @@ def test_maxsim_screened_wide_tokens(rng):
     exp_scores, exp_idx = maxsim_oracle(q, qm, d, dm, k=k)
     np.testing.assert_array_equal(np.asarray(idx), exp_idx)
     np.testing.assert_allclose(np.asarray(scores), exp_scores, atol=1e-3)
+
+
+def test_process_source_dataset_doc_ids_are_per_sentence(tmp_path):
+    """--maxsim doc_id granularity: one id per sentence/passage, not per
+    source row (ADVICE r1: a whole article used to become one 'passage')."""
+    from neighborhoodwatch_tpu.core.colbert_pipeline import (
+        process_source_dataset,
+    )
+    from neighborhoodwatch_tpu.io.parquet_io import ParquetStreamer
+    from neighborhoodwatch_tpu.models.colbert_flax import (
+        ColbertFlaxEmbeddingGenerator,
+    )
+    import pyarrow.parquet as pq
+
+    gen = ColbertFlaxEmbeddingGenerator()  # random init + hash tokenizer
+
+    class DS:
+        column_names = ["text"]
+
+        def __iter__(self):
+            return iter([
+                {"text": "First sentence here. Second one too! Third thing?"},
+                {"text": "Only sentence."},
+            ])
+
+    cols = [f"token_embedding_{i}" for i in range(128)]
+    out = f"{tmp_path}/tok.parquet"
+    st = ParquetStreamer(out, cols)
+    rows, sentences, tokens, zeros = process_source_dataset(
+        st, gen, DS(), 128, 10_000, "text", track_docs=True)
+    st.close()
+    assert rows == 2
+    assert sentences == 4          # 3 + 1 passages
+    table = pq.read_table(out)
+    doc_ids = table.column("doc_id").to_numpy()
+    assert sorted(set(doc_ids.tolist())) == [0, 1, 2, 3]
+    # doc ids are contiguous runs (tokens of a passage stay together)
+    change_points = (np.diff(doc_ids) != 0).sum()
+    assert change_points == 3
+    assert tokens == len(doc_ids)
