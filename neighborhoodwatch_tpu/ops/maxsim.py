@@ -83,12 +83,13 @@ def _maxsim_tile_step(run_s, run_i, queries, q_mask, tile, tmask, start,
 
 def _maxsim_engine(engine: str, n_docs: int, tq: int, td: int) -> str:
     """'screened' = the fused Pallas kernel + certified re-rank (21x the
-    XLA path on TPU, measured 0.50s vs 10.8s for 1k x 200k docs); usable
-    when token counts fit its VMEM tiling. 'exact' = the XLA tile loop."""
+    XLA path on TPU, measured 0.50s vs 10.8s for 1k x 200k docs). Doc
+    token counts are unbounded (long docs stream through the kernel in
+    32-token chunks); only the query side is capped by the VMEM tiling
+    (tq <= 32 — ColBERT's query_maxlen). 'exact' = the XLA tile loop."""
     if engine != "auto":
         return engine
-    if (jax.default_backend() == "tpu" and n_docs >= 4096
-            and tq <= 32 and td <= 32):
+    if (jax.default_backend() == "tpu" and n_docs >= 4096 and tq <= 32):
         return "screened"
     return "exact"
 

@@ -9,9 +9,11 @@ HBM-bound at ~1% of MXU peak (measured 18.6M doc-scores/s on v5e for
    passes (fp32-accurate to ~2^-32, cf. ops/screen_kernel.py);
 2. VPU: + (-inf) doc-token padding bias, per-token max over Td as TD
    aligned slab maxes (doc tokens are laid out td-major so token s of every
-   doc in the block occupies one contiguous
-   column slab), masked per-query-token sum over Tq as TQ contiguous
-   row-slab adds (query tokens laid out tq-major);
+   doc in the block occupies one contiguous column slab); docs longer than
+   32 tokens stream through in 32-token chunks (innermost grid dim) with a
+   running per-(query token, doc) max in VMEM scratch — max over Td
+   decomposes over chunks — so Td is unbounded; masked per-query-token sum
+   over Tq as TQ contiguous row-slab adds (query tokens laid out tq-major);
 3. per-lane-bin top-KEEP screening of NEGATED scores with the packed
    sortable-int32 keys of the kNN screen kernel (distance bits | position),
    flushed per mega-tile of doc blocks.
@@ -48,40 +50,15 @@ NEG_BIAS = -1e30   # doc-token padding bias (finite: avoids inf-inf NaNs)
 MAXSIM_EPS_REL = 1e-5 + PACK_EPS_REL
 
 
-def _kernel(db_ref, q_ref, d_ref, out_ref, mk_ref, *,
-            tq: int, td: int, qb: int, sub: int, db: int):
-    bi = pl.program_id(1)
-
-    q = q_ref[:].reshape(TQR, q_ref.shape[-1])        # (QB*tq, dim)
-    d = d_ref[:].reshape(td * db, d_ref.shape[-1])    # (td*db, dim)
-    qhi = q.astype(jnp.bfloat16)
-    dhi = d.astype(jnp.bfloat16)
-    dims = (((1,), (1,)), ((), ()))
-    dot = partial(jax.lax.dot_general, dimension_numbers=dims,
-                  preferred_element_type=jnp.float32)
-    sims = dot(qhi, dhi)
-    qlo = (q - qhi.astype(jnp.float32)).astype(jnp.bfloat16)
-    dlo = (d - dhi.astype(jnp.float32)).astype(jnp.bfloat16)
-    sims = sims + dot(qlo, dhi) + dot(qhi, dlo)       # (TQR, td*DB)
-
-    # doc-token padding: masked tokens carry NEG_BIAS and never win a max.
-    # Query-token masking needs no in-kernel work: masked/padded query
-    # tokens are pre-zeroed, and a zero token's max over any doc with a
-    # valid token is exactly 0 — the masked contribution.
-    sims = sims + db_ref[:].reshape(1, td * db)
-
-    # per-query-token max over the doc's td tokens: td-major layout makes
-    # token s of all DB docs one contiguous column slab
-    m = sims[:, :db]
-    for s in range(1, td):
-        m = jnp.maximum(m, sims[:, s * db:(s + 1) * db])  # (TQR, db)
-
-    # sum over each query's tq token rows (tq-major: contiguous row slabs)
+def _screen_scores(m, out_ref, mk_ref, bi, *,
+                   tq: int, qb: int, sub: int, db: int):
+    """Sum the per-query-token maxes over each query's tq token rows
+    (tq-major: contiguous row slabs), then screen: keep the KEEP best
+    (largest) scores per lane bin, flushed per mega-tile."""
     acc = m[0:qb]
     for t in range(1, tq):
         acc = acc + m[t * qb:(t + 1) * qb]            # (QB, DB)
 
-    # ---- screen: keep the KEEP best (largest) scores per lane bin ----
     # negate into ascending order and pack like the kNN screen kernel
     bits = jax.lax.bitcast_convert_type(-acc, jnp.int32)
     neg = jax.lax.shift_right_arithmetic(bits, 31)
@@ -111,47 +88,99 @@ def _kernel(db_ref, q_ref, d_ref, out_ref, mk_ref, *,
             out_ref[:, t * LANES:(t + 1) * LANES] = ks[t]
 
 
-@partial(jax.jit, static_argnames=("tq", "td", "db", "interpret"))
-def _maxsim_screen_call(q_t, d_t, dbias_t, tq: int, td: int, db: int,
+def _kernel(db_ref, q_ref, d_ref, out_ref, mk_ref, m_ref, *,
+            tq: int, tdc: int, qb: int, sub: int, db: int, n_tc: int):
+    bi = pl.program_id(1)
+    tc = pl.program_id(2)
+
+    q = q_ref[:].reshape(TQR, q_ref.shape[-1])        # (QB*tq, dim)
+    d = d_ref[:].reshape(tdc * db, d_ref.shape[-1])   # (tdc*db, dim)
+    qhi = q.astype(jnp.bfloat16)
+    dhi = d.astype(jnp.bfloat16)
+    dims = (((1,), (1,)), ((), ()))
+    dot = partial(jax.lax.dot_general, dimension_numbers=dims,
+                  preferred_element_type=jnp.float32)
+    sims = dot(qhi, dhi)
+    qlo = (q - qhi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dlo = (d - dhi.astype(jnp.float32)).astype(jnp.bfloat16)
+    sims = sims + dot(qlo, dhi) + dot(qhi, dlo)       # (TQR, tdc*DB)
+
+    # doc-token padding: masked tokens carry NEG_BIAS and never win a max.
+    # Query-token masking needs no in-kernel work: masked/padded query
+    # tokens are pre-zeroed, and a zero token's max over any doc with a
+    # valid token is exactly 0 — the masked contribution.
+    sims = sims + db_ref[:].reshape(1, tdc * db)
+
+    # per-query-token max over this chunk's tdc tokens: td-major layout
+    # makes token s of all DB docs one contiguous column slab
+    m = sims[:, :db]
+    for s in range(1, tdc):
+        m = jnp.maximum(m, sims[:, s * db:(s + 1) * db])  # (TQR, db)
+
+    if n_tc == 1:
+        _screen_scores(m, out_ref, mk_ref, bi, tq=tq, qb=qb, sub=sub, db=db)
+    else:
+        # docs longer than one chunk: fold the chunk max into a running
+        # per-(query token, doc) max — max over Td decomposes over chunks
+        @pl.when(tc == 0)
+        def _():
+            m_ref[:] = m
+
+        @pl.when(tc > 0)
+        def _():
+            m_ref[:] = jnp.maximum(m_ref[:], m)
+
+        @pl.when(tc == n_tc - 1)
+        def _():
+            _screen_scores(m_ref[:], out_ref, mk_ref, bi,
+                           tq=tq, qb=qb, sub=sub, db=db)
+
+
+@partial(jax.jit, static_argnames=("tq", "tdc", "db", "interpret"))
+def _maxsim_screen_call(q_t, d_t, dbias_t, tq: int, tdc: int, db: int,
                         interpret: bool):
     """q_t: (tq, Qp, dim) tq-major query tokens (masked tokens pre-zeroed);
-    d_t: (td, Dp, dim) td-major doc tokens; dbias_t: (td, Dp) 0/NEG_BIAS.
+    d_t: (td, Dp, dim) td-major doc tokens (td a multiple of the chunk
+    size tdc); dbias_t: (td, Dp) 0/NEG_BIAS.
     Returns packed keys (Qp, n_mega*CAND_PER_MEGA)."""
     Qp, dim = q_t.shape[1], q_t.shape[2]
-    Dp = d_t.shape[1]
+    td, Dp = d_t.shape[0], d_t.shape[1]
     qb = TQR // tq
     sub = MEGA_DOCS // db
     n_q = Qp // qb
     n_b = Dp // db
+    n_tc = td // tdc
     n_mega = Dp // MEGA_DOCS
-    grid = (n_q, n_b)
+    grid = (n_q, n_b, n_tc)
 
-    kernel = partial(_kernel, tq=tq, td=td, qb=qb, sub=sub, db=db)
+    kernel = partial(_kernel, tq=tq, tdc=tdc, qb=qb, sub=sub, db=db,
+                     n_tc=n_tc)
     out_shape = jax.ShapeDtypeStruct((Qp, n_mega * CAND_PER_MEGA), jnp.int32)
     keys = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((td, db), lambda qi, bi: (0, bi),
+            pl.BlockSpec((tdc, db), lambda qi, bi, tc: (tc, bi),
                          memory_space=pltpu.VMEM),          # doc-token bias
-            pl.BlockSpec((tq, qb, dim), lambda qi, bi: (0, qi, 0),
+            pl.BlockSpec((tq, qb, dim), lambda qi, bi, tc: (0, qi, 0),
                          memory_space=pltpu.VMEM),          # query tokens
-            pl.BlockSpec((td, db, dim), lambda qi, bi: (0, bi, 0),
+            pl.BlockSpec((tdc, db, dim), lambda qi, bi, tc: (tc, bi, 0),
                          memory_space=pltpu.VMEM),          # doc tokens
         ],
         out_specs=pl.BlockSpec((qb, CAND_PER_MEGA),
-                               lambda qi, bi: (qi, bi // sub),
+                               lambda qi, bi, tc: (qi, bi // sub),
                                memory_space=pltpu.VMEM),
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((KEEP, qb, LANES), jnp.int32),
+            pltpu.VMEM((TQR, db), jnp.float32),   # running chunk max
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * Qp * tq * Dp * td * dim * 3,
             bytes_accessed=int(Dp * td * dim * 4 * n_q + Qp * tq * dim * 4),
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
         interpret=interpret,
     )(dbias_t, q_t, d_t)
 
@@ -186,16 +215,21 @@ def screen_maxsim(queries, q_mask, docs, d_mask, *,
     D, Td = docs.shape[:2]
     assert dim % LANES == 0 or dim <= LANES, \
         f"token dim {dim} must be <= 128 or a multiple of 128"
-    # VMEM sizing: the (TQR, td*DB) similarity tile must stay on-chip and
-    # the (qb, ...) output block needs qb >= 8; callers with longer token
-    # lists use the XLA path (maxsim_topk)
+    # VMEM sizing: one (TQR, tdc*DB) similarity tile must stay on-chip and
+    # the (qb, ...) output block needs qb >= 8; callers with longer QUERY
+    # token lists use the XLA path (maxsim_topk). Doc-token counts are
+    # unbounded: docs longer than one chunk stream through the kernel in
+    # td-chunks with a running per-(query token, doc) max (the max over Td
+    # decomposes over chunks), so real passages (ColBERT doc_maxlen 180+)
+    # stay on the fused kernel instead of falling back to the XLA path.
     assert Tq <= 32, f"screened MaxSim supports <= 32 query tokens, got {Tq}"
-    assert Td <= 32, f"screened MaxSim supports <= 32 doc tokens, got {Td}"
     dimp = round_up(dim, LANES)
     tq = round_up(Tq, 8)
     while TQR % tq:
         tq += 8
     td = round_up(Td, 8)
+    if td > 32:
+        td = round_up(td, 32)   # a whole number of 32-token chunks
     qb = TQR // tq
     Qp = round_up(Q, qb)
     Dp = round_up(D, MEGA_DOCS)
@@ -213,8 +247,9 @@ def screen_maxsim(queries, q_mask, docs, d_mask, *,
     dbias_t = jnp.where(jnp.swapaxes(d_mask, 0, 1), 0.0, NEG_BIAS) \
         .astype(jnp.float32)
 
-    # the (TQR, td*db) similarity tile must fit VMEM with its bf16 copies
-    db = DB if td <= 16 else DB // 2
+    # the (TQR, tdc*db) similarity tile must fit VMEM with its bf16 copies
+    tdc = td if td <= 32 else 32
+    db = DB if tdc <= 16 else DB // 2
     cand_neg, cand_doc = _maxsim_screen_call(q_t, d_t, dbias_t,
-                                             tq, td, db, interpret)
+                                             tq, tdc, db, interpret)
     return cand_neg[:Q], cand_doc[:Q], Dp // MEGA_DOCS

@@ -188,6 +188,46 @@ def test_maxsim_screened_wide_tokens(rng):
     np.testing.assert_allclose(np.asarray(scores), exp_scores, atol=1e-3)
 
 
+def test_maxsim_screened_long_docs(rng):
+    """Doc token counts past the 32-token VMEM tile stream through the
+    kernel in 32-token chunks with a running max (VERDICT r1 weak #6:
+    real wikipedia passages routinely exceed 32 tokens). Td=64 engages
+    2 chunks; ragged counts cross the chunk boundary."""
+    import pytest
+
+    from neighborhoodwatch_tpu.ops.maxsim import maxsim_topk_screened
+
+    dim, k = 16, 5
+    qs = [rng.standard_normal((int(rng.integers(2, 9)), dim))
+          .astype(np.float32) for _ in range(4)]
+    ds = [rng.standard_normal((int(rng.integers(20, 65)), dim))
+          .astype(np.float32) for _ in range(120)]
+    q, qm = pad_token_lists(qs, dim)
+    d, dm = pad_token_lists(ds, dim)
+    assert d.shape[1] > 32
+    scores, idx = maxsim_topk_screened(q, qm, d, dm, k=k)
+    exp_scores, exp_idx = maxsim_oracle(q, qm, d, dm, k=k)
+    np.testing.assert_array_equal(np.asarray(idx), exp_idx)
+    np.testing.assert_allclose(np.asarray(scores), exp_scores, atol=1e-3)
+
+
+def test_maxsim_screened_very_long_docs(rng):
+    """Td=128 (4 chunks, ColBERT doc_maxlen territory)."""
+    from neighborhoodwatch_tpu.ops.maxsim import maxsim_topk_screened
+
+    dim, k = 16, 4
+    qs = [rng.standard_normal((3, dim)).astype(np.float32) for _ in range(3)]
+    ds = [rng.standard_normal((int(rng.integers(97, 129)), dim))
+          .astype(np.float32) for _ in range(60)]
+    q, qm = pad_token_lists(qs, dim)
+    d, dm = pad_token_lists(ds, dim)
+    assert d.shape[1] > 96
+    scores, idx = maxsim_topk_screened(q, qm, d, dm, k=k)
+    exp_scores, exp_idx = maxsim_oracle(q, qm, d, dm, k=k)
+    np.testing.assert_array_equal(np.asarray(idx), exp_idx)
+    np.testing.assert_allclose(np.asarray(scores), exp_scores, atol=1e-3)
+
+
 def test_process_source_dataset_doc_ids_are_per_sentence(tmp_path):
     """--maxsim doc_id granularity: one id per sentence/passage, not per
     source row (ADVICE r1: a whole article used to become one 'passage')."""
