@@ -21,7 +21,16 @@ class KeepLineBreaksFormatter(argparse.RawTextHelpFormatter):
 
 
 def _section(title):
-    print(f"\n=== {title} ===")
+    """Ruled, colored section header on a tty; plain marker otherwise
+    (the reference renders rich Markdown banners/rules,
+    neighborhoodwatch.py:69-84 — this is the dependency-free analog)."""
+    import shutil
+    if sys.stdout.isatty() and os.environ.get("TERM", "dumb") != "dumb":
+        width = shutil.get_terminal_size((72, 20)).columns
+        rule = "─" * max(0, min(width, 100) - len(title) - 4)
+        print(f"\n\x1b[1;36m── {title} {rule}\x1b[0m")
+    else:
+        print(f"\n=== {title} ===")
 
 
 def _duration(section_time, start_time):
