@@ -77,7 +77,7 @@ SCREEN_PRECISIONS = ("default", "high")
 
 def _kernel(qn_ref, bn_ref, q_ref, b_ref, out_ref,
             acc_ref, mk_ref, *, n_dk: int, epilogue: str,
-            passes: int, tq: int, sub: int):
+            passes: int, tq: int, sub: int, tb: int = TB):
     qi = pl.program_id(0)
     bi = pl.program_id(1)
     dk = pl.program_id(2)
@@ -138,8 +138,8 @@ def _kernel(qn_ref, bn_ref, q_ref, b_ref, out_ref,
             bits = bits ^ (neg & jnp.int32(0x7FFFFFFF))
 
         ks = [mk_ref[t] for t in range(KEEP)]
-        pos0 = (bi % sub) * (TB // LANES)
-        for j in range(TB // LANES):
+        pos0 = (bi % sub) * (tb // LANES)
+        for j in range(tb // LANES):
             # pack: quantized distance bits | position-in-bin (scalar
             # per slice: every lane's bin receives exactly one row here)
             kj = (bits[:, j * LANES:(j + 1) * LANES]
@@ -161,12 +161,13 @@ def _kernel(qn_ref, bn_ref, q_ref, b_ref, out_ref,
                 out_ref[:, t * LANES:(t + 1) * LANES] = ks[t]
 
 
-def _pick_dk(d: int) -> int:
+def _pick_dk(d: int, dk_max: int = 384) -> int:
     # 384 (then 256) keeps the double-buffered base block + accumulator +
-    # trio inside the 16MB VMEM budget (dk=512 overflowed by ~3.4MB on
-    # v5e); larger dk = fewer grid steps and accumulator round-trips
-    for dk in (384, 256, 128):
-        if d % dk == 0:
+    # trio inside the 16MB VMEM budget at the default tq/tb (dk=512
+    # overflowed by ~3.4MB on v5e); larger dk = fewer grid steps and
+    # accumulator round-trips. Bigger tq/tb tiles need a smaller dk cap.
+    for dk in (512, 384, 256, 128):
+        if dk <= dk_max and d % dk == 0:
             return dk
     raise AssertionError(f"dim {d} not a multiple of 128 after padding")
 
@@ -175,27 +176,27 @@ EPILOGUES = ("l2", "dot", "rdot")
 
 
 @partial(jax.jit, static_argnames=("epilogue", "passes", "tq", "sub",
-                                   "interpret"))
+                                   "tb", "dk_max", "interpret"))
 def _screen_call(q, base, qn, bn, epilogue: str, passes: int, tq: int,
-                 sub: int, interpret: bool):
+                 sub: int, tb: int, dk_max: int, interpret: bool):
     Qp, D = q.shape
     Bp = bn.shape[1]          # virtual (mega-aligned) base rows
-    mega = TB * sub
+    mega = tb * sub
     n_q = Qp // tq
-    n_b = Bp // TB
+    n_b = Bp // tb
     n_mega = Bp // mega
-    dk_size = _pick_dk(D)
+    dk_size = _pick_dk(D, dk_max)
     n_dk = D // dk_size
     # the grid may extend past the real base rows (ragged tail): a PARTIAL
     # final block is legal, but blocks wholly out of bounds fail at run
     # time (measured FAILED_PRECONDITION), so clamp the base block index —
     # clamped steps re-read the last real block and their +inf bn entries
     # mask every value out of the bins
-    b_last = (base.shape[0] - 1) // TB
+    b_last = (base.shape[0] - 1) // tb
 
     grid = (n_q, n_b, n_dk)
     kernel = partial(_kernel, n_dk=n_dk, epilogue=epilogue, passes=passes,
-                     tq=tq, sub=sub)
+                     tq=tq, sub=sub, tb=tb)
 
     out_shape = jax.ShapeDtypeStruct((Qp, n_mega * CAND_PER_MEGA), jnp.int32)
     flops = 2 * Qp * Bp * D * passes
@@ -205,11 +206,11 @@ def _screen_call(q, base, qn, bn, epilogue: str, passes: int, tq: int,
         in_specs=[
             pl.BlockSpec((tq, 1), lambda qi, bi, dk: (qi, 0),
                          memory_space=pltpu.VMEM),            # qn (col vec)
-            pl.BlockSpec((1, TB), lambda qi, bi, dk: (0, bi),
+            pl.BlockSpec((1, tb), lambda qi, bi, dk: (0, bi),
                          memory_space=pltpu.VMEM),            # bn (row vec)
             pl.BlockSpec((tq, dk_size), lambda qi, bi, dk: (qi, dk),
                          memory_space=pltpu.VMEM),            # q chunk
-            pl.BlockSpec((TB, dk_size),
+            pl.BlockSpec((tb, dk_size),
                          lambda qi, bi, dk: (jnp.minimum(bi, b_last), dk),
                          memory_space=pltpu.VMEM),            # base chunk
         ],
@@ -218,7 +219,7 @@ def _screen_call(q, base, qn, bn, epilogue: str, passes: int, tq: int,
                                memory_space=pltpu.VMEM),
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((tq, TB), jnp.float32),          # dot accumulator
+            pltpu.VMEM((tq, tb), jnp.float32),          # dot accumulator
             pltpu.VMEM((KEEP, tq, LANES), jnp.int32),    # running keys
         ],
         cost_estimate=pl.CostEstimate(
@@ -240,8 +241,8 @@ def _screen_call(q, base, qn, bn, epilogue: str, passes: int, tq: int,
     col = jax.lax.broadcasted_iota(jnp.int32, keys.shape, 1)
     mega_i = col // CAND_PER_MEGA
     lane = col % LANES
-    cand_i = (mega_i * (TB * sub) + (pos // (TB // LANES)) * TB
-              + (pos % (TB // LANES)) * LANES + lane)
+    cand_i = (mega_i * (tb * sub) + (pos // (tb // LANES)) * tb
+              + (pos % (tb // LANES)) * LANES + lane)
     return cand_d, cand_i
 
 
@@ -249,6 +250,7 @@ def screen_candidates(q, base, *, n_rows: int | None = None,
                       epilogue: str = "l2",
                       screen_precision: str = "high",
                       tq: int | None = None, sub: int | None = None,
+                      tb: int | None = None, dk_max: int | None = None,
                       interpret: bool | None = None,
                       n_valid=None):
     """Fused distance+screen: (Q, D) x (B, D) -> (Q, C) candidate
@@ -285,9 +287,19 @@ def screen_candidates(q, base, *, n_rows: int | None = None,
         # physical budget (measured: compile-ok with a raised cap, then
         # FAILED_PRECONDITION at run time) — stay at 256
         tq = TQ
+    if tb is None:
+        tb = TB
     if sub is None:
         sub = 56 if B >= _BIG_BASE else SUB_PER_MEGA
-    mega = TB * sub
+        if tb != TB:            # keep the mega row count comparable
+            sub = max(1, (sub * TB) // tb)
+    # the packed key's POS_BITS field must address every row of a bin
+    assert sub * (tb // LANES) <= (1 << POS_BITS), \
+        f"sub={sub} x {tb // LANES} lane-slices exceeds {POS_BITS}-bit positions"
+    if dk_max is None:
+        # bigger tiles need a smaller D chunk to stay inside VMEM
+        dk_max = 384 if (tq <= TQ and tb <= TB) else 256
+    mega = tb * sub
 
     # pad D to a 128 multiple (zero columns leave distances unchanged)
     Dp = -(-D // LANES) * LANES
@@ -310,5 +322,5 @@ def screen_candidates(q, base, *, n_rows: int | None = None,
     bn = jnp.pad(bn, (0, Bp - B), constant_values=jnp.inf)[None, :]
 
     cand_d, cand_i = _screen_call(q, base, qn, bn, epilogue, passes,
-                                  tq, sub, interpret)
+                                  tq, sub, tb, dk_max, interpret)
     return cand_d[:Q], cand_i[:Q], Bp // mega

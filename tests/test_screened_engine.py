@@ -112,6 +112,34 @@ def test_screen_kernel_candidate_indices_valid():
                                   d64.argmin(1))
 
 
+def test_screen_kernel_alternate_tile_shapes():
+    """tb/sub/dk are tunable (perf sweeps); the packed-position decode
+    must stay exact for non-default base-tile widths."""
+    import pytest
+
+    for tb, sub in ((512, 16), (2048, 8)):
+        mega = tb * sub
+        q, b = _data(4, mega + 70, 24, seed=7)
+        cd, ci, n_mega = screen_kernel.screen_candidates(
+            jnp.asarray(q), jnp.asarray(b), n_rows=mega, epilogue="l2",
+            tb=tb, sub=sub, interpret=True)
+        ci = np.asarray(ci)
+        cd = np.asarray(cd)
+        assert n_mega == 1
+        valid = np.isfinite(cd)
+        assert (ci[valid] >= 0).all() and (ci[valid] < mega).all()
+        d64 = ((q.astype(np.float64) ** 2).sum(1)[:, None]
+               + (b[:mega].astype(np.float64) ** 2).sum(1)[None, :]
+               - 2 * q.astype(np.float64) @ b[:mega].astype(np.float64).T)
+        np.testing.assert_array_equal(ci[np.arange(4), cd.argmin(1)],
+                                      d64.argmin(1))
+    # position-field overflow must be rejected, not silently wrapped
+    with pytest.raises(AssertionError):
+        screen_kernel.screen_candidates(
+            jnp.asarray(q), jnp.asarray(b), n_rows=mega, epilogue="l2",
+            tb=2048, sub=64, interpret=True)
+
+
 def test_screened_large_k():
     """Large k widens the merged top-M; the re-rank block shrinks to keep
     the gather buffer bounded and results stay exact."""
