@@ -69,9 +69,12 @@ def _ensure_streamed_data(data_dir: str, q_n: int, b_n: int, d: int):
                 table = pa.table({c: np.ascontiguousarray(m[:, j])
                                   for j, c in enumerate(cols)})
                 if writer is None:
-                    # random f32 is incompressible: skip snappy CPU cost
+                    # random f32 is incompressible: skip snappy CPU cost and
+                    # dictionary encoding (a ~100k-distinct float dict per
+                    # page costs +50% file size over PLAIN)
                     writer = pq.ParquetWriter(path, table.schema,
-                                              compression="none")
+                                              compression="none",
+                                              use_dictionary=False)
                 writer.write_table(table)
         finally:
             if writer is not None:
