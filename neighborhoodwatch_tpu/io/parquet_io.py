@@ -23,7 +23,12 @@ from neighborhoodwatch_tpu.utils.naming import get_full_filename
 
 class ParquetStreamer:
     """Incremental ParquetWriter over (metadata, embeddings) row batches
-    (reference: generate_dataset.py:219-261)."""
+    (reference: generate_dataset.py:219-261).
+
+    Dictionary encoding is disabled: embedding floats are ~all-distinct, so
+    a dictionary per page costs ~+50% file size over PLAIN and a 5-10x
+    slower decode (measured on the 10M x 1536 bench corpus) for zero
+    compression win."""
 
     def __init__(self, filename: str, columns: list[str]):
         self.filename = filename
@@ -41,7 +46,8 @@ class ParquetStreamer:
         df = pd.concat(columns_list, axis=1)
         table = pa.Table.from_pandas(df)
         if self.writer is None:
-            self.writer = pq.ParquetWriter(self.filename, table.schema)
+            self.writer = pq.ParquetWriter(self.filename, table.schema,
+                                           use_dictionary=False)
         self.writer.write_table(table)
 
     def stream_to_parquet_without_src_metadata(self, embedding_array) -> None:
@@ -53,7 +59,8 @@ class ParquetStreamer:
         df = pd.DataFrame(embedding_array.astype("float32"), columns=self.columns)
         table = pa.Table.from_pandas(df)
         if self.writer is None:
-            self.writer = pq.ParquetWriter(self.filename, table.schema)
+            self.writer = pq.ParquetWriter(self.filename, table.schema,
+                                           use_dictionary=False)
         self.writer.write_table(table)
 
     def stream_tokens_with_doc_ids(self, embedding_array, doc_ids) -> None:
@@ -70,7 +77,8 @@ class ParquetStreamer:
         df.insert(0, "doc_id", doc_ids)
         table = pa.Table.from_pandas(df)
         if self.writer is None:
-            self.writer = pq.ParquetWriter(self.filename, table.schema)
+            self.writer = pq.ParquetWriter(self.filename, table.schema,
+                                           use_dictionary=False)
         self.writer.write_table(table)
 
     def close(self) -> None:
@@ -215,7 +223,13 @@ def iter_embedding_batches(data_dir: str, filename: str, batch_size: int,
     offset = 0
     pending = []
     pending_rows = 0
-    for rb in ds.to_batches(columns=columns, batch_size=batch_size):
+    # the scanner's batch_size is the size it MATERIALIZES per scan task,
+    # and its default batch_readahead keeps ~16 of them in flight — passing
+    # a multi-GB target straight through put ~16 x batch_size rows (100+ GB
+    # at 1M x 1536) in RAM before the first yield. Keep scanner batches
+    # small; `pending` below aggregates them to the caller's batch_size.
+    scan_rows = min(batch_size, 65536)
+    for rb in ds.to_batches(columns=columns, batch_size=scan_rows):
         pending.append(rb)
         pending_rows += rb.num_rows
         while pending_rows >= batch_size:
@@ -279,7 +293,7 @@ def write_matrix_to_parquet(filename: str, matrix: np.ndarray,
     names = [f"{prefix}{i}" for i in range(matrix.shape[1])]
     arrays = [pa.array(matrix[:, i]) for i in range(matrix.shape[1])]
     table = pa.table(dict(zip(names, arrays)))
-    writer = pq.ParquetWriter(filename, table.schema)
+    writer = pq.ParquetWriter(filename, table.schema, use_dictionary=False)
     for start in range(0, matrix.shape[0], chunk_size):
         writer.write_table(table.slice(start, chunk_size))
     writer.close()
