@@ -256,23 +256,24 @@ def compute_knn_ds(data_dir: str,
         # bound, a host that decodes faster than it can ship to the device
         # accumulates every multi-GB batch in RAM (observed: 100+ GB RES and
         # an OOM kill streaming 10M x 1536 through a slow transfer link).
-        # Keeping <= 2 batches in flight pipelines transfer with compute
-        # while pinning peak host memory at decode + 2 batches.
-        inflight: list = []
+        # Force a scalar read of the RUNNING TOP-K STATE each batch: the
+        # update compute provably executes on the device, so its output
+        # cannot materialize before the batch transfer completed (remote
+        # transports short-circuit both block_until_ready and fetches of
+        # relayout-only results from their local send buffer — forcing the
+        # transposed batch did NOT block). Decode still overlaps through
+        # the prefetch thread; the state scalar is k*8 bytes of readback.
+        prev_state = None
         for b, (offset, chunk_t) in enumerate(_prefetch(batches)):
             if offset + chunk_t.shape[1] <= done:
                 continue                       # fully covered by checkpoint
             if offset < done:                  # partial overlap: trim
                 chunk_t = chunk_t[:, done - offset:]
                 offset = done
-            dev = dev_t(jax.device_put(chunk_t))
-            acc.update(dev, offset)
-            inflight.append(dev)
-            if len(inflight) > 1:
-                # a scalar host read, not block_until_ready: remote-device
-                # transports may treat block_until_ready as a no-op, while
-                # materializing a value cannot complete before the transfer
-                _ = np.asarray(inflight.pop(0)[0, 0])
+            acc.update(dev_t(jax.device_put(chunk_t)), offset)
+            if prev_state is not None:
+                _ = np.asarray(prev_state[0, 0])   # force batch b-1's chain
+            prev_state = acc.state[0]
             if checkpoint_every and (b + 1) % checkpoint_every == 0:
                 _save_stream_ckpt(ckpt_path, acc, fingerprint)
         dist, idx = acc.finalize()
