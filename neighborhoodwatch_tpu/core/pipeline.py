@@ -263,17 +263,25 @@ def compute_knn_ds(data_dir: str,
         # relayout-only results from their local send buffer — forcing the
         # transposed batch did NOT block). Decode still overlaps through
         # the prefetch thread; the state scalar is k*8 bytes of readback.
+        import time as _time
         prev_state = None
+        t_start = _time.time()
         for b, (offset, chunk_t) in enumerate(_prefetch(batches)):
             if offset + chunk_t.shape[1] <= done:
                 continue                       # fully covered by checkpoint
             if offset < done:                  # partial overlap: trim
                 chunk_t = chunk_t[:, done - offset:]
                 offset = done
+            n_batch = chunk_t.shape[1]
             acc.update(dev_t(jax.device_put(chunk_t)), offset)
+            t_f = _time.time()
             if prev_state is not None:
                 _ = np.asarray(prev_state[0, 0])   # force batch b-1's chain
             prev_state = acc.state[0]
+            # per-batch progress (reference: tqdm on every hot loop)
+            print(f"  knn stream: {offset + n_batch}/{n_base} rows "
+                  f"({_time.time() - t_start:.0f}s, force "
+                  f"{_time.time() - t_f:.2f}s)", flush=True)
             if checkpoint_every and (b + 1) % checkpoint_every == 0:
                 _save_stream_ckpt(ckpt_path, acc, fingerprint)
         dist, idx = acc.finalize()

@@ -229,7 +229,8 @@ def iter_embedding_batches(data_dir: str, filename: str, batch_size: int,
     # at 1M x 1536) in RAM before the first yield. Keep scanner batches
     # small; `pending` below aggregates them to the caller's batch_size.
     scan_rows = min(batch_size, 65536)
-    for rb in ds.to_batches(columns=columns, batch_size=scan_rows):
+    for rb in ds.to_batches(columns=columns, batch_size=scan_rows,
+                            batch_readahead=2, fragment_readahead=1):
         pending.append(rb)
         pending_rows += rb.num_rows
         while pending_rows >= batch_size:
