@@ -119,6 +119,49 @@ def test_compute_maxsim_knn_pipeline(rng, tmp_path):
     assert (np.diff(dist, axis=1) >= -1e-6).all()
 
 
+def test_compute_maxsim_knn_long_passages(rng, tmp_path):
+    """Full doc-level pipeline with passages past the 32-token kernel tile
+    (chunked-path integration; CPU runs the XLA engine, TPU the chunked
+    kernel — both must match the oracle)."""
+    from neighborhoodwatch_tpu.core.colbert_pipeline import compute_maxsim_knn
+    from neighborhoodwatch_tpu.io.parquet_io import ParquetStreamer
+    from neighborhoodwatch_tpu.utils import naming
+    import pyarrow.parquet as pq
+
+    dim, k = 16, 3
+    cols = [f"token_embedding_{i}" for i in range(dim)]
+    data_dir = str(tmp_path)
+    (tmp_path / "partial").mkdir()
+
+    def write(filename, docs):
+        with ParquetStreamer(filename, cols) as st:
+            toks = np.concatenate(docs, axis=0)
+            ids = np.concatenate([np.full(len(t), i, np.int32)
+                                  for i, t in enumerate(docs)])
+            st.stream_tokens_with_doc_ids(toks, ids)
+
+    q_docs = [rng.standard_normal((int(rng.integers(2, 6)), dim))
+              .astype(np.float32) for _ in range(4)]
+    b_docs = [rng.standard_normal((int(rng.integers(30, 70)), dim))
+              .astype(np.float32) for _ in range(12)]
+    assert max(len(d) for d in b_docs) > 32
+    qf, bf = f"{data_dir}/q.parquet", f"{data_dir}/b.parquet"
+    write(qf, q_docs)
+    write(bf, b_docs)
+
+    compute_maxsim_knn(data_dir, qf, bf, k=k, tile_docs=8, batch_rows=100)
+    idx = pq.read_table(
+        naming.get_partial_indices_filename(data_dir, -1)).to_pandas().values
+    dist = pq.read_table(
+        naming.get_partial_distances_filename(data_dir, -1)).to_pandas().values
+
+    q, qm = pad_token_lists(q_docs, dim)
+    d, dm = pad_token_lists(b_docs, dim)
+    exp_scores, exp_idx = maxsim_oracle(q, qm, d, dm, k=k)
+    np.testing.assert_array_equal(idx, exp_idx)
+    np.testing.assert_allclose(dist, -exp_scores, atol=1e-4)
+
+
 def test_maxsim_padding_invariance(rng):
     """Extra token padding must not change scores."""
     q, qm, d, dm = _toy(rng, q_n=3, d_n=10)
