@@ -178,7 +178,7 @@ def run_streamed(args):
     timer = compute_knn_ds(data_dir, d, qf, q_n, bf, b_n, k=k,
                            metric="sqeuclidean", engine=args.engine,
                            initial_batch_size=250_000,
-                           checkpoint_every=0)
+                           checkpoint_every=5)
     wall = time.perf_counter() - t0
     stages = timer.stages
     stream_s = stages.get("knn_stream", wall)
