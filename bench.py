@@ -99,7 +99,12 @@ def run_maxsim(args):
         maxsim_topk_screened, maxsim_oracle, )
 
     q_n = min(args.queries, 1000)
-    d_n, tq = args.base // 5, 32
+    # one-shot screen_maxsim holds the doc tensor in BOTH row-major and
+    # td-major layouts (the re-rank gathers row-major, the kernel reads
+    # td-major), so cap doc bytes well under half of HBM; the production
+    # path (StreamingMaxSim / ck --maxsim) streams 8192-doc tiles and
+    # never sees this bound
+    d_n, tq = (args.base // 20, 32) if args.long_docs else (args.base // 5, 32)
     td = 64 if args.long_docs else 16
     dim, k = 128, min(args.k, 100)
     key = jax.random.PRNGKey(0)
