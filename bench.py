@@ -87,6 +87,57 @@ def _ensure_streamed_data(data_dir: str, q_n: int, b_n: int, d: int):
     return qf, bf
 
 
+def run_encode(args):
+    """Embedding-generation throughput (SURVEY.md L5): the Flax BERT e5
+    encoder forward on TPU, bf16 activations, padded token batches —
+    the TPU replacement for the reference's torch-CUDA SentenceTransformer
+    (model_generator.py:273-287). Measures the jitted forward (tokenizer
+    excluded; it is host-side and overlaps generation in the pipeline)."""
+    import jax
+    import jax.numpy as jnp
+    from neighborhoodwatch_tpu.models.e5_flax import E5FlaxEmbeddingGenerator
+
+    model = args.encode_model
+    gen = E5FlaxEmbeddingGenerator(model_name=model)
+    batch, seqlen = 512, 256
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1000, 20_000, (batch, seqlen)), jnp.int32)
+    mask = jnp.ones((batch, seqlen), jnp.int32)
+    log(f"encode bench: {model} (pretrained={gen.pretrained}), "
+        f"batch={batch} x seq={seqlen}")
+
+    out = gen._forward(gen.params, ids, mask)
+    _ = np.asarray(out[0, 0])
+    log("compile + first run done")
+    times = []
+    for _i in range(args.iters):
+        t0 = time.perf_counter()
+        out = gen._forward(gen.params, ids, mask)
+        _ = np.asarray(out[0, 0])
+        times.append(time.perf_counter() - t0)
+    elapsed = float(np.median(times))
+    tokens_per_s = batch * seqlen / elapsed
+
+    cfg = gen.config
+    # encoder FLOPs/token ~ 12 * hidden^2 (attn+mlp matmuls) * layers
+    flops_tok = 12 * cfg.hidden_size * cfg.hidden_size * 4 * cfg.num_layers / 2
+    result = {
+        "metric": f"e5_encode_tokens_per_s_{model.split('/')[-1]}",
+        "value": round(tokens_per_s / 1e6, 3),
+        "unit": "Mtokens/s",
+        "vs_baseline": 0.0,
+    }
+    print(json.dumps(result))
+    extra = {
+        "batch_seq": [batch, seqlen],
+        "approx_tflops": round(tokens_per_s * flops_tok / 1e12, 1),
+        "pretrained_weights": gen.pretrained,
+        "device": str(jax.devices()[0]),
+        "baseline_model": "none: reference publishes no encoder throughput",
+    }
+    print("# " + json.dumps(extra))
+
+
 def run_maxsim(args):
     """BASELINE.md milestone config 4: ColBERT doc-level MaxSim ground
     truth via the fused Pallas screen kernel + certified re-rank
@@ -252,6 +303,11 @@ def main():
     parser.add_argument("--iters", type=int, default=5)
     parser.add_argument("--small", action="store_true",
                         help="tiny CPU-friendly smoke configuration")
+    parser.add_argument("--encode", action="store_true",
+                        help="Flax e5 encoder forward throughput on TPU")
+    parser.add_argument("--encode-model", type=str,
+                        default="intfloat/e5-base-v2",
+                        help="e5 model for --encode")
     parser.add_argument("--maxsim", action="store_true",
                         help="BASELINE.md config 4: ColBERT doc-level "
                              "MaxSim via the fused Pallas kernel")
@@ -277,6 +333,9 @@ def main():
 
     if args.small:
         args.queries, args.base, args.dim, args.k = 256, 20_000, 384, 10
+    if args.encode:
+        run_encode(args)
+        return
     if args.maxsim:
         run_maxsim(args)
         return
