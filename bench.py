@@ -226,6 +226,12 @@ def run_streamed(args):
         "NW_BENCH_DIR", "/tmp/nw_bench_streamed")
     qf, bf = _ensure_streamed_data(data_dir, q_n, b_n, d)
     cleanup_partial_parquet(f"{data_dir}/partial")
+    # a leftover mid-stream checkpoint would silently resume and time only
+    # the remaining rows (inflating vs_baseline); benches measure fresh
+    ckpt = f"{data_dir}/partial/stream_state.npz"
+    if os.path.exists(ckpt):
+        log("removing stale stream checkpoint (benches measure fresh runs)")
+        os.remove(ckpt)
 
     t0 = time.perf_counter()
     # 250k-row batches (~1.5GB at 1536d): large enough to amortize engine
@@ -251,14 +257,16 @@ def run_streamed(args):
         from neighborhoodwatch_tpu.utils.naming import (
             get_partial_indices_filename,
         )
+        from neighborhoodwatch_tpu.core.pipeline import _device_transpose
         nv = min(args.verify_queries, q_n)
         log(f"verifying {nv} queries with an exact-engine restream")
         qv = read_embeddings(data_dir, qf, nv, d)
         acc = StreamingKNN(qv, k=k, metric="sqeuclidean", engine="exact")
+        dev_t = _device_transpose()
         for off, chunk_t in iter_embedding_batches(
-                data_dir, bf, batch_size=1_000_000, count=b_n, layout="col"):
-            import jax.numpy as jnp
-            acc.update(jax.jit(jnp.transpose)(jax.device_put(chunk_t)), off)
+                data_dir, bf, batch_size=250_000, count=b_n, layout="col"):
+            acc.update(dev_t(jax.device_put(chunk_t)), off)
+            _ = np.asarray(acc.state[0][0, 0])   # transfer backpressure
         _, i_e = acc.finalize()
         idx = pq.read_table(
             get_partial_indices_filename(data_dir, -1)).to_pandas().values

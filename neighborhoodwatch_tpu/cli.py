@@ -240,7 +240,8 @@ def ck_main(argv=None):
     )
     from neighborhoodwatch_tpu.models.colbert_flax import ColbertFlaxEmbeddingGenerator
     from neighborhoodwatch_tpu.models.registry import (
-        EmbeddingModelName, get_effective_embedding_size,
+        EmbeddingModelName, colbert_weight_status,
+        get_effective_embedding_size,
     )
     from neighborhoodwatch_tpu.utils import naming
 
@@ -314,14 +315,9 @@ Some example commands:\n
     embedding_chunk_size = scale_map[args.embedding_scale]
 
     token_generator = ColbertFlaxEmbeddingGenerator(chunk_size=embedding_chunk_size)
-    if token_generator.head_pretrained:
-        weight_status = "pretrained (colbertv2.0 backbone + projection head)"
-    elif token_generator.pretrained:
-        weight_status = ("pretrained backbone + RANDOM projection head "
-                         "— NOT ground truth")
-    else:
-        weight_status = "RANDOM INIT (no local checkpoint) — NOT ground truth"
-    print(f"  model weights:       {weight_status}")
+    print("  model weights:       "
+          + colbert_weight_status(token_generator.head_pretrained,
+                                  token_generator.pretrained))
 
     logging.basicConfig(
         level=logging.INFO,

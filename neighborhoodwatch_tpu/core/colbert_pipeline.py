@@ -46,9 +46,11 @@ def process_source_dataset(streamer, generator, dataset, input_dimensions,
         # the generator contract is ([flat tokens of ALL sentences], counts
         # per sentence) — reference model_generator.py:433-439; split the
         # flat stream back into per-sentence passages so each sentence gets
-        # its own doc id (one wikipedia article is many passages, not one)
-        flat = np.concatenate([np.asarray(e).reshape(-1, input_dimensions)
-                               for e in embeddings], axis=0)
+        # its own doc id (one wikipedia article is many passages, not one).
+        # embeddings is already a flat (N, d) array: reshape, never iterate
+        # rows (a per-row concatenate costs millions of tiny allocations)
+        flat = np.asarray(embeddings, dtype=np.float32) \
+            .reshape(-1, input_dimensions)
         assert len(flat) == sum(counts), \
             f"token stream length {len(flat)} != sum of counts {sum(counts)}"
         for passage in np.split(flat, np.cumsum(counts)[:-1]):

@@ -68,14 +68,27 @@ def _prefetch(iterator, depth: int = 2):
         raise err[0]
 
 
+_dev_transpose = None
+
+
+def _device_transpose():
+    """One shared jitted transpose (a fresh jax.jit per batch would retrace
+    every call)."""
+    global _dev_transpose
+    if _dev_transpose is None:
+        import jax
+        import jax.numpy as jnp
+        _dev_transpose = jax.jit(jnp.transpose)
+    return _dev_transpose
+
+
 def _batch_to_device(base_t: np.ndarray, offset: int, batch_size: int):
     """One (d, batch) host column slice -> (batch, d) device array. The
     slice copy is sequential-friendly (>=batch*4-byte runs) and the
     transpose is an on-device XLA relayout."""
     import jax
-    import jax.numpy as jnp
     sl = np.ascontiguousarray(base_t[:, offset: offset + batch_size])
-    return jax.jit(jnp.transpose)(jax.device_put(sl))
+    return _device_transpose()(jax.device_put(sl))
 
 
 def compute_knn(data_dir: str,
@@ -246,8 +259,7 @@ def compute_knn_ds(data_dir: str,
                       f"{acc.rows_seen}/{n_base} base rows done")
 
         import jax
-        import jax.numpy as jnp
-        dev_t = jax.jit(jnp.transpose)   # (d, n) host batch -> (n, d) device
+        dev_t = _device_transpose()      # (d, n) host batch -> (n, d) device
         batches = iter_embedding_batches(data_dir, base_filename,
                                          batch_size=batch_size, count=n_base,
                                          layout="col")

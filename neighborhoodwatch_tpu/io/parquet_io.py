@@ -144,29 +144,6 @@ def table_to_colmajor(table: pa.Table, columns: list[str] | None = None) -> np.n
     return out
 
 
-def read_embeddings_device(data_dir: str, filename: str,
-                           count: int | None = None,
-                           dimensions: int | None = None):
-    """Load an embeddings parquet straight to the accelerator as an (n, d)
-    jax array: host does one sequential col-major pass, the transpose is
-    an on-device XLA relayout (host transposes cost ~100x more here)."""
-    import jax
-    import jax.numpy as jnp
-
-    full = get_full_filename(data_dir, filename)
-    schema = pq.read_schema(full)
-    columns = embedding_column_names(schema)
-    if dimensions is not None:
-        from neighborhoodwatch_tpu.utils.misc import output_dimension_validity_check
-        assert len(columns) == dimensions or dimensions == 8 * len(columns), \
-            f"Expected {dimensions} embedding columns, got {len(columns)} in {filename}"
-    table = pq.read_table(full, columns=columns)
-    if count is not None:
-        table = table.slice(0, count)
-    mat_t = table_to_colmajor(table, columns)
-    return jax.jit(jnp.transpose)(jax.device_put(mat_t))
-
-
 def read_embeddings_colmajor(data_dir: str, filename: str,
                              count: int | None = None,
                              dimensions: int | None = None) -> np.ndarray:
@@ -174,17 +151,33 @@ def read_embeddings_colmajor(data_dir: str, filename: str,
     embedding matrix transposed, sequential writes only). Callers stream
     column slices to the device and transpose there — this is how the table
     path keeps bases larger than HBM in host RAM (reference semantics:
-    cu_knn.py:205-211 keeps the arrow table on host and copies per batch)."""
+    cu_knn.py:205-211 keeps the arrow table on host and copies per batch).
+
+    Row groups stream straight into the preallocated output: a whole-table
+    pq.read_table would hold the full corpus TWICE (arrow buffers + the
+    matrix — ~122 GB at the 10M x 1536 target) on exactly the host this
+    path exists to protect."""
     full = get_full_filename(data_dir, filename)
-    schema = pq.read_schema(full)
-    columns = embedding_column_names(schema)
+    pf = pq.ParquetFile(full)
+    columns = embedding_column_names(pf.schema_arrow)
     if dimensions is not None:
         assert len(columns) == dimensions or dimensions == 8 * len(columns), \
             f"Expected {dimensions} embedding columns, got {len(columns)} in {filename}"
-    table = pq.read_table(full, columns=columns)
-    if count is not None:
-        table = table.slice(0, count)
-    return table_to_colmajor(table, columns)
+    n = pf.metadata.num_rows if count is None else min(count, pf.metadata.num_rows)
+    out = np.empty((len(columns), n), dtype=np.float32)
+    name_to_j = {c: j for j, c in enumerate(columns)}
+    row = 0
+    for rb in pf.iter_batches(batch_size=65536, columns=columns):
+        nb = min(rb.num_rows, n - row)
+        if nb <= 0:
+            break
+        for name, col in zip(rb.schema.names, rb.columns):
+            out[name_to_j[name], row:row + nb] = \
+                col.to_numpy(zero_copy_only=False)[:nb]
+        row += nb
+    pf.close()
+    assert row == n, f"expected {n} rows, read {row} from {filename}"
+    return out
 
 
 def read_embeddings(data_dir: str, filename: str, count: int | None = None,

@@ -128,11 +128,27 @@ def get_embedding_generator_for_model(model_name, output_dimension=None,
     return None
 
 
+def colbert_weight_status(head_pretrained: bool,
+                          backbone_pretrained: bool) -> str:
+    """Provenance string from a ColBERT generator's LIVE load flags."""
+    if head_pretrained:
+        return "pretrained (colbertv2.0 backbone + projection head)"
+    if backbone_pretrained:
+        return ("pretrained backbone + RANDOM projection head "
+                "— NOT ground truth")
+    return "RANDOM INIT (no local checkpoint) — NOT ground truth"
+
+
 def local_weight_status(model_name: str) -> str:
     """Weight provenance for the CLI banner. Local Flax models (e5, ColBERT)
     silently fall back to deterministic random init in zero-egress
     environments — that is pipeline-valid but NOT ground truth, so the CLIs
-    surface it loudly up front."""
+    surface it loudly up front.
+
+    Checks what a load would ACTUALLY use: the weights file itself (not
+    just config.json) AND torch importability — the torch->Flax conversion
+    reads the checkpoint through transformers+torch, so a primed cache
+    without torch still means random init."""
     def cached(repo, fname="config.json"):
         try:
             from transformers.utils import hub
@@ -140,16 +156,31 @@ def local_weight_status(model_name: str) -> str:
         except Exception:
             return False
 
+    def weights_cached(repo):
+        return (cached(repo, "model.safetensors")
+                or cached(repo, "pytorch_model.bin"))
+
+    def torch_ok():
+        try:
+            import torch  # noqa: F401
+            return True
+        except Exception:
+            return False
+
     if "e5" in model_name:
-        if cached(model_name):
-            return f"pretrained ({model_name}, local HF cache)"
+        if weights_cached(model_name):
+            if torch_ok():
+                return f"pretrained ({model_name}, local HF cache)"
+            return ("cached checkpoint but torch unavailable -> "
+                    "RANDOM INIT — NOT ground truth")
         return "RANDOM INIT (no local checkpoint) — NOT ground truth"
     if model_name == EmbeddingModelName.COLBERT_V2.value:
-        if (cached("colbert-ir/colbertv2.0", "model.safetensors")
-                or cached("colbert-ir/colbertv2.0", "pytorch_model.bin")):
-            return "pretrained (colbertv2.0 backbone + projection head)"
-        if cached("bert-base-uncased"):
-            return ("pretrained backbone + RANDOM projection head "
-                    "— NOT ground truth")
-        return "RANDOM INIT (no local checkpoint) — NOT ground truth"
+        if not torch_ok():
+            return ("cached checkpoint but torch unavailable -> "
+                    "RANDOM INIT — NOT ground truth") \
+                if weights_cached("colbert-ir/colbertv2.0") \
+                else "RANDOM INIT (no local checkpoint) — NOT ground truth"
+        return colbert_weight_status(
+            head_pretrained=weights_cached("colbert-ir/colbertv2.0"),
+            backbone_pretrained=weights_cached("bert-base-uncased"))
     return "remote API (weights server-side)"

@@ -36,9 +36,12 @@ class HashTokenizer:
         return _HASH_FLOOR + int.from_bytes(digest, "little") % span
 
     def __call__(self, texts, max_length: int = 512, insert_after_cls=None):
+        # reserve one slot for the marker (mirrors HFTokenizer) so _insert
+        # never displaces the trailing [SEP] of a full row
+        budget = max_length - (1 if insert_after_cls is not None else 0)
         ids_rows, mask_rows = [], []
         for text in texts:
-            words = _WORD_RE.findall(text)[: max_length - 2]
+            words = _WORD_RE.findall(text)[: budget - 2]
             ids = [CLS_ID] + [self._word_id(w) for w in words] + [SEP_ID]
             ids_rows.append(ids)
             mask_rows.append([1] * len(ids))

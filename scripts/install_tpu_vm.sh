@@ -32,6 +32,9 @@ pip install -q \
     "flax==${FLAX_VERSION}" \
     "transformers==${TRANSFORMERS_VERSION}" \
     numpy pandas pyarrow h5py datasets requests pytest
+# torch (CPU) reads the pretrained checkpoints for the torch->Flax
+# conversion; without it the encoders fall back to random init
+pip install -q torch --index-url https://download.pytorch.org/whl/cpu
 
 echo "== install neighborhoodwatch-tpu + native IO engine"
 pip install -q "$REPO_DIR"
