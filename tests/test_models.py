@@ -191,3 +191,24 @@ def test_colbert_flax_token_contract():
     np.testing.assert_allclose(np.linalg.norm(toks, axis=1), 1.0, atol=1e-3)
     # counts include [CLS]/[SEP]: 3 words + 2 specials, 2 words + 2 specials
     assert counts == [5, 4]
+
+
+def test_colbert_weight_status_strings():
+    from neighborhoodwatch_tpu.models.registry import colbert_weight_status
+    assert "pretrained (colbertv2.0" in colbert_weight_status(True, True)
+    s = colbert_weight_status(False, True)
+    assert "RANDOM projection head" in s and "NOT ground truth" in s
+    s = colbert_weight_status(False, False)
+    assert "RANDOM INIT" in s and "NOT ground truth" in s
+
+
+def test_local_weight_status_truthful_offline():
+    """In this hermetic environment no checkpoints are cached: the banner
+    must say RANDOM INIT (a config.json-only cache or a missing torch must
+    never claim 'pretrained' — code-review r2 finding)."""
+    from neighborhoodwatch_tpu.models.registry import local_weight_status
+    s = local_weight_status("intfloat/e5-small-v2")
+    assert ("RANDOM INIT" in s and "NOT ground truth" in s) \
+        or "pretrained (intfloat/e5-small-v2" in s  # only with real weights
+    assert local_weight_status("text-embedding-ada-002") \
+        == "remote API (weights server-side)"
