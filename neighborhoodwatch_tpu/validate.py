@@ -128,9 +128,15 @@ def validate_files(data_dir, query_vector_fvec, base_vector_fvec, indices_ivec,
                    atol=1e-4, metric="cosine") -> int:
     """Metric-convention check + monotonicity + independent-engine
     cross-check on mismatch (reference: parquet_to_format.py:386-491).
-    On mismatch three independent engines run — full exact kNN recompute,
-    pairwise distance, and float64 numpy brute force — approaching the
-    reference's 4-engine depth (:427-466). Returns mismatch count."""
+    On mismatch the reference cross-checks with 4 engines (:427-466);
+    each has a counterpart here: full exact kNN recompute over the base
+    (≙ cuvs full rebuild :435-449), pairwise distance on the mismatching
+    neighbor vectors (≙ cuvs pairwise_distance :427-433, and the
+    single-vector check :450-456 — same computation, one query row),
+    float64 numpy brute force (≙ the torch matmul/topk engine :460-466;
+    shares no code with the JAX paths), plus validate_files_v0's
+    file-level per-neighbor dot products as the fourth, fully disjoint
+    path. Returns mismatch count."""
     queries = _read(data_dir, query_vector_fvec)
     indices = _read(data_dir, indices_ivec).astype(np.int64)
     distances = _read(data_dir, distances_fvec)

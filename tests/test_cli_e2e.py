@@ -53,6 +53,20 @@ def test_nw_end_to_end_synthetic(tmp_path, capsys, metric):
     assert "model weights:" in out  # provenance surfaced in the banner
 
 
+def test_nw_mesh_end_to_end(tmp_path, capsys):
+    """--mesh N: the BASELINE config-5 CLI surface — base corpus sharded
+    over an N-device mesh with ICI top-k merge — through the real entry
+    point on the 8-virtual-device CPU mesh, validated to 0 mismatches."""
+    q, b, k = 16, 160, 4
+    nw_main([str(q), str(b), "-k", str(k), "-m", MODEL, "--synthetic",
+             "--yes", "--post-validation", "--mesh", "8",
+             "--data-dir", str(tmp_path)])
+    out = capsys.readouterr().out
+    data_dir = naming.get_model_data_homedir(str(tmp_path), MODEL, q, b, k)
+    _assert_exports(data_dir, MODEL, DIM, q, b, k)
+    assert "Total mismatch count: 0" in out
+
+
 def test_nw_resume_is_idempotent(tmp_path, capsys):
     """Second identical invocation resumes from artifacts (reference
     file-existence idempotency, SURVEY §5 checkpoint/resume)."""
