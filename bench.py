@@ -239,7 +239,7 @@ def run_streamed(args):
     # GB of host RAM even on slow transfer links
     timer = compute_knn_ds(data_dir, d, qf, q_n, bf, b_n, k=k,
                            metric="sqeuclidean", engine=args.engine,
-                           initial_batch_size=250_000,
+                           initial_batch_size=args.stream_batch,
                            checkpoint_every=5)
     wall = time.perf_counter() - t0
     stages = timer.stages
@@ -322,6 +322,9 @@ def main():
     parser.add_argument("--long-docs", action="store_true",
                         help="with --maxsim: 64-token docs (the chunked "
                              "kernel path)")
+    parser.add_argument("--stream-batch", type=int, default=250_000,
+                        help="with --streamed: base rows per device batch "
+                             "(smaller = shorter transfers on weak links)")
     parser.add_argument("--streamed", action="store_true",
                         help="BASELINE.md config 3: stream the base "
                              "out-of-core from generated parquet through "
