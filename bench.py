@@ -225,13 +225,23 @@ def run_streamed(args):
     data_dir = args.data_dir or os.environ.get(
         "NW_BENCH_DIR", "/tmp/nw_bench_streamed")
     qf, bf = _ensure_streamed_data(data_dir, q_n, b_n, d)
-    cleanup_partial_parquet(f"{data_dir}/partial")
     # a leftover mid-stream checkpoint would silently resume and time only
     # the remaining rows (inflating vs_baseline); benches measure fresh
+    # unless --resume explicitly continues an interrupted run (remote
+    # transports leak every transfer's source buffer host-side, so long
+    # streams may need several OOM-killed attempts chained by --resume —
+    # the metric is then suffixed "_resumed" and timing is partial)
     ckpt = f"{data_dir}/partial/stream_state.npz"
+    resumed = False
     if os.path.exists(ckpt):
-        log("removing stale stream checkpoint (benches measure fresh runs)")
-        os.remove(ckpt)
+        if args.resume:
+            resumed = True
+            log("resuming from mid-stream checkpoint (--resume)")
+        else:
+            log("removing stale stream checkpoint (benches measure fresh)")
+            os.remove(ckpt)
+    if not resumed:
+        cleanup_partial_parquet(f"{data_dir}/partial")
 
     t0 = time.perf_counter()
     # 250k-row batches (~1.5GB at 1536d): large enough to amortize engine
@@ -248,7 +258,40 @@ def run_streamed(args):
 
     # recall cross-check on a query prefix vs the exact in-memory engine
     recall = None
-    if args.verify_queries:
+    if args.verify_host:
+        import pyarrow.parquet as pq
+        from neighborhoodwatch_tpu.io.parquet_io import (
+            iter_embedding_batches, read_embeddings,
+        )
+        from neighborhoodwatch_tpu.utils.naming import (
+            get_partial_indices_filename,
+        )
+        # float64 numpy running top-k on the host: shares neither device
+        # nor code path with the generator, and survives a dead/leaky
+        # transfer link (one streaming CPU pass over the base)
+        nv = min(args.verify_host, q_n)
+        log(f"verifying {nv} queries with a float64 host restream")
+        qv = read_embeddings(data_dir, qf, nv, d).astype(np.float64)
+        run_d = np.full((nv, k), np.inf)
+        run_i = np.zeros((nv, k), dtype=np.int64)
+        for off, chunk_t in iter_embedding_batches(
+                data_dir, bf, batch_size=250_000, count=b_n, layout="col"):
+            b64 = chunk_t.astype(np.float64)
+            dmat = ((qv * qv).sum(1)[:, None] + (b64 * b64).sum(0)[None, :]
+                    - 2.0 * qv @ b64)
+            cd = np.concatenate([run_d, dmat], axis=1)
+            ci = np.concatenate(
+                [run_i, np.broadcast_to(np.arange(off, off + b64.shape[1]),
+                                        (nv, b64.shape[1]))], axis=1)
+            sel = np.argsort(cd, axis=1, kind="stable")[:, :k]
+            run_d = np.take_along_axis(cd, sel, axis=1)
+            run_i = np.take_along_axis(ci, sel, axis=1)
+        idx = pq.read_table(
+            get_partial_indices_filename(data_dir, -1)).to_pandas().values
+        recall = float(np.mean([len(set(idx[r]) & set(run_i[r])) / k
+                                for r in range(nv)]))
+        log(f"recall@{k} vs float64 host restream: {recall}")
+    elif args.verify_queries:
         import pyarrow.parquet as pq
         from neighborhoodwatch_tpu.io.parquet_io import (
             iter_embedding_batches, read_embeddings,
@@ -281,7 +324,8 @@ def run_streamed(args):
     baseline_time = flops / 10.2e12
     result = {
         "metric": f"streamed_knn_wallclock_q{q_n}_b{b_n}_d{d}_k{k}"
-                  + (f"_recall{recall:.3f}" if recall is not None else ""),
+                  + (f"_recall{recall:.3f}" if recall is not None else "")
+                  + ("_resumed" if resumed else ""),
         "value": round(stream_s, 4),
         "unit": "s",
         "vs_baseline": round(baseline_time / stream_s, 3),
@@ -325,6 +369,14 @@ def main():
     parser.add_argument("--stream-batch", type=int, default=250_000,
                         help="with --streamed: base rows per device batch "
                              "(smaller = shorter transfers on weak links)")
+    parser.add_argument("--resume", action="store_true",
+                        help="with --streamed: continue from a mid-stream "
+                             "checkpoint instead of starting fresh (metric "
+                             "suffixed _resumed; timing is partial)")
+    parser.add_argument("--verify-host", type=int, default=0, metavar="N",
+                        help="with --streamed: verify N queries with a "
+                             "float64 numpy host restream (no device; "
+                             "overrides --verify-queries)")
     parser.add_argument("--streamed", action="store_true",
                         help="BASELINE.md config 3: stream the base "
                              "out-of-core from generated parquet through "
