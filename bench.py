@@ -276,6 +276,7 @@ def run_streamed(args):
         run_i = np.zeros((nv, k), dtype=np.int64)
         for off, chunk_t in iter_embedding_batches(
                 data_dir, bf, batch_size=250_000, count=b_n, layout="col"):
+            print(f"  host verify: {off}/{b_n} rows", flush=True)
             b64 = chunk_t.astype(np.float64)
             dmat = ((qv * qv).sum(1)[:, None] + (b64 * b64).sum(0)[None, :]
                     - 2.0 * qv @ b64)
