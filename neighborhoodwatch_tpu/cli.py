@@ -120,7 +120,7 @@ Some example commands:\n
         args.use_dataset_api = True
 
     assert is_valid_model_name(args.model_name), \
-        f"The given model name is invalid; must be one of: {get_valid_model_names_string()}"
+        f"unknown embedding model {args.model_name!r}; supported: {get_valid_model_names_string()}"
     if args.model_name == EmbeddingModelName.COLBERT_V2.value:
         raise SystemExit("For the ColBERT model, use the `ck` program")
 
@@ -267,7 +267,11 @@ Some example commands:\n
                              "large (1000000)")
     parser.add_argument("--data-dir", type=str, default="knn_dataset")
     parser.add_argument("--use-dataset-api", action=argparse.BooleanOptionalAction,
-                        default=False)
+                        default=False,
+                        help="reference-parity flag (colbert_knn.py:164,189 "
+                             "reports it without changing behavior); the TPU "
+                             "token kNN always streams the base out-of-core "
+                             "(the dataset-API behavior is the only path)")
     parser.add_argument("--gen-hdf5", action=argparse.BooleanOptionalAction,
                         default=True)
     parser.add_argument("--enable-memory-tuning", action="store_true")
@@ -315,6 +319,10 @@ Some example commands:\n
     embedding_chunk_size = scale_map[args.embedding_scale]
 
     token_generator = ColbertFlaxEmbeddingGenerator(chunk_size=embedding_chunk_size)
+    # the reference reports this flag without acting on it
+    # (colbert_knn.py:189); the TPU token kNN always streams the base
+    print(f"  dataset API:         {args.use_dataset_api} "
+          "(token kNN always streams out-of-core)")
     print("  model weights:       "
           + colbert_weight_status(token_generator.head_pretrained,
                                   token_generator.pretrained))
@@ -405,6 +413,16 @@ Some example commands:\n
                           naming.get_partial_indices_filename(data_dir, -1),
                           naming.get_partial_distances_filename(data_dir, -1),
                           args.k, args.gen_hdf5, token_embed_columns)
+    if args.maxsim:
+        # neighbors/distances are per query *passage*: also export the
+        # token->passage maps so the artifact set is self-contained
+        from neighborhoodwatch_tpu.io.export import export_maxsim_doc_maps
+        n_q_docs, n_b_docs = export_maxsim_doc_maps(
+            data_dir, model_prefix, input_dimensions, query_file, base_file,
+            args.base_token_count, args.query_token_count, args.k,
+            args.gen_hdf5)
+        print(f"  doc-id maps: {n_q_docs} query passages, "
+              f"{n_b_docs} base passages")
     _duration(section_time, start_time)
 
 

@@ -47,10 +47,17 @@ def process_source_dataset(streamer, generator, dataset, input_dimensions,
         # per sentence) — reference model_generator.py:433-439; split the
         # flat stream back into per-sentence passages so each sentence gets
         # its own doc id (one wikipedia article is many passages, not one).
-        # embeddings is already a flat (N, d) array: reshape, never iterate
-        # rows (a per-row concatenate costs millions of tiny allocations)
-        flat = np.asarray(embeddings, dtype=np.float32) \
-            .reshape(-1, input_dimensions)
+        # embeddings is normally one flat (N, d) array: reshape, never
+        # iterate rows (a per-row concatenate costs millions of tiny
+        # allocations). A generator honoring the list-of-arrays contract
+        # (possibly ragged per sentence) is concatenated once per call.
+        if isinstance(embeddings, (list, tuple)) and len(embeddings) > 1:
+            flat = np.concatenate(
+                [np.asarray(e, np.float32).reshape(-1, input_dimensions)
+                 for e in embeddings], axis=0)
+        else:
+            flat = np.asarray(embeddings, dtype=np.float32) \
+                .reshape(-1, input_dimensions)
         assert len(flat) == sum(counts), \
             f"token stream length {len(flat)} != sum of counts {sum(counts)}"
         for passage in np.split(flat, np.cumsum(counts)[:-1]):
@@ -117,7 +124,7 @@ def _read_doc_tokens(filename: str):
 
 def compute_maxsim_knn(data_dir, query_filename, base_filename, k,
                        tile_docs=8192, precision="highest",
-                       batch_rows=500_000):
+                       batch_rows=500_000, checkpoint_every=2):
     """Doc-level ColBERT MaxSim ground truth: for every query passage,
     the top-k base passages by sum-of-max token similarity.
 
@@ -128,9 +135,18 @@ def compute_maxsim_knn(data_dir, query_filename, base_filename, k,
     token-length (tile shapes stay static per bucket -> few compiles),
     and merged on device through StreamingMaxSim.
 
+    Every `checkpoint_every` parquet batches the running (score, idx,
+    docs_seen) state checkpoints to partial/stream_state.npz (the same
+    fingerprinted mechanism as compute_knn_ds); an interrupted run
+    resumes, re-reading only docs >= the checkpointed count (doc ids are
+    dense ascending, and docs are always emitted whole). 0 disables.
+
     Writes final_{indices,distances} parquet where indices are base *doc*
     ids and distances are **negative MaxSim scores** (ascending distance ==
     best-first, preserving the pipeline's distance contract)."""
+    from neighborhoodwatch_tpu.core.pipeline import (
+        _load_stream_ckpt, _save_stream_ckpt, _stream_ckpt_path,
+    )
     from neighborhoodwatch_tpu.io.parquet_io import write_matrix_to_parquet
     from neighborhoodwatch_tpu.ops.maxsim import (
         StreamingMaxSim, pad_token_lists,
@@ -146,6 +162,18 @@ def compute_maxsim_knn(data_dir, query_filename, base_filename, k,
         queries, q_mask = pad_token_lists(q_docs, dim)
 
     engine = StreamingMaxSim(queries, q_mask, k=k, precision=precision)
+
+    ckpt_path = _stream_ckpt_path(data_dir)
+    fingerprint = {"f_mode": "maxsim", "f_k": k, "f_base": base_filename,
+                   "f_q": len(q_docs), "f_dims": dim}
+    done_docs = 0
+    if checkpoint_every:
+        saved = _load_stream_ckpt(ckpt_path, fingerprint)
+        if saved is not None:
+            engine.restore(*saved)
+            done_docs = engine.docs_seen
+            print(f"resuming MaxSim stream from checkpoint: "
+                  f"{done_docs} base docs done")
 
     pf = pq.ParquetFile(base_filename)
     pending_docs: list[np.ndarray] = []   # complete, not yet tiled
@@ -167,12 +195,21 @@ def compute_maxsim_knn(data_dir, query_filename, base_filename, k,
         return docs
 
     with timer.stage("stream_base"):
-        for batch in pf.iter_batches(batch_size=batch_rows):
+        for b, batch in enumerate(pf.iter_batches(batch_size=batch_rows)):
             ids = batch.column(
                 batch.schema.get_field_index("doc_id")).to_numpy()
+            if done_docs and len(ids) and ids[-1] < done_docs:
+                continue                  # fully covered by the checkpoint
             cols = [n for n in batch.schema.names if n != "doc_id"]
             mat = np.stack([batch.column(n).to_numpy(zero_copy_only=False)
                             for n in cols], axis=1).astype(np.float32)
+            if done_docs and len(ids) and ids[0] < done_docs:
+                # partial overlap: docs are emitted whole, so drop every
+                # token row of already-counted docs (ids are ascending)
+                start = np.searchsorted(ids, done_docs, side="left")
+                ids, mat = ids[start:], mat[start:]
+                if len(ids) == 0:
+                    continue
             if leftover is not None and len(ids) and ids[0] == leftover_id:
                 mat = np.concatenate([leftover, mat], axis=0)
                 ids = np.concatenate(
@@ -185,6 +222,10 @@ def compute_maxsim_knn(data_dir, query_filename, base_filename, k,
                 leftover, leftover_id = docs[-1], ids[-1]
                 pending_docs.extend(docs[:-1])
             pending_docs = emit_tiles(pending_docs)
+            if checkpoint_every and (b + 1) % checkpoint_every == 0 \
+                    and engine.docs_seen > done_docs:
+                # docs still pending/leftover are simply re-read on resume
+                _save_stream_ckpt(ckpt_path, engine, fingerprint)
         if leftover is not None:
             pending_docs.append(leftover)
         emit_tiles(pending_docs, final=True)

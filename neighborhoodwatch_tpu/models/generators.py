@@ -33,7 +33,7 @@ class EmbeddingGenerator(ABC):
                  output_dimension: int | None = None):
         self.model_name = model_name
         assert is_valid_model_name(self.model_name), \
-            f"The given model name is invalid; must be one of: {get_valid_model_names_string()}"
+            f"unknown embedding model {model_name!r}; supported: {get_valid_model_names_string()}"
         # Vendor APIs cap batch size (Cohere 96, Voyage 128, ...); the
         # reference standardizes on <= 64 (model_generator.py:168-169).
         if model_name != EmbeddingModelName.COLBERT_V2.value:

@@ -157,8 +157,12 @@ def local_weight_status(model_name: str) -> str:
             return False
 
     def weights_cached(repo):
+        # single-file checkpoints plus the sharded-layout index files
+        # (a repo cached as shards would otherwise read RANDOM INIT)
         return (cached(repo, "model.safetensors")
-                or cached(repo, "pytorch_model.bin"))
+                or cached(repo, "pytorch_model.bin")
+                or cached(repo, "model.safetensors.index.json")
+                or cached(repo, "pytorch_model.bin.index.json"))
 
     def torch_ok():
         try:

@@ -155,10 +155,13 @@ _EPILOGUE_FOR_METRIC = {"sqeuclidean": "l2", "euclidean": "l2",
                         "cosine": "rdot", "dot": "dot"}
 # screening error bounds (relative to the natural scale of each metric's
 # screen space): bf16x3 residual ~2^-32 plus fp32 accumulation -> 1e-5 is
-# conservative; single-pass bf16 input rounding -> 2^-7. Both add the
-# packed-key quantization (screen_kernel.PACK_EPS_REL: POS_BITS mantissa
-# bits of the distance are replaced by the bin position).
+# conservative; 2-pass keeps q exact and rounds only the base -> the
+# Cauchy-Schwarz bound |q.blo| <= 2^-8|q||b|; single-pass bf16 rounds both
+# inputs -> 2^-7. All add the packed-key quantization
+# (screen_kernel.PACK_EPS_REL: POS_BITS mantissa bits of the distance are
+# replaced by the bin position).
 _EPS_REL = {3: 1e-5 + screen_kernel.PACK_EPS_REL,
+            2: 2.0 ** -8 + screen_kernel.PACK_EPS_REL,
             1: 2.0 ** -7 + screen_kernel.PACK_EPS_REL}
 
 
@@ -273,7 +276,7 @@ def screened_knn(query, base, k: int, metric: str = "sqeuclidean",
     base = jnp.asarray(base, dtype=jnp.float32)
     n_base = base.shape[0]
     assert k <= n_base, f"k={k} exceeds base row count {n_base}"
-    passes = 3 if screen_precision == "high" else 1
+    passes = screen_kernel.PASSES[screen_precision]
 
     # tiny bases aren't worth a kernel launch over a mostly-masked mega
     if n_base < screen_kernel.MEGA:
@@ -372,7 +375,7 @@ def screened_knn_traced(query, base, n_valid, base_offset, k: int,
     base = jnp.asarray(base, dtype=jnp.float32)
     q_count, dim = query.shape
     n_base = base.shape[0]
-    passes = 3 if screen_precision == "high" else 1
+    passes = screen_kernel.PASSES[screen_precision]
     fb_engine = "verified" if jax.default_backend() == "tpu" else "exact"
 
     def _verified(q):

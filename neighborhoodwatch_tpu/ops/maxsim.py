@@ -223,11 +223,22 @@ def maxsim_topk_screened(queries, q_mask, docs, d_mask, k: int,
         m = max(256, round_up(k + 156, 128))
     m = min(max(m, k), cap)
 
-    # bound the re-rank gather buffer (block, m, td, dim) to ~256MB
+    # bound the re-rank gather buffer (block, m, td, dim) to ~256MB; for
+    # very long docs even block=8 can exceed it — shrink m toward k (the
+    # certificate + fallback keep the result exact), and if the bound
+    # still cannot be met take the exact XLA path instead of risking an
+    # HBM OOM on the gather
+    budget = 1 << 28
+    per_cand = docs.shape[1] * docs.shape[2] * 4
     block = 128
-    per_row = m * docs.shape[1] * docs.shape[2] * 4
-    while block > 8 and block * per_row > (1 << 28):
+    while block > 8 and block * m * per_cand > budget:
         block //= 2
+    m_floor = min(max(k, 128), cap)
+    while m > m_floor and block * m * per_cand > budget:
+        m = max(m_floor, m - 128)
+    if block * m * per_cand > budget:
+        return maxsim_topk(queries, q_mask, docs, d_mask, k=k,
+                           tile_docs=2048)
     scores, idx, ok = _maxsim_select(queries, q_mask, docs, d_mask,
                                      cand_neg, cand_doc, k, m, block=block)
     ok_host = np.asarray(ok)
@@ -298,6 +309,20 @@ class StreamingMaxSim:
     @property
     def docs_seen(self) -> int:
         return self._seen
+
+    def state_arrays(self):
+        """(scores, idx, seen) as host arrays — the streaming checkpoint
+        (mirrors ops.knn.StreamingKNN.state_arrays)."""
+        return np.asarray(self.state[0]), np.asarray(self.state[1]), self._seen
+
+    def restore(self, scores, idx, seen: int) -> None:
+        """Resume from a checkpoint taken by `state_arrays` (the running
+        top-k over the first `seen` base docs)."""
+        q_n = self.queries.shape[0]
+        assert scores.shape == (q_n, self.k) and idx.shape == (q_n, self.k)
+        self.state = (jnp.asarray(scores, dtype=jnp.float32),
+                      jnp.asarray(idx, dtype=jnp.int32))
+        self._seen = int(seen)
 
     def finalize(self):
         """(scores desc, doc indices) as numpy."""

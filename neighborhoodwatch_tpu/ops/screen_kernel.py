@@ -72,7 +72,12 @@ POS_MASK = (1 << POS_BITS) - 1
 # into the certificate eps by ops/knn.py)
 PACK_EPS_REL = 2.0 ** -12
 
-SCREEN_PRECISIONS = ("default", "high")
+SCREEN_PRECISIONS = ("default", "medium", "high")
+# MXU passes per precision: "default" = one bf16 pass (input rounding
+# 2^-7 relative), "medium" = q.bhi via hi+lo q (only the base rounding
+# remains: 2^-8 — measured 2x the certificate margin of "default" at 2/3
+# the 3-pass matmul cost), "high" = bf16x3 (~2^-32, fp32-accurate)
+PASSES = {"default": 1, "medium": 2, "high": 3}
 
 
 def _kernel(qn_ref, bn_ref, q_ref, b_ref, out_ref,
@@ -95,10 +100,14 @@ def _kernel(qn_ref, bn_ref, q_ref, b_ref, out_ref,
     dot = partial(jax.lax.dot_general, dimension_numbers=dims,
                   preferred_element_type=jnp.float32)
     part = dot(qhi, bhi)
-    if passes == 3:
+    if passes >= 2:
+        # 2-pass == full-precision q x bf16 base: qhi.bhi + qlo.bhi =
+        # q.bhi, leaving only the base rounding error |q.blo| <= 2^-8|q||b|
         qlo = (q - qhi.astype(jnp.float32)).astype(jnp.bfloat16)
+        part = part + dot(qlo, bhi)
+    if passes >= 3:
         blo = (b - bhi.astype(jnp.float32)).astype(jnp.bfloat16)
-        part = part + dot(qlo, bhi) + dot(qhi, blo)
+        part = part + dot(qhi, blo)
 
     @pl.when(dk == 0)
     def _():
@@ -272,7 +281,7 @@ def screen_candidates(q, base, *, n_rows: int | None = None,
     is a traced scalar (n_rows, by contrast, must be static)."""
     assert screen_precision in SCREEN_PRECISIONS
     assert epilogue in EPILOGUES
-    passes = 3 if screen_precision == "high" else 1
+    passes = PASSES[screen_precision]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -299,6 +308,11 @@ def screen_candidates(q, base, *, n_rows: int | None = None,
     if dk_max is None:
         # bigger tiles need a smaller D chunk to stay inside VMEM
         dk_max = 384 if (tq <= TQ and tb <= TB) else 256
+    elif tq >= TQ and tb >= TB:
+        # dk=512 at the default (or larger) tiles overflows VMEM by
+        # ~3.4MB on v5e (measured FAILED_PRECONDITION) — clamp tuning
+        # flags to the proven ceiling unless the tiles were shrunk
+        dk_max = min(dk_max, 384)
     mega = tb * sub
 
     # pad D to a 128 multiple (zero columns leave distances unchanged)

@@ -1,16 +1,13 @@
-"""Small shared utilities (capability parity with reference nw_utils.py)."""
+"""Small shared utilities (capability parity with reference nw_utils.py).
 
-from collections import OrderedDict
+The reference's `remove_duplicate_embeddings`/`normalize_vector`
+(nw_utils.py:41-49,56-59) are dead code there too — defined but never
+called by any module — so they are intentionally not mirrored here
+(duplicate *detection* lives in tools.hdf5_duplicates, the path that is
+actually exercised).
+"""
 
 import numpy as np
-
-
-def remove_duplicate_embeddings(source_array):
-    """Order-preserving dedup; returns (unique_rows, removed_count)
-    (reference: nw_utils.py:41-49)."""
-    cnt1 = len(source_array)
-    unique_array = list(OrderedDict.fromkeys(map(tuple, source_array)))
-    return unique_array, cnt1 - len(unique_array)
 
 
 def is_zero_embedding(embedding) -> bool:
@@ -19,14 +16,6 @@ def is_zero_embedding(embedding) -> bool:
     Zero vectors mark failed embedding-API calls and are skipped downstream.
     """
     return not np.any(np.asarray(embedding))
-
-
-def normalize_vector(vector: np.ndarray) -> np.ndarray:
-    """L2-normalize; asserts the vector is nonzero (reference: nw_utils.py:56-59)."""
-    vector = np.asarray(vector)
-    assert not is_zero_embedding(vector), "Zero vector found!"
-    norm = np.linalg.norm(vector)
-    return (vector / norm).astype(np.float32)
 
 
 def output_dimension_validity_check(model_name: str, given_dimension: int,

@@ -109,6 +109,22 @@ def get_ivec_fvec_filenames(homedir, model_name, dimensions, base_count,
             get_full_filename(homedir, distances_fvec))
 
 
+def get_doc_id_map_filenames(homedir, model_name, dimensions, base_count,
+                             query_count):
+    """MaxSim-mode extras (no reference analog — the reference's ck has no
+    per-document aggregation): ivec files holding one 1-d vector per token
+    row, aligned row-for-row with the token fvec exports, mapping each
+    token to the passage (doc) id it belongs to. Together with the
+    neighbors/distances files (which are per query passage, holding base
+    passage ids / negated MaxSim scores) the artifact set is
+    self-contained: no parquet needed to line neighbors up with passages."""
+    safe = model_name.replace("/", "_")
+    stem = f"{safe}_{dimensions}"
+    q = f"{stem}_query_doc_ids_{query_count}.ivec"
+    b = f"{stem}_base_doc_ids_{base_count}.ivec"
+    return (get_full_filename(homedir, q), get_full_filename(homedir, b))
+
+
 def get_hdf5_filename(homedir, model_name, dimensions, base_count,
                       query_count, k, output_dtype=None):
     """hdf5 export filename (reference: nw_utils.py:142-154)."""

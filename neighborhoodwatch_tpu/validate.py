@@ -124,8 +124,7 @@ def _numpy_knn_f64(queries, base, k, metric):
 
 
 def validate_files(data_dir, query_vector_fvec, base_vector_fvec, indices_ivec,
-                   distances_fvec, columns=None, input_parquet=None,
-                   atol=1e-4, metric="cosine") -> int:
+                   distances_fvec, atol=1e-4, metric="cosine") -> int:
     """Metric-convention check + monotonicity + independent-engine
     cross-check on mismatch (reference: parquet_to_format.py:386-491).
     On mismatch the reference cross-checks with 4 engines (:427-466);
