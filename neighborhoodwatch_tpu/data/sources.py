@@ -10,8 +10,11 @@ Differences by design:
 - sentence splitting is a dependency-free regex sentencizer (the reference
   requires spaCy's "sentencizer" pipe, generate_dataset.py:18-19,36-42);
 - the two-phase base selection (titles overlapping the query set first,
-  then the remainder, generate_dataset.py:317-362) uses pyarrow compute
-  set membership instead of per-row Python filtering over fork pools;
+  then the remainder, generate_dataset.py:317-362) computes ONE vectorized
+  pyarrow `is_in` mask over the arrow-backed title column
+  (`_filter_dataset_by_title`) instead of the reference's per-row Python
+  lambda over `num_proc=cpu_count()` fork pools — a single C++ pass over
+  the 6M-row corpus, no worker processes;
 - a `synthetic` source makes the whole pipeline runnable hermetically.
 """
 
@@ -281,6 +284,37 @@ def generate_query_dataset(data_dir, model_name, row_count,
     return filename
 
 
+def _filter_dataset_by_title(dataset, query_titles, keep_in: bool):
+    """Batched title-set filter for the two-phase base selection.
+
+    The reference filters the 6M-article wikipedia corpus with a per-row
+    Python lambda over `num_proc=cpu_count()` fork pools
+    (generate_dataset.py:314-322,344). Arrow-backed HF datasets expose the
+    title column directly, so one vectorized `replace_substring` + `is_in`
+    pass builds the whole boolean mask in C++ and `select` keeps the
+    result lazy (an index mapping, not a copy). Plain iterables
+    (synthetic/_ListDataset sources) fall back to their own `.filter`."""
+    try:
+        title_col = dataset.data.column("title")     # HF datasets.Dataset
+    except AttributeError:
+        if keep_in:
+            return dataset.filter(
+                lambda r: r["title"].replace("_", " ") in query_titles)
+        return dataset.filter(
+            lambda r: r["title"].replace("_", " ") not in query_titles)
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    norm = pc.replace_substring(pc.cast(title_col, pa.string()), "_", " ")
+    mask = pc.is_in(norm, options=pc.SetLookupOptions(
+        value_set=pa.array(sorted(query_titles), type=pa.string()),
+        skip_nulls=True))
+    if not keep_in:
+        mask = pc.invert(mask)
+    idx = np.nonzero(mask.to_numpy(zero_copy_only=False))[0]
+    return dataset.select(idx)
+
+
 def generate_base_dataset(data_dir, model_name, query_vector_filename,
                           row_count, output_dimension=None, output_dtype=None,
                           source=None, generator=None):
@@ -307,7 +341,7 @@ def generate_base_dataset(data_dir, model_name, query_vector_filename,
     processed = 0
     skipped = 0
     print("-- filtering base dataset 1 (title in query set)")
-    in_set = dataset.filter(lambda r: r["title"].replace("_", " ") in query_titles)
+    in_set = _filter_dataset_by_title(dataset, query_titles, keep_in=True)
     if len(in_set) > 0:
         processed, skipped = process_dataset("document", streamer, in_set,
                                              row_count, "text", model_name,
@@ -317,8 +351,8 @@ def generate_base_dataset(data_dir, model_name, query_vector_filename,
 
     if row_count > processed:
         print("-- filtering base dataset 2 (title not in query set)")
-        out_set = dataset.filter(
-            lambda r: r["title"].replace("_", " ") not in query_titles)
+        out_set = _filter_dataset_by_title(dataset, query_titles,
+                                           keep_in=False)
         p2, s2 = process_dataset("document", streamer, out_set,
                                  row_count - processed, "text", model_name,
                                  output_dimension, output_dtype,
