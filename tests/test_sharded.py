@@ -181,3 +181,105 @@ def test_sharded_knn_screened_small_shard_falls_back(mesh8):
     d_s, i_s = sharded_knn(q, b, 5, mesh8, engine="screened")
     d_e, i_e = knn(q, b, 5, engine="exact")
     np.testing.assert_array_equal(np.asarray(i_s), np.asarray(i_e))
+
+
+def test_sharded_streaming_screened_multi_batch_ragged():
+    """Config-5 scale rehearsal (VERDICT r2 weak #7): the screened engine
+    under the mesh with MULTIPLE streamed batches, MULTIPLE mega-tiles per
+    shard, and a ragged tail batch that pads to the widest batch width —
+    exact vs the single-device oracle."""
+    from neighborhoodwatch_tpu.ops import screen_kernel
+    from neighborhoodwatch_tpu.parallel.sharded_knn import ShardedStreamingKNN
+
+    mesh = make_mesh(8, dp=4)                    # mp=2
+    mp = mesh.shape[MP_AXIS]
+    mega = screen_kernel.MEGA
+    rng = np.random.default_rng(31)
+    dim, k = 16, 7
+    batch1 = 2 * mega * mp                       # 2 mega-tiles per shard
+    tail = mega + 12_345                         # ragged second batch
+    n_base = batch1 + tail
+    q = rng.standard_normal((8, dim)).astype(np.float32)
+    b = rng.standard_normal((n_base, dim)).astype(np.float32)
+
+    acc = ShardedStreamingKNN(q, k=k, mesh=mesh, engine="screened")
+    assert acc.engine == "screened"
+    acc.update(b[:batch1], 0)
+    acc.update(b[batch1:], batch1)
+    d_s, i_s = acc.finalize()
+
+    d_e, i_e = knn(q, b, k, engine="exact")
+    np.testing.assert_array_equal(i_s, np.asarray(i_e))
+    np.testing.assert_allclose(d_s, np.asarray(d_e), atol=1e-4)
+
+
+def test_compute_knn_ds_mesh_kill_and_resume(tmp_path, normalized_vectors,
+                                             monkeypatch, capsys):
+    """A mesh-path stream killed mid-run resumes from the fingerprinted
+    checkpoint, re-reads only unseen rows, and matches the oracle
+    (VERDICT r2 weak #7: the mesh resume path had no test)."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neighborhoodwatch_tpu.core.pipeline import (
+        compute_knn_ds, _stream_ckpt_path,
+    )
+    from neighborhoodwatch_tpu.parallel import sharded_knn as SK
+    from neighborhoodwatch_tpu.utils import naming
+
+    q, b = normalized_vectors
+    k = 10
+    data_dir = str(tmp_path)
+    (tmp_path / "partial").mkdir()
+    for name, mat in (("q.parquet", q), ("b.parquet", b)):
+        pq.write_table(pa.table({f"embedding_{i}": mat[:, i]
+                                 for i in range(mat.shape[1])}),
+                       f"{data_dir}/{name}")
+
+    mesh = make_mesh(8)                          # dp=1, mp=8
+    args = (data_dir, q.shape[1], "q.parquet", q.shape[0],
+            "b.parquet", b.shape[0])
+    kwargs = dict(k=k, initial_batch_size=25, mesh=mesh, checkpoint_every=1)
+    # plan_knn grows batches to the HBM budget; force 200-row batches so
+    # the 1000-row base streams as 5 batches with checkpoints between
+    from neighborhoodwatch_tpu.core import pipeline as P
+    from neighborhoodwatch_tpu.core.tuner import KnnPlan
+    monkeypatch.setattr(P, "plan_knn", lambda *a, **kw: KnnPlan(
+        batch_size=200, tile_size=128, query_block=q.shape[0],
+        bytes_limit=1 << 24, est_bytes=1 << 22))
+
+    real_update = SK.ShardedStreamingKNN.update
+    calls = {"n": 0}
+
+    def dying_update(self, batch, offset=None):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("simulated mid-stream crash")
+        return real_update(self, batch, offset)
+
+    monkeypatch.setattr(SK.ShardedStreamingKNN, "update", dying_update)
+    with pytest.raises(RuntimeError, match="simulated"):
+        compute_knn_ds(*args, **kwargs)
+    ckpt = _stream_ckpt_path(data_dir)
+    assert os.path.exists(ckpt), "crash left no checkpoint"
+
+    offsets = []
+
+    def spy_update(self, batch, offset=None):
+        offsets.append(offset)
+        return real_update(self, batch, offset)
+
+    monkeypatch.setattr(SK.ShardedStreamingKNN, "update", spy_update)
+    compute_knn_ds(*args, **kwargs)
+    out = capsys.readouterr().out
+    assert "resuming kNN stream from checkpoint" in out
+    assert offsets and min(offsets) >= 400, \
+        f"resume re-streamed already-seen rows: {offsets}"
+
+    import pyarrow.parquet as pq2
+    got_i = pq2.read_table(
+        naming.get_partial_indices_filename(data_dir, -1)).to_pandas().values
+    ref_d, ref_i = knn(q, b, k=k)
+    np.testing.assert_array_equal(got_i, np.asarray(ref_i))
+    assert not os.path.exists(ckpt)              # consumed on success
