@@ -353,6 +353,11 @@ def main():
     parser.add_argument("--k", type=int, default=100)
     parser.add_argument("--engine", type=str, default="auto",
                         choices=["auto", "exact", "verified", "screened"])
+    parser.add_argument("--metric", type=str, default="sqeuclidean",
+                        choices=["sqeuclidean", "euclidean", "cosine", "dot"],
+                        help="distance metric for the headline/device bench "
+                             "(BASELINE config 2 = --dim 1024 under both "
+                             "sqeuclidean and dot)")
     parser.add_argument("--iters", type=int, default=5)
     parser.add_argument("--small", action="store_true",
                         help="tiny CPU-friendly smoke configuration")
@@ -425,8 +430,10 @@ def main():
     _ = np.asarray(query[0, 0]), np.asarray(base[0, 0])  # force materialize
     log(f"data ready: q={query.shape} b={base.shape} engine={engine}")
 
+    metric = args.metric
+
     def run():
-        return knn(query, base, k=k, metric="sqeuclidean", engine=engine)
+        return knn(query, base, k=k, metric=metric, engine=engine)
 
     # warmup/compile; the final host read forces full completion (the axon
     # tunnel's block_until_ready does not reliably block)
@@ -452,7 +459,7 @@ def main():
     if args.verify_queries:
         nv = min(args.verify_queries, q_n)
         log(f"verifying {nv} queries against the exact device engine")
-        d_e, i_e = knn(query[:nv], base, k=k, metric="sqeuclidean",
+        d_e, i_e = knn(query[:nv], base, k=k, metric=metric,
                        engine="exact")
         i_e = np.asarray(i_e)
         recall = float(np.mean([len(set(idx[r]) & set(i_e[r])) / k
@@ -463,8 +470,11 @@ def main():
         log(f"verifying {nv} queries against a float64 CPU oracle")
         qv = np.asarray(query[:nv], dtype=np.float64)
         bv = np.asarray(base, dtype=np.float64)
-        dmat = (qv * qv).sum(1)[:, None] + (bv * bv).sum(1)[None, :] \
-            - 2 * qv @ bv.T
+        if metric in ("sqeuclidean", "euclidean"):
+            dmat = (qv * qv).sum(1)[:, None] + (bv * bv).sum(1)[None, :] \
+                - 2 * qv @ bv.T
+        else:  # dot / cosine on normalized vectors
+            dmat = 1.0 - qv @ bv.T
         oracle = np.argsort(dmat, axis=1, kind="stable")[:, :k]
         rec_o = float(np.mean([len(set(idx[r]) & set(oracle[r])) / k
                                for r in range(nv)]))
@@ -478,6 +488,7 @@ def main():
 
     result = {
         "metric": f"exact_knn_wallclock_q{q_n}_b{b_n}_d{d}_k{k}"
+                  + ("" if metric == "sqeuclidean" else f"_{metric}")
                   + (f"_recall{recall:.3f}" if recall is not None else ""),
         "value": round(elapsed, 4),
         "unit": "s",

@@ -296,6 +296,11 @@ Some example commands:\n
                              "flat token-vs-token kNN; neighbor indices are "
                              "base passage ids and distances are negative "
                              "MaxSim scores")
+    parser.add_argument("--mesh", type=int, default=0, metavar="N",
+                        help="shard the kNN/MaxSim over an N-device mesh "
+                             "(token batches / doc tiles split over the mp "
+                             "axis, ICI all_gather top-k merge); "
+                             "0 = single device")
     args = parser.parse_args(argv)
 
     assert args.model_name == EmbeddingModelName.COLBERT_V2.value, \
@@ -379,12 +384,17 @@ Some example commands:\n
 
     cleanup_partial_parquet(f"{data_dir}/partial")
 
+    mesh = None
+    if args.mesh:
+        from neighborhoodwatch_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(args.mesh)
+
     if args.maxsim:
         _section("Computing doc-level MaxSim ground truth")
         section_time = time.time()
         timer, n_q_docs, n_b_docs = compute_maxsim_knn(
             data_dir, query_file, base_file, k=args.k,
-            precision=args.precision)
+            precision=args.precision, mesh=mesh)
         print(timer.report())
         print(f"MaxSim: {n_q_docs} query passages x {n_b_docs} base passages")
         _duration(section_time, start_time)
@@ -396,7 +406,7 @@ Some example commands:\n
             query_file, args.query_token_count,
             mem_tune=args.enable_memory_tuning,
             k=args.k, metric=args.metric,
-            precision=args.precision, engine=args.engine)
+            precision=args.precision, engine=args.engine, mesh=mesh)
         print(timer.report())
         _duration(section_time, start_time)
 

@@ -90,16 +90,18 @@ def process_knn_computation(data_dir, base_filename, base_count, query_filename,
                             initial_batch_size=1_000_000,
                             max_memory_threshold=0.1, k=100,
                             metric="dot", precision="highest",
-                            engine="auto"):
+                            engine="auto", mesh=None):
     """Token-vs-token exact kNN (reference: colbert_knn.py:84-126, which
     defaults to the torch `1 - matmul` engine — metric='dot' here).
 
-    Uses the streaming dataset path: no partial files, device-merged finals."""
+    Uses the streaming dataset path: no partial files, device-merged finals.
+    With `mesh`, token batches shard over the mp axis (ICI top-k merge)."""
     return compute_knn_ds(data_dir, 128, query_filename, query_count,
                           base_filename, base_count, mem_tune=mem_tune, k=k,
                           initial_batch_size=initial_batch_size,
                           max_memory_threshold=max_memory_threshold,
-                          metric=metric, precision=precision, engine=engine)
+                          metric=metric, precision=precision, engine=engine,
+                          mesh=mesh)
 
 
 def _split_by_doc(tokens: np.ndarray, doc_ids: np.ndarray):
@@ -124,7 +126,7 @@ def _read_doc_tokens(filename: str):
 
 def compute_maxsim_knn(data_dir, query_filename, base_filename, k,
                        tile_docs=8192, precision="highest",
-                       batch_rows=500_000, checkpoint_every=2):
+                       batch_rows=500_000, checkpoint_every=2, mesh=None):
     """Doc-level ColBERT MaxSim ground truth: for every query passage,
     the top-k base passages by sum-of-max token similarity.
 
@@ -161,11 +163,23 @@ def compute_maxsim_knn(data_dir, query_filename, base_filename, k,
         dim = q_mat.shape[1]
         queries, q_mask = pad_token_lists(q_docs, dim)
 
-    engine = StreamingMaxSim(queries, q_mask, k=k, precision=precision)
+    if mesh is None:
+        engine = StreamingMaxSim(queries, q_mask, k=k, precision=precision)
+    else:
+        # doc tiles shard over the mesh's mp axis with ICI all_gather
+        # merge (BASELINE config 4's multi-chip path)
+        from neighborhoodwatch_tpu.parallel.sharded_maxsim import (
+            ShardedStreamingMaxSim,
+        )
+        engine = ShardedStreamingMaxSim(queries, q_mask, k=k, mesh=mesh,
+                                        precision=precision)
 
     ckpt_path = _stream_ckpt_path(data_dir)
+    # f_qpad: mesh runs pad query rows to the dp axis, so a checkpoint is
+    # only resumable by a run with the same padded state shape
     fingerprint = {"f_mode": "maxsim", "f_k": k, "f_base": base_filename,
-                   "f_q": len(q_docs), "f_dims": dim}
+                   "f_q": len(q_docs), "f_dims": dim,
+                   "f_qpad": engine.state[0].shape[0]}
     done_docs = 0
     if checkpoint_every:
         saved = _load_stream_ckpt(ckpt_path, fingerprint)

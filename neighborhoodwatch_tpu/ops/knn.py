@@ -301,7 +301,9 @@ def screened_knn(query, base, k: int, metric: str = "sqeuclidean",
                    engine="verified" if jax.default_backend() == "tpu"
                    else "exact")
     if m is None:
-        m = max(256, round_up(k + 156, 128))
+        # slim margin at 3-pass eps, wide at 1/2-pass (see _screen_plan)
+        m = max(128, round_up(k + 28, 64)) if passes >= 3 \
+            else max(256, round_up(k + 156, 128))
     m = min(max(m, k), cap)
 
     # bound the re-rank gather buffer (block, m, dim) to ~256MB: large k
@@ -340,13 +342,24 @@ def screened_knn(query, base, k: int, metric: str = "sqeuclidean",
     return dist, idx
 
 
-def _screen_plan(n_base: int, k: int, dim: int, sub_width: int):
+def _screen_plan(n_base: int, k: int, dim: int, sub_width: int,
+                 passes: int = 3):
     """Static merge-width/block plan shared by the host and traced screened
     paths. Returns (cap, m, block); cap < k means the screen cannot even
-    represent k candidates and the caller must use another engine."""
+    represent k candidates and the caller must use another engine.
+
+    The merge width m must cover every candidate within eps of the k-th
+    distance or the count certificate fails: at 3-pass precision eps is
+    ~1e-5 relative so a slim k+28 margin suffices (measured: identical
+    cert pass rate to the old k+156 at the headline workload, and the
+    select stage drops 0.26s -> 0.17s); wider eps tiers (1/2-pass screens)
+    keep the wide margin because more near-ties fall inside eps."""
     n_mega = -(-n_base // (screen_kernel.TB * sub_width))
     cap = n_mega * screen_kernel.LANES * (screen_kernel.KEEP - 1)
-    m = max(256, round_up(k + 156, 128))
+    if passes >= 3:
+        m = max(128, round_up(k + 28, 64))
+    else:
+        m = max(256, round_up(k + 156, 128))
     m = min(max(m, k), cap)
     block = 512
     while block > 8 and block * m * dim * 4 > (1 << 28):
@@ -388,7 +401,7 @@ def screened_knn_traced(query, base, n_valid, base_offset, k: int,
 
     sub_width = 56 if n_base >= screen_kernel._BIG_BASE \
         else screen_kernel.SUB_PER_MEGA
-    cap, m, block = _screen_plan(n_base, k, dim, sub_width)
+    cap, m, block = _screen_plan(n_base, k, dim, sub_width, passes)
     if n_base < screen_kernel.MEGA or k > cap:
         # static decision: tile too small for the kernel / k unrepresentable
         d, i = _verified(query)

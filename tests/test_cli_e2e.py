@@ -96,6 +96,23 @@ def test_ck_flat_token_end_to_end(tmp_path):
     assert glob.glob(f"{data_dir}/colbert_knn_*.log")
 
 
+def test_ck_maxsim_mesh_end_to_end(tmp_path):
+    """ck --maxsim --mesh N: the doc-sharded MaxSim path through the real
+    entry point on the 8-virtual-device CPU mesh."""
+    qt, bt, k = 80, 400, 4
+    ck_main([str(qt), str(bt), "-k", str(k), "--synthetic", "-es", "small",
+             "--maxsim", "--mesh", "8", "--data-dir", str(tmp_path)])
+    data_dir = naming.get_model_data_homedir(str(tmp_path), "colbertv2.0",
+                                             qt, bt, k)
+    ivecs = glob.glob(f"{data_dir}/*_indices_*.ivec")
+    fvecs = glob.glob(f"{data_dir}/*_distances_*.fvec")
+    assert ivecs and fvecs
+    from neighborhoodwatch_tpu.io import fvec as fv
+    dist = fv.read_vectors(fvecs[0])
+    assert dist.shape[1] == k
+    assert np.all(np.diff(dist, axis=1) >= -1e-5)
+
+
 def test_ck_maxsim_end_to_end(tmp_path):
     qt, bt, k = 120, 600, 5
     ck_main([str(qt), str(bt), "-k", str(k), "--synthetic", "-es", "small",
