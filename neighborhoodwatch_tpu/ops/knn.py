@@ -262,7 +262,7 @@ def _screened_select(query, base, cand_d, cand_i, k: int, m: int,
 
 
 def screened_knn(query, base, k: int, metric: str = "sqeuclidean",
-                 screen_precision: str = "high", m: int | None = None,
+                 screen_precision: str = "medium", m: int | None = None,
                  base_offset: int = 0, interpret: bool | None = None):
     """Exact kNN via the fused Pallas screen kernel + certified re-rank.
 
@@ -370,7 +370,7 @@ def _screen_plan(n_base: int, k: int, dim: int, sub_width: int,
 @partial(jax.jit, static_argnames=("k", "metric", "screen_precision",
                                    "max_fallback", "interpret"))
 def screened_knn_traced(query, base, n_valid, base_offset, k: int,
-                        metric: str, screen_precision: str = "high",
+                        metric: str, screen_precision: str = "medium",
                         max_fallback: int = 128,
                         interpret: bool | None = None):
     """Fully-traced screened kNN — usable inside shard_map (VERDICT r1
@@ -436,7 +436,7 @@ def screened_knn_traced(query, base, n_valid, base_offset, k: int,
 def knn(query, base, k: int, metric: str = "sqeuclidean",
         precision: str = "highest", tile_size: int | None = None,
         base_offset: int = 0, engine: str = "auto",
-        screen_precision: str = "high"):
+        screen_precision: str = "medium"):
     """Exact k nearest neighbors of `query` rows among `base` rows.
 
     Returns (distances, indices) of shape (Q, k), distances ascending per
