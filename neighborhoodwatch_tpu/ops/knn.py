@@ -266,12 +266,14 @@ def screened_knn(query, base, k: int, metric: str = "sqeuclidean",
                  base_offset: int = 0, interpret: bool | None = None):
     """Exact kNN via the fused Pallas screen kernel + certified re-rank.
 
-    Screens the full base with bf16x3 ("high") or bf16 ("default") MXU
-    passes, keeps the 4 smallest per lane bin on-chip (the 4th is
-    certificate-only), exactly re-ranks the merged top-M in fp32-highest,
-    and proves per-query exactness with the bin certificate; unproven
-    queries are recomputed with the exact engine (measured ~0.01% at
-    224-row bins / ~0.1% at the 448-row bins used for big bases)."""
+    Screens the full base with bf16x3 ("high", ~2^-32 error), exact-q x
+    bf16-base ("medium", 2^-8 — the default: 2/3 the matmul cost of high
+    with measured 99.5% certificate pass rate on the headline workload)
+    or bf16 ("default", 2^-7) MXU passes; keeps the 4 smallest per lane
+    bin on-chip (the 4th is certificate-only), exactly re-ranks the
+    merged top-M in fp32-highest, and proves per-query exactness with the
+    bin + count certificates; unproven queries are recomputed with the
+    exact engine, so the result is exact at every precision."""
     query = jnp.asarray(query, dtype=jnp.float32)
     base = jnp.asarray(base, dtype=jnp.float32)
     n_base = base.shape[0]
@@ -391,20 +393,30 @@ def screened_knn_traced(query, base, n_valid, base_offset, k: int,
     passes = screen_kernel.PASSES[screen_precision]
     fb_engine = "verified" if jax.default_backend() == "tpu" else "exact"
 
-    def _verified(q):
+    def _verified(q, n_rows: int):
+        """Exact fallback for `q`. The tile size scales with the (q rows x
+        tile) distance-matrix budget: the few-row repair pass uses wide
+        tiles (a 128-row repair over 8192-row tiles was scan-overhead
+        bound — 123 near-empty steps cost 0.10s of the 0.93s headline;
+        4 x 262144-row tiles do the same work in ~0.02s), while the
+        whole-tile cond fallback keeps narrow tiles so its buffers stay
+        small."""
         if n_base <= DEFAULT_TILE:
             base_p, _ = _pad_rows(base, 128)
             return _knn_full(q, base_p, n_valid, 0, k, metric, "highest",
                              fb_engine)
+        budget_rows = (1 << 27) // (4 * max(n_rows, 1))   # 128MB d-matrix
+        tile = max(DEFAULT_TILE, (budget_rows // 1024) * 1024)
+        tile = min(tile, (n_base // 1024) * 1024 or DEFAULT_TILE)
         return _knn_scan(q, base, n_valid, 0, k, metric, "highest",
-                         DEFAULT_TILE, fb_engine)
+                         tile, fb_engine)
 
     sub_width = 56 if n_base >= screen_kernel._BIG_BASE \
         else screen_kernel.SUB_PER_MEGA
     cap, m, block = _screen_plan(n_base, k, dim, sub_width, passes)
     if n_base < screen_kernel.MEGA or k > cap:
         # static decision: tile too small for the kernel / k unrepresentable
-        d, i = _verified(query)
+        d, i = _verified(query, q_count)
         return d, (i + base_offset).astype(jnp.int32)
 
     cand_d, cand_i, _ = screen_kernel.screen_candidates(
@@ -421,14 +433,14 @@ def screened_knn_traced(query, base, n_valid, base_offset, k: int,
     # lowest-index tie-break); non-failed fillers are masked via `take`
     _, rows = jax.lax.top_k(fail.astype(jnp.int32), nb)
     take = fail[rows][:, None]
-    d_f, i_f = _verified(query[rows])
+    d_f, i_f = _verified(query[rows], nb)
     dist = dist.at[rows].set(jnp.where(take, d_f, dist[rows]))
     idx = idx.at[rows].set(jnp.where(take, i_f, idx[rows]))
 
     dist, idx = jax.lax.cond(
         jnp.sum(fail.astype(jnp.int32)) <= nb,
         lambda _: (dist, idx),
-        lambda _: _verified(query),
+        lambda _: _verified(query, q_count),
         None)
     return dist, (idx + base_offset).astype(jnp.int32)
 
@@ -446,7 +458,9 @@ def knn(query, base, k: int, metric: str = "sqeuclidean",
     engine: "exact" (lax.top_k), "verified" (approx_min_k + exactness
     proof + fallback), "screened" (fused Pallas distance+select kernel +
     certified fp32 re-rank — the fast path on TPU), or "auto" (screened on
-    TPU for large bases, verified for small, exact elsewhere)."""
+    TPU for large bases, verified for small, exact elsewhere).
+    screen_precision picks the screen's MXU passes (see screened_knn);
+    every choice yields exact results via the certificates + repair."""
     query = jnp.asarray(query, dtype=jnp.float32)
     base = jnp.asarray(base, dtype=jnp.float32)
     n_base = base.shape[0]
