@@ -6,9 +6,10 @@ Workload (BASELINE.md milestone config 3 scaled to one chip): 10k queries x
 measurement isolates the compute engine (the full-pipeline IO paths are
 exercised by tests/CLI).
 
-Engine: "screened" — the fused Pallas distance+screen kernel (bf16x3 MXU
-passes + on-chip bin-trio selection) with certified fp32 re-rank and
-exact-engine fallback for unproven queries (ops/screen_kernel.py).
+Engine: "screened" — the fused Pallas distance+screen kernel (2-pass
+"medium" precision by default: exact-q x bf16-base MXU passes + on-chip
+bin-trio selection) with certified fp32 re-rank and exact-engine repair
+for unproven queries (ops/screen_kernel.py, docs/DESIGN.md tier table).
 
 Baseline model (BASELINE.md): the reference on a p3.8xlarge runs
 single-GPU (GPU0 hardcoded, cu_knn.py:64-65) RAFT brute-force kNN on one
