@@ -32,6 +32,12 @@ class BertConfig:
     type_vocab_size: int = 2
     layer_norm_eps: float = 1e-12
     dtype: str = "bfloat16"  # activation/matmul dtype; params stay fp32
+    # "auto": fused Pallas flash attention on TPU when shapes align (the
+    # XLA path materializes the (B, H, T, T) fp32 logits tensor — 1.6 GB
+    # at the e5-base bench shapes, several HBM passes per layer for
+    # mask+softmax; the fused kernel keeps the tile in VMEM).
+    # "xla" forces the reference einsum+softmax path (CPU tests use it).
+    attention_impl: str = "auto"
 
 
 E5_CONFIGS = {
@@ -44,6 +50,17 @@ E5_CONFIGS = {
 }
 
 COLBERT_BASE_CONFIG = BertConfig()  # bert-base-uncased backbone
+
+
+def _use_flash(cfg: BertConfig, seq: int) -> bool:
+    """Fused attention is a pure perf choice (same math, logits in fp32
+    inside the kernel): TPU backend, 128-multiple sequence length, and a
+    lane-aligned head dim. CPU tests always take the XLA path."""
+    if cfg.attention_impl == "xla":
+        return False
+    head_dim = cfg.hidden_size // cfg.num_heads
+    return (jax.default_backend() == "tpu" and seq % 128 == 0
+            and head_dim % 64 == 0)
 
 
 class BertSelfAttention(nn.Module):
@@ -59,13 +76,28 @@ class BertSelfAttention(nn.Module):
         q = dense(name="query")(hidden)
         k = dense(name="key")(hidden)
         v = dense(name="value")(hidden)
-        # (B, H, T, T) logits in fp32 for a stable softmax
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
-        logits = logits / np.sqrt(head_dim)
-        logits = jnp.where(mask[:, None, None, :], logits, -1e9)
-        probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        if _use_flash(cfg, hidden.shape[1]):
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                SegmentIds, flash_attention,
+            )
+            # padding tokens get segment 0, valid tokens segment 1: valid
+            # queries never attend across; padding rows' outputs are
+            # discarded by the pooling mask downstream
+            seg = mask.astype(jnp.int32)
+            ctx = flash_attention(
+                jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+                jnp.swapaxes(v, 1, 2),
+                segment_ids=SegmentIds(q=seg, kv=seg),
+                sm_scale=float(1.0 / np.sqrt(head_dim)))
+            ctx = jnp.swapaxes(ctx, 1, 2).astype(dtype)    # (B, T, H, D)
+        else:
+            # (B, H, T, T) logits in fp32 for a stable softmax
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32)
+            logits = logits / np.sqrt(head_dim)
+            logits = jnp.where(mask[:, None, None, :], logits, -1e9)
+            probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         out = nn.DenseGeneral(features=cfg.hidden_size, axis=(-2, -1),
                               dtype=dtype, name="out")(ctx)
         return out
