@@ -96,6 +96,17 @@ def test_ck_flat_token_end_to_end(tmp_path):
     assert glob.glob(f"{data_dir}/colbert_knn_*.log")
 
 
+def test_ck_flat_mesh_end_to_end(tmp_path):
+    """ck --mesh N on the flat token path: token batches shard over the
+    mesh with ICI top-k merge."""
+    qt, bt, k = 100, 640, 6
+    ck_main([str(qt), str(bt), "-k", str(k), "--synthetic", "-es", "small",
+             "--mesh", "8", "--data-dir", str(tmp_path)])
+    data_dir = naming.get_model_data_homedir(str(tmp_path), "colbertv2.0",
+                                             qt, bt, k)
+    _assert_exports(data_dir, "colbertv2.0", 128, qt, bt, k)
+
+
 def test_ck_maxsim_mesh_end_to_end(tmp_path):
     """ck --maxsim --mesh N: the doc-sharded MaxSim path through the real
     entry point on the 8-virtual-device CPU mesh."""
