@@ -405,7 +405,11 @@ def screened_knn_traced(query, base, n_valid, base_offset, k: int,
             base_p, _ = _pad_rows(base, 128)
             return _knn_full(q, base_p, n_valid, 0, k, metric, "highest",
                              fb_engine)
-        budget_rows = (1 << 27) // (4 * max(n_rows, 1))   # 128MB d-matrix
+        # 16MB distance matrix per scan step: 128 repair rows -> 32768-row
+        # tiles (31 steps). 8192-row tiles were step-overhead bound
+        # (0.100s standalone); 262144-row tiles measured SLOWER end-to-end
+        # (+0.05s — wide short PartialReduce rows utilize the VPU poorly)
+        budget_rows = (1 << 24) // (4 * max(n_rows, 1))
         tile = max(DEFAULT_TILE, (budget_rows // 1024) * 1024)
         tile = min(tile, (n_base // 1024) * 1024 or DEFAULT_TILE)
         return _knn_scan(q, base, n_valid, 0, k, metric, "highest",
