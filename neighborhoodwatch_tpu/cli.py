@@ -110,6 +110,12 @@ Some example commands:\n
                              "(approx_min_k + exactness proof), screened "
                              "(fused Pallas kernel + certificate; fastest on "
                              "TPU), auto (pick by backend and base size)")
+    parser.add_argument("--screen-precision", type=str, default="medium",
+                        choices=["default", "medium", "high"],
+                        help="screened engine's MXU pass count: high=bf16x3, "
+                             "medium=exact-q x bf16-base (default), "
+                             "default=bf16 — every tier is exact via the "
+                             "certificate + repair (docs/DESIGN.md)")
     parser.add_argument("--mesh", type=int, default=0, metavar="N",
                         help="shard the kNN over an N-device mesh (base "
                              "corpus split over the mp axis, ICI all_gather "
@@ -188,13 +194,15 @@ Some example commands:\n
                                    args.base_count, args.enable_memory_tuning,
                                    args.k, metric=args.metric,
                                    precision=args.precision, mesh=mesh,
-                                   engine=args.engine)
+                                   engine=args.engine,
+                                   screen_precision=args.screen_precision)
         else:
             timer = compute_knn(data_dir, args.model_name, output_dimension,
                                 query_filename, args.query_count, base_filename,
                                 args.base_count, args.enable_memory_tuning,
                                 args.k, metric=args.metric,
-                                precision=args.precision, engine=args.engine)
+                                precision=args.precision, engine=args.engine,
+                                screen_precision=args.screen_precision)
     print(timer.report())
     _duration(section_time, start_time)
 

@@ -106,7 +106,8 @@ def compute_knn(data_dir: str,
                 metric: str = "sqeuclidean",
                 precision: str = "highest",
                 query_split_rows: int | None = None,
-                engine: str = "auto") -> StageTimer:
+                engine: str = "auto",
+                screen_precision: str = "medium") -> StageTimer:
     """Table path: per-base-batch partial top-k files + later merge
     (signature parity with reference cu_knn.py:151-162).
 
@@ -155,7 +156,8 @@ def compute_knn(data_dir: str,
             for qs in range(0, q_rows, q_chunk):
                 d, i = knn(query[qs: qs + q_chunk], chunk, k=k, metric=metric,
                            precision=precision, tile_size=plan.tile_size,
-                           base_offset=off, engine=engine)
+                           base_offset=off, engine=engine,
+                           screen_precision=screen_precision)
                 parts.append((np.asarray(d), np.asarray(i)))
             d = np.vstack([p[0] for p in parts])
             i = np.vstack([p[1] for p in parts])
@@ -211,7 +213,8 @@ def compute_knn_ds(data_dir: str,
                    precision: str = "highest",
                    mesh=None,
                    checkpoint_every: int = 10,
-                   engine: str = "auto") -> StageTimer:
+                   engine: str = "auto",
+                   screen_precision: str = "medium") -> StageTimer:
     """Dataset path: out-of-core streaming + device-resident running top-k;
     writes final_{indices,distances}.parquet directly (reference
     cu_knn_ds.py:232-233 also skips the merge for its single pass).
@@ -239,14 +242,16 @@ def compute_knn_ds(data_dir: str,
         if mesh is None:
             acc = StreamingKNN(query, k=k, metric=metric,
                                precision=precision, tile_size=plan.tile_size,
-                               engine=engine)
+                               engine=engine,
+                               screen_precision=screen_precision)
         else:
             from neighborhoodwatch_tpu.parallel.sharded_knn import (
                 ShardedStreamingKNN,
             )
             acc = ShardedStreamingKNN(query, k=k, mesh=mesh, metric=metric,
                                       precision=precision,
-                                      tile_size=plan.tile_size, engine=engine)
+                                      tile_size=plan.tile_size, engine=engine,
+                                      screen_precision=screen_precision)
         ckpt_path = _stream_ckpt_path(data_dir)
         fingerprint = {"f_k": k, "f_metric": metric, "f_dims": dimensions,
                        "f_base": base_filename, "f_nbase": n_base,

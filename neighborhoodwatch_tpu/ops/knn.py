@@ -503,13 +503,14 @@ class StreamingKNN:
 
     def __init__(self, query, k: int, metric: str = "sqeuclidean",
                  precision: str = "highest", tile_size: int = DEFAULT_TILE,
-                 engine: str = "auto"):
+                 engine: str = "auto", screen_precision: str = "medium"):
         self.query = jnp.asarray(query, dtype=jnp.float32)
         self.k = k
         self.metric = metric
         self.precision = precision
         self.tile_size = tile_size
         self.engine = engine
+        self.screen_precision = screen_precision
         q = self.query.shape[0]
         self.state = (jnp.full((q, k), jnp.inf, dtype=jnp.float32),
                       jnp.zeros((q, k), dtype=jnp.int32))
@@ -524,7 +525,8 @@ class StreamingKNN:
         d, i = knn(self.query, base_batch, k=min(self.k, n),
                    metric=self.metric, precision=self.precision,
                    tile_size=self.tile_size, base_offset=offset,
-                   engine=self.engine)
+                   engine=self.engine,
+                   screen_precision=self.screen_precision)
         self.state = merge_topk(self.state[0], self.state[1], d, i, self.k)
         self._seen += n
 

@@ -108,10 +108,10 @@ def sharded_knn(query, base, k: int, mesh, metric: str = "sqeuclidean",
 
 
 @partial(jax.jit, static_argnames=("k", "metric", "precision", "engine",
-                                   "tile_size", "mesh"))
+                                   "tile_size", "mesh", "screen_precision"))
 def _sharded_fold(run_d, run_i, query, batch, offset, n_valid, k: int,
                   metric: str, precision: str, engine: str, tile_size: int,
-                  mesh=None):
+                  mesh=None, screen_precision: str = "medium"):
     """One sharded streaming step: fold an mp-sharded base batch into the
     dp-sharded running top-k. `offset` (global row id of batch row 0) and
     `n_valid` (real rows in the padded batch) are traced scalars so every
@@ -133,7 +133,8 @@ def _sharded_fold(run_d, run_i, query, batch, offset, n_valid, k: int,
             # the flagship Pallas kernel, fully traced (in-trace certificate
             # repair) — BASELINE config 5 runs with the headline engine
             d, i = screened_knn_traced(q_local, b_local, local_valid,
-                                       shard_off, min(k, shard_rows), metric)
+                                       shard_off, min(k, shard_rows), metric,
+                                       screen_precision=screen_precision)
         elif shard_rows > tile_size:
             d, i = _knn_scan(q_local, b_local, local_valid, shard_off,
                              min(k, shard_rows), metric, precision,
@@ -170,7 +171,7 @@ class ShardedStreamingKNN:
 
     def __init__(self, query, k: int, mesh, metric: str = "sqeuclidean",
                  precision: str = "highest", tile_size: int = 8192,
-                 engine: str = "auto"):
+                 engine: str = "auto", screen_precision: str = "medium"):
         from jax.sharding import NamedSharding
 
         self.mesh = mesh
@@ -179,6 +180,7 @@ class ShardedStreamingKNN:
         self.precision = precision
         self.tile_size = tile_size
         self.engine = _trace_safe_engine(engine)
+        self.screen_precision = screen_precision
         self.dp = mesh.shape[DP_AXIS]
         self.mp = mesh.shape[MP_AXIS]
 
@@ -219,7 +221,8 @@ class ShardedStreamingKNN:
         self.state = _sharded_fold(
             run_d, run_i, self.query, base_batch,
             jnp.int32(offset), jnp.int32(n), self.k, self.metric,
-            self.precision, self.engine, self.tile_size, self.mesh)
+            self.precision, self.engine, self.tile_size, self.mesh,
+            self.screen_precision)
         self._seen += n
 
     @property
