@@ -67,6 +67,18 @@ def test_nw_mesh_end_to_end(tmp_path, capsys):
     assert "Total mismatch count: 0" in out
 
 
+def test_nw_screen_precision_flag(tmp_path, capsys):
+    """--screen-precision threads through to the engine (CPU engines take
+    the exact path, so this is wiring coverage: flag accepted, pipeline
+    completes, validator passes)."""
+    q, b, k = 12, 120, 3
+    nw_main([str(q), str(b), "-k", str(k), "-m", MODEL, "--synthetic",
+             "--yes", "--post-validation", "--screen-precision", "high",
+             "--data-dir", str(tmp_path)])
+    out = capsys.readouterr().out
+    assert "Total mismatch count: 0" in out
+
+
 def test_nw_resume_is_idempotent(tmp_path, capsys):
     """Second identical invocation resumes from artifacts (reference
     file-existence idempotency, SURVEY §5 checkpoint/resume)."""
