@@ -181,6 +181,11 @@ class ShardedStreamingMaxSim:
         assert offset == self._seen, \
             "doc tiles must arrive in ascending contiguous offset order"
         n = doc_tile.shape[0] if n_valid is None else n_valid
+        # keep host references when the caller streamed host arrays: the
+        # rare certificate repair then reads them directly instead of
+        # fetching the tile back over the device link
+        host_tile = doc_tile if isinstance(doc_tile, np.ndarray) else None
+        host_mask = tile_mask if isinstance(tile_mask, np.ndarray) else None
         doc_tile = jnp.asarray(doc_tile, dtype=jnp.float32)
         tile_mask = jnp.asarray(tile_mask, dtype=bool)
         rows = doc_tile.shape[0]
@@ -213,15 +218,20 @@ class ShardedStreamingMaxSim:
             # double-count docs present in both lists)
             bad = np.nonzero(fail_h)[0]
             kk = min(self.k, n)
+            tile_np = (host_tile[:n].astype(np.float32)
+                       if host_tile is not None
+                       else np.asarray(doc_tile)[:n])
+            mask_np = (host_mask[:n] if host_mask is not None
+                       else np.asarray(tile_mask)[:n])
             s_f, i_f = maxsim_topk(self._q_host[bad], self._qm_host[bad],
-                                   np.asarray(doc_tile)[:n],
-                                   np.asarray(tile_mask)[:n], k=kk,
-                                   tile_docs=2048)
+                                   tile_np, mask_np, k=kk, tile_docs=2048)
             ts = np.asarray(ts)
             ti = np.asarray(ti)
-            width = ts.shape[1]
-            ts[bad, :kk] = np.asarray(s_f)[:, :width]
-            ti[bad, :kk] = np.asarray(i_f)[:, :width] + offset
+            # repairs only fire on the screened branch, where per-shard
+            # kk == k == the merged list width — a full-row REPLACE
+            assert ts.shape[1] == kk, (ts.shape, kk)
+            ts[bad, :kk] = np.asarray(s_f)
+            ti[bad, :kk] = np.asarray(i_f) + offset
             qsh = NamedSharding(self.mesh, P(DP_AXIS, None))
             ts = jax.device_put(jnp.asarray(ts), qsh)
             ti = jax.device_put(jnp.asarray(ti), qsh)
