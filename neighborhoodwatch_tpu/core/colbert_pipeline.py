@@ -7,6 +7,8 @@ token-vs-token kNN (the reference's flat approximation of ColBERT retrieval;
 the proper MaxSim scoring lives in ops/maxsim.py as the TPU generalization).
 """
 
+import os
+
 import numpy as np
 import pyarrow.parquet as pq
 
@@ -125,7 +127,7 @@ def _read_doc_tokens(filename: str):
 
 
 def compute_maxsim_knn(data_dir, query_filename, base_filename, k,
-                       tile_docs=8192, precision="highest",
+                       tile_docs=None, precision="highest",
                        batch_rows=500_000, checkpoint_every=2, mesh=None):
     """Doc-level ColBERT MaxSim ground truth: for every query passage,
     the top-k base passages by sum-of-max token similarity.
@@ -157,6 +159,14 @@ def compute_maxsim_knn(data_dir, query_filename, base_filename, k,
     from neighborhoodwatch_tpu.utils.profiling import StageTimer
 
     timer = StageTimer()
+    if tile_docs is None:
+        # the fused screen kernel needs a whole mega-tile (8192 docs) PER
+        # SHARD to engage: scale the streamed tile with the mesh's mp axis
+        # or the mesh path would silently run the ~20x-slower exact
+        # scorer on every chip (r3 review finding #3)
+        from neighborhoodwatch_tpu.parallel.mesh import MP_AXIS
+        mp = 1 if mesh is None else mesh.shape[MP_AXIS]
+        tile_docs = 8192 * mp
     with timer.stage("load_queries"):
         q_mat, q_ids = _read_doc_tokens(query_filename)
         q_docs = _split_by_doc(q_mat, q_ids)
@@ -252,6 +262,11 @@ def compute_maxsim_knn(data_dir, query_filename, base_filename, k,
             naming.get_partial_indices_filename(data_dir, -1), idx)
         write_matrix_to_parquet(
             naming.get_partial_distances_filename(data_dir, -1), -scores)
+        if checkpoint_every and os.path.exists(ckpt_path):
+            # consume the checkpoint on success — a stale one would make
+            # a rerun over regenerated embeddings silently resume as
+            # "complete" and keep the old run's results (r3 review #2)
+            os.remove(ckpt_path)
     return timer, len(q_docs), n_docs
 
 

@@ -296,6 +296,14 @@ def _filter_dataset_by_title(dataset, query_titles, keep_in: bool):
     (synthetic/_ListDataset sources) fall back to their own `.filter`."""
     try:
         title_col = dataset.data.column("title")     # HF datasets.Dataset
+        # a select()/shuffle()/filter() view keeps the FULL backing table
+        # in .data plus an _indices mapping — reading the raw column would
+        # filter the wrong rows (r3 review finding #5), so materialize the
+        # view's titles through the mapping
+        indices = getattr(dataset, "_indices", None)
+        if indices is not None:
+            import pyarrow.compute as _pc
+            title_col = _pc.take(title_col, indices.column(0))
     except AttributeError:
         if keep_in:
             return dataset.filter(

@@ -160,9 +160,11 @@ def export_maxsim_doc_maps(data_dir, model_name, dimensions,
 
     - `<stem>_{query,base}_doc_ids_<n>.ivec`: one 1-d int vector per token
       row (row-aligned with the token fvec files);
-    - hdf5 datasets `test_doc_ids`/`train_doc_ids` (n_tokens,) int32, and
-      semantics attrs on `neighbors`/`distances` (`maxsim=1`,
-      neighbors = base passage ids, distances = negated MaxSim scores).
+    - hdf5 datasets `test_doc_ids`/`train_doc_ids` of shape
+      (n_tokens, 1) int32 — the same single-column rank as the ivec maps,
+      row-aligned with the `test`/`train` groups — plus semantics attrs on
+      `neighbors`/`distances` (`maxsim=1`, neighbors = base passage ids,
+      distances = negated MaxSim scores).
 
     Returns (n_query_docs, n_base_docs) and asserts artifact coherence:
     `neighbors` has one row per query passage and every neighbor id is a

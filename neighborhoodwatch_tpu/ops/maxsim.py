@@ -199,6 +199,32 @@ def _maxsim_select(queries, q_mask, docs, d_mask, cand_neg, cand_doc,
     return sk, doc_k, ok
 
 
+def maxsim_screen_plan(n_docs: int, k: int, td: int, dim: int):
+    """Static merge-width/block plan for the screened MaxSim select —
+    ONE sizing policy shared by the single-device path and the mesh path
+    (parallel/sharded_maxsim.py). Returns (m, block, ok): ok=False means
+    the screen cannot represent k candidates (k > bin capacity) or even
+    the smallest re-rank gather exceeds the ~256MB buffer budget (very
+    long docs — r2 advisor finding), and the caller must use the exact
+    XLA path."""
+    from neighborhoodwatch_tpu.ops import maxsim_kernel as mk
+
+    n_mega = -(-n_docs // mk.MEGA_DOCS)
+    cap = n_mega * mk.LANES * (mk.KEEP - 1)
+    m = max(256, round_up(k + 156, 128))
+    m = min(max(m, k), cap)
+    budget = 1 << 28
+    per_cand = td * dim * 4
+    block = 128
+    while block > 8 and block * m * per_cand > budget:
+        block //= 2
+    m_floor = min(max(k, 128), cap)
+    while m > m_floor and block * m * per_cand > budget:
+        m = max(m_floor, m - 128)
+    ok = (cap >= k) and (block * m * per_cand <= budget)
+    return m, block, ok
+
+
 def maxsim_topk_screened(queries, q_mask, docs, d_mask, k: int,
                          m: int | None = None):
     """Exact top-k documents by MaxSim via the fused Pallas screen kernel
@@ -214,31 +240,17 @@ def maxsim_topk_screened(queries, q_mask, docs, d_mask, k: int,
     n_docs = docs.shape[0]
     assert k <= n_docs
 
-    cand_neg, cand_doc, _ = mk.screen_maxsim(queries, q_mask, docs, d_mask)
-    cap = (cand_neg.shape[1] // mk.KEEP) * (mk.KEEP - 1)
-    if k > cap:   # screen cannot represent k candidates -> exact XLA path
+    plan_m, block, plan_ok = maxsim_screen_plan(
+        n_docs, k, docs.shape[1], docs.shape[2])
+    if not plan_ok:   # k unrepresentable / gather unaffordable -> exact
         return maxsim_topk(queries, q_mask, docs, d_mask, k=k,
                            tile_docs=2048)
     if m is None:
-        m = max(256, round_up(k + 156, 128))
+        m = plan_m
+    cap = (-(-n_docs // mk.MEGA_DOCS)) * mk.LANES * (mk.KEEP - 1)
     m = min(max(m, k), cap)
 
-    # bound the re-rank gather buffer (block, m, td, dim) to ~256MB; for
-    # very long docs even block=8 can exceed it — shrink m toward k (the
-    # certificate + fallback keep the result exact), and if the bound
-    # still cannot be met take the exact XLA path instead of risking an
-    # HBM OOM on the gather
-    budget = 1 << 28
-    per_cand = docs.shape[1] * docs.shape[2] * 4
-    block = 128
-    while block > 8 and block * m * per_cand > budget:
-        block //= 2
-    m_floor = min(max(k, 128), cap)
-    while m > m_floor and block * m * per_cand > budget:
-        m = max(m_floor, m - 128)
-    if block * m * per_cand > budget:
-        return maxsim_topk(queries, q_mask, docs, d_mask, k=k,
-                           tile_docs=2048)
+    cand_neg, cand_doc, _ = mk.screen_maxsim(queries, q_mask, docs, d_mask)
     scores, idx, ok = _maxsim_select(queries, q_mask, docs, d_mask,
                                      cand_neg, cand_doc, k, m, block=block)
     ok_host = np.asarray(ok)

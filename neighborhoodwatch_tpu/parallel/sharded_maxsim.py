@@ -36,25 +36,6 @@ from neighborhoodwatch_tpu.parallel.mesh import DP_AXIS, MP_AXIS
 from neighborhoodwatch_tpu.utils.misc import round_up
 
 
-def _plan(shard_docs: int, k: int, td: int, dim: int):
-    """Static merge-width/block plan per shard (mirrors
-    ops.maxsim.maxsim_topk_screened's sizing incl. the r2-advisor buffer
-    bound)."""
-    from neighborhoodwatch_tpu.ops import maxsim_kernel as mk
-    n_mega = -(-shard_docs // mk.MEGA_DOCS)
-    cap = n_mega * mk.LANES * (mk.KEEP - 1)
-    m = max(256, round_up(k + 156, 128))
-    m = min(max(m, k), cap)
-    budget = 1 << 28
-    per_cand = td * dim * 4
-    block = 128
-    while block > 8 and block * m * per_cand > budget:
-        block //= 2
-    m_floor = min(max(k, 128), cap)
-    while m > m_floor and block * m * per_cand > budget:
-        m = max(m_floor, m - 128)
-    ok = (cap >= k) and (block * m * per_cand <= budget)
-    return m, block, ok
 
 
 @partial(jax.jit, static_argnames=("k", "engine", "precision", "mesh", "m",
@@ -63,7 +44,10 @@ def _sharded_maxsim_tile(queries, q_mask, tile, tmask, offset, n_valid,
                          k: int, engine: str, precision: str, mesh,
                          m: int, block: int):
     """One sharded tile: returns dp-sharded per-tile (scores desc, global
-    doc ids, cert_failed) lists of width k."""
+    doc ids, cert_failed) lists. Per-shard selection width is the STATIC
+    kk = min(k, shard_docs); m >= kk is guaranteed by the caller's
+    maxsim_screen_plan (a dynamic width once crashed ragged tiles —
+    r3 code-review finding #1)."""
     from neighborhoodwatch_tpu.ops import maxsim_kernel as mk
     from neighborhoodwatch_tpu.ops.maxsim import (
         _maxsim_select, maxsim_scores,
@@ -71,6 +55,8 @@ def _sharded_maxsim_tile(queries, q_mask, tile, tmask, offset, n_valid,
 
     mp = mesh.shape[MP_AXIS]
     shard_docs = tile.shape[0] // mp
+    kk = min(k, shard_docs)
+    assert engine != "screened" or m >= kk, (m, kk)
 
     def _shard_fn(q_local, qm_local, t_local, m_local, offset, n_valid):
         my = jax.lax.axis_index(MP_AXIS)
@@ -80,7 +66,6 @@ def _sharded_maxsim_tile(queries, q_mask, tile, tmask, offset, n_valid,
         # padding docs past the tile's real row count lose every token
         m_local = jnp.logical_and(m_local,
                                   (doc_iota < local_valid)[:, None])
-        kk = min(k, shard_docs)
         if engine == "screened":
             cand_neg, cand_doc, _ = mk.screen_maxsim(
                 q_local, qm_local, t_local, m_local)
@@ -164,10 +149,16 @@ class ShardedStreamingMaxSim:
         self._tile_docs = None
 
     def _engine(self, shard_docs: int, tq: int, plan_ok: bool) -> str:
+        """plan_ok gates even an explicit 'screened' request: when the
+        shard's bin capacity cannot represent k (or the re-rank gather is
+        unaffordable) the screened path would be structurally wrong, so
+        the exact path runs instead — still exact, just slower."""
         from neighborhoodwatch_tpu.ops import maxsim_kernel as mk
-        if self._engine_req in ("exact", "screened"):
-            return self._engine_req
-        if (jax.default_backend() == "tpu" and plan_ok
+        if self._engine_req == "exact" or not plan_ok:
+            return "exact"
+        if self._engine_req == "screened":
+            return "screened"
+        if (jax.default_backend() == "tpu"
                 and shard_docs >= mk.MEGA_DOCS and tq <= 32):
             return "screened"
         return "exact"
@@ -199,7 +190,11 @@ class ShardedStreamingMaxSim:
             tile_mask = jnp.pad(tile_mask, ((0, pad), (0, 0)))
         shard_docs = self._tile_docs // self.mp
         td, dim = doc_tile.shape[1], doc_tile.shape[2]
-        m, block, plan_ok = _plan(shard_docs, min(self.k, n), td, dim)
+        # STATIC per-shard selection width: sizing m from the dynamic
+        # min(k, n) crashed ragged tiles (r3 review finding #1)
+        kk_shard = min(self.k, shard_docs)
+        from neighborhoodwatch_tpu.ops.maxsim import maxsim_screen_plan
+        m, block, plan_ok = maxsim_screen_plan(shard_docs, kk_shard, td, dim)
         engine = self._engine(shard_docs, self.queries.shape[1], plan_ok)
 
         tsh = NamedSharding(self.mesh, P(MP_AXIS, None, None))
@@ -217,19 +212,22 @@ class ShardedStreamingMaxSim:
             # failed rows' per-tile lists before folding (a merge would
             # double-count docs present in both lists)
             bad = np.nonzero(fail_h)[0]
-            kk = min(self.k, n)
             tile_np = (host_tile[:n].astype(np.float32)
                        if host_tile is not None
                        else np.asarray(doc_tile)[:n])
             mask_np = (host_mask[:n] if host_mask is not None
                        else np.asarray(tile_mask)[:n])
+            ts = np.array(ts)       # np.asarray of a jax array is read-only
+            ti = np.array(ti)
+            # full-row REPLACE at whatever width the tile actually has:
+            # a ragged tile may hold fewer than width real docs, so the
+            # repaired row is the exact top-min(width, n) padded with
+            # -inf (which never survives the fold merge)
+            kk = min(ts.shape[1], n)
             s_f, i_f = maxsim_topk(self._q_host[bad], self._qm_host[bad],
                                    tile_np, mask_np, k=kk, tile_docs=2048)
-            ts = np.asarray(ts)
-            ti = np.asarray(ti)
-            # repairs only fire on the screened branch, where per-shard
-            # kk == k == the merged list width — a full-row REPLACE
-            assert ts.shape[1] == kk, (ts.shape, kk)
+            ts[bad] = -np.inf
+            ti[bad] = 0
             ts[bad, :kk] = np.asarray(s_f)
             ti[bad, :kk] = np.asarray(i_f) + offset
             qsh = NamedSharding(self.mesh, P(DP_AXIS, None))

@@ -232,43 +232,88 @@ class _RunCursor:
     def last_key(self):
         return tuple(a[-1] for a in self._karrs)
 
-    def cut_prefix(self, bound):
-        """Slice off every row with key <= `bound` (lexicographic),
-        crossing batch boundaries so equal-key tails are not split from
-        their run (keeps the merge a stable sort). Returns RecordBatch
-        slices."""
-        parts = []
+    def _compare_mask(self, bound, strict: bool):
+        """Vectorized lexicographic key < bound (or <=), built
+        least-significant first."""
+        acc = np.full(len(self._karrs[0]), not strict, dtype=bool)
+        for arr, b in zip(reversed(self._karrs), reversed(bound)):
+            acc = (arr < b) | ((arr == b) & acc)
+        return acc
+
+    def cut_below(self, bound):
+        """Slice off every row with key strictly < `bound`. Such rows can
+        only live in the CURRENT batch (any later batch starts >= this
+        batch's last key >= bound), so this is bounded by one batch."""
+        lt = self._compare_mask(bound, strict=True)
+        cut = int(np.count_nonzero(lt))     # sorted run -> lt is a prefix
+        if cut == 0:
+            return None
+        part = self._batch.slice(0, cut)
+        self._consume(cut)
+        return part
+
+    def emit_equal(self, bound, write):
+        """Stream every row with key == `bound` (possibly crossing many
+        batches — a low-cardinality key can repeat for millions of rows)
+        directly to `write`, one batch slice at a time, without ever
+        accumulating them. Returns rows written."""
+        rows = 0
         while not self.exhausted:
-            # vectorized lexicographic <=, built least-significant first
-            le = np.ones(len(self._karrs[0]), dtype=bool)
-            for arr, b in zip(reversed(self._karrs), reversed(bound)):
-                le = (arr < b) | ((arr == b) & le)
-            cut = int(np.count_nonzero(le))  # sorted run -> le is a prefix
+            le = self._compare_mask(bound, strict=False)
+            cut = int(np.count_nonzero(le))
             if cut == 0:
                 break
-            parts.append(self._batch.slice(0, cut))
-            if cut < self._batch.num_rows:
-                self._batch = self._batch.slice(cut)
-                self._karrs = [a[cut:] for a in self._karrs]
+            write(self._batch.slice(0, cut))
+            rows += cut
+            last = cut >= self._batch.num_rows
+            self._consume(cut)
+            if not last:
                 break
+        return rows
+
+    def _consume(self, cut: int):
+        if cut >= self._batch.num_rows:
             self._advance_batch()
-        return parts
+        else:
+            self._batch = self._batch.slice(cut)
+            self._karrs = [a[cut:] for a in self._karrs]
 
 
 def _merge_runs(runs: list[str], dst: str, keys: list[str],
                 batch_size: int) -> int:
-    """K-way merge of sorted runs on batched arrow key columns: each round
-    takes every row <= the smallest last-key among the active run batches
-    (a complete prefix of the merged output), re-sorts the spliced chunk
-    once with a stable np.lexsort, and writes it. Equal keys keep run
-    order (runs are file-order batches), so the result is a stable sort of
-    the source — same contract as the old per-row heap, vectorized."""
+    """K-way merge of sorted runs on batched arrow key columns, in two
+    phases per round with bound = the smallest last-key among the active
+    run batches:
+
+    1. every row with key STRICTLY below the bound (confined to current
+       batches, so at most runs x batch_size rows) is spliced and
+       re-sorted once with a stable np.lexsort;
+    2. rows EQUAL to the bound are streamed run-by-run in run-index order
+       directly to the writer — all equal keys, so concatenation in run
+       order IS the stable order, and a low-cardinality key (millions of
+       rows sharing one value) never accumulates in memory (r3 review
+       finding #4: a <=-bound splice materialized entire equal-key groups,
+       breaking the bounded-memory contract the old heap honored).
+
+    Equal keys keep run order (runs are file-order batches), so the
+    result is a stable sort of the source."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     cursors = [_RunCursor(p, keys, batch_size) for p in runs]
     writer = None
     rows = 0
+
+    def write(batch_or_table):
+        nonlocal writer, rows
+        if writer is None:
+            writer = pq.ParquetWriter(dst, batch_or_table.schema)
+        if isinstance(batch_or_table, pa.RecordBatch):
+            writer.write_batch(batch_or_table)
+        else:
+            writer.write_table(batch_or_table)
+        rows += batch_or_table.num_rows
+
     try:
         while True:
             active = [c for c in cursors if not c.exhausted]
@@ -278,17 +323,20 @@ def _merge_runs(runs: list[str], dst: str, keys: list[str],
             parts = []
             for c in cursors:          # index order == stable tie order
                 if not c.exhausted:
-                    parts.extend(c.cut_prefix(bound))
-            table = pa.Table.from_batches(parts)
-            karrs = [table.column(k).to_numpy(zero_copy_only=False)
-                     for k in keys]
-            order = np.lexsort(tuple(reversed(karrs)))
-            if not np.array_equal(order, np.arange(len(order))):
-                table = table.take(order)
-            rows += table.num_rows
-            if writer is None:
-                writer = pq.ParquetWriter(dst, table.schema)
-            writer.write_table(table)
+                    part = c.cut_below(bound)
+                    if part is not None:
+                        parts.append(part)
+            if parts:
+                table = pa.Table.from_batches(parts)
+                karrs = [table.column(k).to_numpy(zero_copy_only=False)
+                         for k in keys]
+                order = np.lexsort(tuple(reversed(karrs)))
+                if not np.array_equal(order, np.arange(len(order))):
+                    table = table.take(order)
+                write(table)
+            for c in cursors:          # equal keys: run order == stable
+                if not c.exhausted:
+                    c.emit_equal(bound, write)
         if writer is None:  # all runs empty
             pq.write_table(pa.Table.from_batches(
                 [], schema=pq.ParquetFile(runs[0]).schema_arrow), dst)

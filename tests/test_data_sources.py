@@ -182,3 +182,23 @@ def test_title_filter_fallback_for_plain_iterables():
     assert all(r["title"] in qset for r in kept)
     dropped = _filter_dataset_by_title(ds, qset, keep_in=False)
     assert len(kept) + len(dropped) == 40
+
+
+def test_title_filter_honors_dataset_views():
+    """A select()/shuffle() view keeps the full backing table in .data —
+    the vectorized filter must read titles THROUGH the view's index
+    mapping (r3 review finding #5)."""
+    import datasets as hfds
+
+    from neighborhoodwatch_tpu.data.sources import _filter_dataset_by_title
+
+    titles = [f"T_{i % 5}" for i in range(200)]
+    ds = hfds.Dataset.from_dict(
+        {"title": titles, "text": [f"body {i}" for i in range(200)]})
+    view = ds.select(range(50, 120))             # non-trivial _indices
+    qset = {"T 2"}
+    kept = _filter_dataset_by_title(view, qset, keep_in=True)
+    want = [i for i in range(50, 120) if titles[i] == "T_2"]
+    assert [r["text"] for r in kept] == [f"body {i}" for i in want]
+    dropped = _filter_dataset_by_title(view, qset, keep_in=False)
+    assert len(kept) + len(dropped) == 70

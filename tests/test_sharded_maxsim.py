@@ -111,3 +111,64 @@ def test_sharded_maxsim_checkpoint_roundtrip():
     ref_s, ref_i = ref.finalize()
     np.testing.assert_array_equal(i, ref_i)
     np.testing.assert_allclose(s, ref_s, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_maxsim_screened_ragged_tail_below_k():
+    """Regression (r3 review finding #1): a ragged tile with fewer valid
+    docs than k used to crash the screened mesh path (dynamic selection
+    width) or trip the repair-width assert. The tail tile here has
+    n_valid < k; certificates fail on the mostly-padding shards and the
+    host repair must REPLACE rows at the tile's true width."""
+    from neighborhoodwatch_tpu.ops import maxsim_kernel as mk
+
+    rng = np.random.default_rng(17)
+    mesh = make_mesh(8, dp=4)                    # mp=2
+    mp = mesh.shape[MP_AXIS]
+    n_full = mk.MEGA_DOCS * mp
+    q_n, tq, dim, k = 3, 4, 16, 12
+    q = rng.standard_normal((q_n, tq, dim)).astype(np.float32)
+    qm = np.ones((q_n, tq), dtype=bool)
+    docs, dm = _random_docs(rng, n_full + 10, 6, dim)
+
+    acc = ShardedStreamingMaxSim(q, qm, k=k, mesh=mesh, engine="screened")
+    acc.update(docs[:n_full], dm[:n_full], 0)
+    acc.update(docs[n_full:], dm[n_full:], n_full)   # 10 valid docs < k
+    s, i = acc.finalize()
+
+    ref_s, ref_i = maxsim_topk(q, qm, docs, dm, k=k, tile_docs=2048)
+    np.testing.assert_array_equal(i, np.asarray(ref_i))
+    np.testing.assert_allclose(s, np.asarray(ref_s), rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_maxsim_forced_repair_is_exact(monkeypatch):
+    """Force every certificate to fail: the host-path repair must still
+    produce exact results (covers the REPLACE path end-to-end)."""
+    import neighborhoodwatch_tpu.ops.maxsim as ms
+
+    real_select = ms._maxsim_select
+
+    def failing_select(*args, **kwargs):
+        sk_, dk_, ok = real_select(*args, **kwargs)
+        import jax.numpy as jnp
+        return sk_, dk_, jnp.zeros_like(ok)
+
+    monkeypatch.setattr(ms, "_maxsim_select", failing_select)
+
+    from neighborhoodwatch_tpu.ops import maxsim_kernel as mk
+
+    rng = np.random.default_rng(18)
+    mesh = make_mesh(8, dp=4)                    # mp=2
+    mp = mesh.shape[MP_AXIS]
+    n_docs = mk.MEGA_DOCS * mp
+    q_n, tq, dim, k = 3, 4, 24, 9                # unique shapes: fresh trace
+    q = rng.standard_normal((q_n, tq, dim)).astype(np.float32)
+    qm = np.ones((q_n, tq), dtype=bool)
+    docs, dm = _random_docs(rng, n_docs, 6, dim)
+
+    acc = ShardedStreamingMaxSim(q, qm, k=k, mesh=mesh, engine="screened")
+    acc.update(docs, dm, 0)
+    s, i = acc.finalize()
+
+    ref_s, ref_i = maxsim_topk(q, qm, docs, dm, k=k, tile_docs=2048)
+    np.testing.assert_array_equal(i, np.asarray(ref_i))
+    np.testing.assert_allclose(s, np.asarray(ref_s), rtol=1e-4, atol=1e-4)

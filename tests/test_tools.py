@@ -191,3 +191,27 @@ def test_knn_over_fvec(tmp_path):
     idx = fvec.read_vectors(idx_file)
     ref_d, ref_i = knn(q, b, k=7)
     np.testing.assert_array_equal(idx, np.asarray(ref_i))
+
+
+def test_sort_low_cardinality_keys_stream_stably(tmp_path):
+    """A key with very few distinct values (here: 2 over 20k rows) must
+    merge without materializing whole equal-key groups — and stay a
+    stable sort (r3 review finding: the <=-bound splice held entire
+    equal-key groups in RAM)."""
+    n = 20_000
+    keys = np.zeros(n, dtype=np.int64)
+    keys[n // 2:] = 1
+    vals = np.arange(n, dtype=np.int64)
+    rng = np.random.default_rng(9)
+    perm = rng.permutation(n)
+    src = str(tmp_path / "lowcard.parquet")
+    dst = str(tmp_path / "lowcard_sorted.parquet")
+    pq.write_table(pa.table({"part": keys[perm], "val": vals[perm]}), src)
+    # batch_size 256 -> ~78 spill runs, every one full of duplicate keys
+    assert tools.sort_parquet(src, dst, keys=["part"], batch_size=256) == n
+    out = pq.read_table(dst)
+    idx = np.argsort(keys[perm], kind="stable")
+    np.testing.assert_array_equal(out.column("part").to_numpy(),
+                                  keys[perm][idx])
+    np.testing.assert_array_equal(out.column("val").to_numpy(),
+                                  vals[perm][idx])
