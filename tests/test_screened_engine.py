@@ -94,6 +94,71 @@ def test_certificate_detects_planted_duplicates():
     assert set(np.asarray(i_s)[0]) == set(oracle[0])
 
 
+@pytest.mark.parametrize("precision", ["default", "medium", "high"])
+@pytest.mark.parametrize("metric", ["sqeuclidean", "cosine", "dot"])
+def test_screened_exact_under_adversarial_rounding(precision, metric):
+    """The 1/2-pass certificate eps is computed from the data's actual
+    bf16 residual norms (ops.knn._screen_err_bounds). Data built to
+    maximize bf16 rounding error (mantissas just past the bf16 cut, mixed
+    magnitudes) must still yield EXACT results at every tier: either the
+    certificate holds (eps sound) or the repair path fires."""
+    rng = np.random.default_rng(17)
+    q_n, b_n, d = 12, MEGA + 333, 64
+    # worst-case-ish bf16 operands: 1 + (2m+1)*2^-9 rounds with near-half-
+    # ulp error in every element; random signs and a 2^±6 magnitude spread
+    def adversarial(n):
+        m = rng.integers(0, 256, (n, d))
+        x = (1.0 + (2 * m + 1) * 2.0 ** -9).astype(np.float32)
+        x *= rng.choice([-1.0, 1.0], (n, d)).astype(np.float32)
+        x *= np.exp2(rng.integers(-6, 7, (n, 1))).astype(np.float32)
+        return x
+    q, b = adversarial(q_n), adversarial(b_n)
+    k = 8
+    d_s, i_s = screened_knn(q, b, k, metric=metric,
+                            screen_precision=precision)
+    oracle = _oracle_sets(q, b, k, metric)
+    for r in range(q_n):
+        assert set(np.asarray(i_s)[r]) == set(oracle[r]), (precision,
+                                                           metric, r)
+
+
+def test_screen_err_bounds_are_sound():
+    """The computed per-query dot-error bound must dominate the ACTUAL
+    screen error |q.b - screen(q, b)| for every (q, b) pair, at both
+    computed tiers, including zero padding rows (which must not poison
+    the cosine ratio bound)."""
+    from neighborhoodwatch_tpu.ops.knn import _screen_err_bounds
+
+    rng = np.random.default_rng(23)
+    q = (rng.standard_normal((8, 96)) *
+         np.exp2(rng.integers(-4, 5, (8, 1)))).astype(np.float32)
+    b = (rng.standard_normal((500, 96)) *
+         np.exp2(rng.integers(-4, 5, (500, 1)))).astype(np.float32)
+    b[490:] = 0.0                                     # padding rows
+    q64, b64 = q.astype(np.float64), b.astype(np.float64)
+    exact = q64 @ b64.T
+    bhi = jnp.asarray(b).astype(jnp.bfloat16).astype(jnp.float32)
+    qhi = jnp.asarray(q).astype(jnp.bfloat16).astype(jnp.float32)
+    qlo = (jnp.asarray(q) - qhi).astype(jnp.bfloat16).astype(jnp.float32)
+    screens = {
+        1: np.asarray(qhi, np.float64) @ np.asarray(bhi, np.float64).T,
+        2: (np.asarray(qhi, np.float64) + np.asarray(qlo, np.float64))
+           @ np.asarray(bhi, np.float64).T,
+    }
+    for passes, scr in screens.items():
+        d_err, r_err, qabs = _screen_err_bounds(
+            jnp.asarray(q), jnp.asarray(b), passes)
+        err = np.abs(exact - scr)                      # (8, 500)
+        assert (err.max(axis=1) <= np.asarray(d_err)).all(), passes
+        bnorm = np.linalg.norm(b64, axis=1)
+        live = bnorm > 0
+        rerr_true = (err[:, live] / bnorm[live][None, :]).max(axis=1)
+        assert (rerr_true <= np.asarray(r_err)).all(), passes
+        # and the bound is meaningfully tighter than the static 2^-7/2^-8
+        static = (2.0 ** -(6 + passes)) * np.asarray(qabs) * bnorm.max()
+        assert (np.asarray(d_err) < static).all(), passes
+
+
 def test_screen_kernel_candidate_indices_valid():
     q, b = _data(4, MEGA + 100, 24, seed=6)
     cd, ci, n_mega = screen_kernel.screen_candidates(
