@@ -6,10 +6,14 @@ Workload (BASELINE.md milestone config 3 scaled to one chip): 10k queries x
 measurement isolates the compute engine (the full-pipeline IO paths are
 exercised by tests/CLI).
 
-Engine: "screened" — the fused Pallas distance+screen kernel (2-pass
-"medium" precision by default: exact-q x bf16-base MXU passes + on-chip
-bin-trio selection) with certified fp32 re-rank and exact-engine repair
-for unproven queries (ops/screen_kernel.py, docs/DESIGN.md tier table).
+Engine: "screened" — the fused Pallas distance+screen kernel (the bench
+runs the 1-pass bf16 tier + on-chip bin-trio selection; its certificate
+eps is computed from the data's actual bf16 residual norms) with
+certified fp32 re-rank and exact-engine repair for unproven queries, so
+the result is exact at every tier (ops/screen_kernel.py, docs/DESIGN.md
+tier table) — and the run itself cross-checks recall vs the exact
+engine. The library default tier is "medium" (tighter eps headroom on
+clustered real-world corpora); both are exact by construction.
 
 Baseline model (BASELINE.md): the reference on a p3.8xlarge runs
 single-GPU (GPU0 hardcoded, cu_knn.py:64-65) RAFT brute-force kNN on one
@@ -360,10 +364,12 @@ def main():
                              "(BASELINE config 2 = --dim 1024 under both "
                              "sqeuclidean and dot)")
     parser.add_argument("--iters", type=int, default=5)
-    parser.add_argument("--screen-precision", type=str, default="medium",
+    parser.add_argument("--screen-precision", type=str, default="default",
                         choices=["default", "medium", "high"],
                         help="screened engine's MXU-pass tier (every tier "
-                             "is exact via the certificates + repair)")
+                             "is exact via the certificates + repair; the "
+                             "bench runs the 1-pass tier — fastest, and "
+                             "its exactness is verified in-run)")
     parser.add_argument("--select-m", type=int, default=None,
                         help="screened engine merge-width override "
                              "(default: the passes-aware _screen_plan)")

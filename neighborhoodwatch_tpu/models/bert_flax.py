@@ -32,11 +32,13 @@ class BertConfig:
     type_vocab_size: int = 2
     layer_norm_eps: float = 1e-12
     dtype: str = "bfloat16"  # activation/matmul dtype; params stay fp32
-    # "auto": fused Pallas flash attention on TPU when shapes align (the
-    # XLA path materializes the (B, H, T, T) fp32 logits tensor — 1.6 GB
-    # at the e5-base bench shapes, several HBM passes per layer for
-    # mask+softmax; the fused kernel keeps the tile in VMEM).
-    # "xla" forces the reference einsum+softmax path (CPU tests use it).
+    # "auto"/"xla": the einsum+softmax path — measured FASTER than the
+    # fused Pallas flash kernel at every encoder shape tried on v5e
+    # (e5-base seq 256: 0.556 vs 0.350 Mtok/s; seq 512: 0.413 vs 0.250;
+    # e5-small within noise) — at BERT sizes the (B, H, T, T) logits
+    # tensor tiles fine through XLA's fusions and the flash kernel's
+    # segment-id masking overhead dominates. "flash" opts into the
+    # Pallas kernel anyway (long-sequence headroom beyond 512 tokens).
     attention_impl: str = "auto"
 
 
@@ -54,9 +56,11 @@ COLBERT_BASE_CONFIG = BertConfig()  # bert-base-uncased backbone
 
 def _use_flash(cfg: BertConfig, seq: int) -> bool:
     """Fused attention is a pure perf choice (same math, logits in fp32
-    inside the kernel): TPU backend, 128-multiple sequence length, and a
-    lane-aligned head dim. CPU tests always take the XLA path."""
-    if cfg.attention_impl == "xla":
+    inside the kernel) and an explicit opt-in (`attention_impl="flash"`):
+    measured on v5e the XLA path wins at every supported e5 shape (see
+    BertConfig), so "auto" resolves to XLA. Requires TPU backend, a
+    128-multiple sequence length, and a lane-aligned head dim."""
+    if cfg.attention_impl != "flash":
         return False
     head_dim = cfg.hidden_size // cfg.num_heads
     return (jax.default_backend() == "tpu" and seq % 128 == 0

@@ -322,9 +322,11 @@ def screened_knn(query, base, k: int, metric: str = "sqeuclidean",
     """Exact kNN via the fused Pallas screen kernel + certified re-rank.
 
     Screens the full base with bf16x3 ("high", ~2^-32 error), exact-q x
-    bf16-base ("medium", 2^-8 — the default: 2/3 the matmul cost of high
-    with measured 99.5% certificate pass rate on the headline workload)
-    or bf16 ("default", 2^-7) MXU passes; keeps the 4 smallest per lane
+    bf16-base ("medium" — the default: 2/3 the matmul cost of high with
+    a measured 99.96% certificate pass rate on the headline workload) or
+    bf16 ("default", 1 pass) MXU passes; the certificate eps for the
+    1/2-pass tiers is computed per call from the data's actual bf16
+    residual norms (_screen_err_bounds); keeps the 4 smallest per lane
     bin on-chip (the 4th is certificate-only), exactly re-ranks the
     merged top-M in fp32-highest, and proves per-query exactness with the
     bin + count certificates; unproven queries are recomputed with the
@@ -358,9 +360,9 @@ def screened_knn(query, base, k: int, metric: str = "sqeuclidean",
                    engine="verified" if jax.default_backend() == "tpu"
                    else "exact")
     if m is None:
-        # slim margin at 3-pass eps, wide at 1/2-pass (see _screen_plan)
-        m = max(128, round_up(k + 28, 64)) if passes >= 3 \
-            else max(256, round_up(k + 156, 128))
+        # passes-aware margins (see _screen_plan for the measurements)
+        m = max(128, round_up(k + 28, 64)) if passes >= 2 \
+            else max(192, round_up(k + 92, 64))
     m = min(max(m, k), cap)
 
     # bound the re-rank gather buffer (block, m, dim) to ~256MB: large k
@@ -406,17 +408,21 @@ def _screen_plan(n_base: int, k: int, dim: int, sub_width: int,
     represent k candidates and the caller must use another engine.
 
     The merge width m must cover every candidate within eps of the k-th
-    distance or the count certificate fails: at 3-pass precision eps is
-    ~1e-5 relative so a slim k+28 margin suffices (measured: identical
-    cert pass rate to the old k+156 at the headline workload, and the
-    select stage drops 0.26s -> 0.17s); wider eps tiers (1/2-pass screens)
-    keep the wide margin because more near-ties fall inside eps."""
+    distance or the count certificate fails. With the data-dependent eps
+    (_screen_err_bounds, round 3) the tau+eps band shrank ~2.9x at the
+    computed tiers, and the measured headline (10k x 1M x 1536 k=100)
+    cert rates became 9996/10k at m=128 for BOTH high and medium (the 4
+    failures are bin collisions, m-independent; the static 2^-8 bound had
+    medium at 0/10k for m=128), and 9996/10k at m=192 for the 1-pass
+    tier. Margins keep ~2x headroom over the measured band for clustered
+    real-world corpora (certificate failures there cost repair time,
+    never exactness)."""
     n_mega = -(-n_base // (screen_kernel.TB * sub_width))
     cap = n_mega * screen_kernel.LANES * (screen_kernel.KEEP - 1)
-    if passes >= 3:
+    if passes >= 2:
         m = max(128, round_up(k + 28, 64))
     else:
-        m = max(256, round_up(k + 156, 128))
+        m = max(192, round_up(k + 92, 64))
     m = min(max(m, k), cap)
     block = 512
     while block > 8 and block * m * dim * 4 > (1 << 28):

@@ -205,6 +205,19 @@ def test_screen_kernel_alternate_tile_shapes():
             tb=2048, sub=64, interpret=True)
 
 
+def test_select_m_override_stays_exact():
+    """knn(select_m=...) narrows/widens the certified merge width; any
+    value must keep results exact (a too-slim m fails certificates and
+    repairs in-trace)."""
+    q, b = _data(6, MEGA + 200, 32, seed=13)
+    k = 12
+    oracle = _oracle_sets(q, b, k, "sqeuclidean")
+    for m in (16, 64, 512):
+        _, i_s = knn(q, b, k, engine="screened", select_m=m)
+        for r in range(6):
+            assert set(np.asarray(i_s)[r]) == set(oracle[r]), (m, r)
+
+
 def test_screened_large_k():
     """Large k widens the merged top-M; the re-rank block shrinks to keep
     the gather buffer bounded and results stay exact."""
