@@ -205,6 +205,30 @@ def test_screen_kernel_alternate_tile_shapes():
             tb=2048, sub=64, interpret=True)
 
 
+def test_pipelined_kernel_matches_plain():
+    """The software-pipelined kernel variant (epilogue of sub-tile i
+    overlapped with sub-tile i+1's MXU steps) must be bit-identical to the
+    plain kernel: same candidate indices, same packed distances. Masked
+    tail rows decode to NaN-bit-pattern keys in BOTH variants, so the
+    distance comparison is NaN-aware."""
+    for b_n, tb, sub, epi, d in (
+            (1061, 128, 4, "l2", 128),      # ragged tail
+            (1024, 128, 4, "dot", 256),     # exact megas, n_dk > 1
+            (562, 128, 2, "rdot", 128),
+            (3000, 256, 3, "l2", 384)):
+        q, b = _data(8, b_n, d, seed=17)
+        outs = [screen_kernel.screen_candidates(
+                    jnp.asarray(q), jnp.asarray(b), epilogue=epi,
+                    screen_precision="default", tb=tb, sub=sub,
+                    interpret=True, pipelined=p) for p in (False, True)]
+        (d0, i0, nm0), (d1, i1, nm1) = outs
+        assert nm0 == nm1
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        d0, d1 = np.asarray(d0), np.asarray(d1)
+        both_nan = np.isnan(d0) & np.isnan(d1)
+        np.testing.assert_array_equal(d0[~both_nan], d1[~both_nan])
+
+
 def test_select_m_override_stays_exact():
     """knn(select_m=...) narrows/widens the certified merge width; any
     value must keep results exact (a too-slim m fails certificates and
