@@ -17,6 +17,7 @@ The same running-top-k update is reused by the multi-chip path
 """
 
 from functools import partial
+from typing import NamedTuple
 
 import numpy as np
 import jax
@@ -166,7 +167,56 @@ _EPS_REL = {3: 1e-5 + screen_kernel.PACK_EPS_REL}
 _ACC_REL = 2.0 ** -16
 
 
-def _screen_err_bounds(query, base, passes: int):
+class PreparedBase(NamedTuple):
+    """Corpus-resident state for the repeated-queries-same-base serving
+    pattern: the base plus its one-time screened-engine statistics (the
+    framework's analog of an index build — except exactness never depends
+    on it; the stats only size the certificate bounds). Pass in place of
+    `base` to `knn()`. Built by `prepare_base`."""
+    base: jax.Array      # (B, D) f32, device-resident
+    bn_row: jax.Array    # (B,) f32 squared row norms
+    stats: jax.Array     # (4,) f32 — compute_screen_stats layout
+
+
+@jax.jit
+def _prepare_arrays(base):
+    bn_row = jnp.sum(base * base, axis=1)
+    bn_max = jnp.max(bn_row)
+    bhi = base.astype(jnp.bfloat16).astype(jnp.float32)
+    blo_n = jnp.sqrt(jnp.sum((base - bhi) ** 2, axis=1))
+    blo_max = jnp.max(blo_n) * 1.0001
+    ratio_max = jnp.max(jnp.where(bn_row > 0.0,
+                                  blo_n * jax.lax.rsqrt(
+                                      jnp.maximum(bn_row, 1e-30)),
+                                  0.0)) * 1.0001
+    stats = jnp.stack([bn_max, jnp.sqrt(bn_max), blo_max, ratio_max])
+    return bn_row, stats
+
+
+def prepare_base(base) -> PreparedBase:
+    """One fused pass over the corpus -> PreparedBase (see class doc)."""
+    base = jnp.asarray(base, jnp.float32)
+    bn_row, stats = _prepare_arrays(base)
+    return PreparedBase(base, bn_row, stats)
+
+
+@jax.jit
+def compute_screen_stats(base):
+    """One-time base-side statistics for the screened engine's certificate
+    bounds — the "index build" of the corpus-resident serving pattern.
+
+    Returns a (4,) f32 device array [bn_max, babs_max, blo_max, ratio_max]
+    (max squared norm, max norm, max bf16-residual norm, max per-row
+    residual/norm ratio). Every term is query-independent: computing them
+    costs ~3 elementwise passes over the corpus, which the per-call path
+    (_screen_err_bounds with base_stats=None) repeats on EVERY query batch.
+    Precompute once per corpus via `prepare_base` and thread through
+    `knn(..., engine="screened")` to amortize, exactly like building a
+    (tiny) index."""
+    return _prepare_arrays(jnp.asarray(base, jnp.float32))[1]
+
+
+def _screen_err_bounds(query, base, passes: int, base_stats=None):
     """Per-query SOUND bound on |screen dot - exact dot| for the 1/2-pass
     screens, computed from the data itself (round 3).
 
@@ -183,19 +233,26 @@ def _screen_err_bounds(query, base, passes: int):
     Returns (d_err, r_err, qabs): d_err = per-query bound on the absolute
     dot error; r_err = per-query bound on the error of q.(b/||b||) (the
     rdot/cosine screen), using the per-ROW ratio ||blo||/||b|| so zero
-    padding rows cannot poison it; qabs = ||q|| per query."""
+    padding rows cannot poison it; qabs = ||q|| per query.
+
+    `base_stats` (optional, traced): precomputed `compute_screen_stats`
+    output — skips the corpus passes entirely for the serving pattern."""
     qn_row = jnp.sum(query * query, axis=1)
     qabs = jnp.sqrt(qn_row)
-    bn_row = jnp.sum(base * base, axis=1)
-    babs_max = jnp.sqrt(jnp.max(bn_row))
-    bhi = base.astype(jnp.bfloat16).astype(jnp.float32)
-    blo_n = jnp.sqrt(jnp.sum((base - bhi) ** 2, axis=1))
-    # 1.0001: fp32 rounding of the norm computation itself
-    blo_max = jnp.max(blo_n) * 1.0001
-    ratio_max = jnp.max(jnp.where(bn_row > 0.0,
-                                  blo_n * jax.lax.rsqrt(
-                                      jnp.maximum(bn_row, 1e-30)),
-                                  0.0)) * 1.0001
+    if base_stats is not None:
+        babs_max, blo_max, ratio_max = (base_stats[1], base_stats[2],
+                                        base_stats[3])
+    else:
+        bn_row = jnp.sum(base * base, axis=1)
+        babs_max = jnp.sqrt(jnp.max(bn_row))
+        bhi = base.astype(jnp.bfloat16).astype(jnp.float32)
+        blo_n = jnp.sqrt(jnp.sum((base - bhi) ** 2, axis=1))
+        # 1.0001: fp32 rounding of the norm computation itself
+        blo_max = jnp.max(blo_n) * 1.0001
+        ratio_max = jnp.max(jnp.where(bn_row > 0.0,
+                                      blo_n * jax.lax.rsqrt(
+                                          jnp.maximum(bn_row, 1e-30)),
+                                      0.0)) * 1.0001
     d_err = qabs * (blo_max + _ACC_REL * babs_max)
     r_err = qabs * (ratio_max + _ACC_REL)
     if passes == 1:
@@ -209,7 +266,8 @@ def _screen_err_bounds(query, base, passes: int):
 
 @partial(jax.jit, static_argnames=("k", "m", "metric", "passes", "block"))
 def _screened_select(query, base, cand_d, cand_i, k: int, m: int,
-                     metric: str, passes: int, block: int = 512):
+                     metric: str, passes: int, block: int = 512,
+                     base_stats=None):
     """Top-M merge of screened candidates + exact fp32 re-rank + exactness
     certificate. Returns (dist, idx, ok) with ok a per-query bool: True
     means the screened result is provably the exact k-NN set."""
@@ -286,9 +344,11 @@ def _screened_select(query, base, cand_d, cand_i, k: int, m: int,
         eps_rel = _EPS_REL[passes]
         d_err = r_err = qabs = None
     else:
-        d_err, r_err, qabs = _screen_err_bounds(query, base, passes)
+        d_err, r_err, qabs = _screen_err_bounds(query, base, passes,
+                                                base_stats=base_stats)
     if metric in ("sqeuclidean", "euclidean"):
-        bn_max = jnp.max(jnp.sum(base * base, axis=1))
+        bn_max = base_stats[0] if base_stats is not None \
+            else jnp.max(jnp.sum(base * base, axis=1))
         tau_s = tau if metric == "sqeuclidean" else tau * tau
         scale = jnp.max(qn_row) + bn_max
         # l2 epilogue: d = qn + bn - 2*acc, so the dot error enters x2
@@ -300,7 +360,8 @@ def _screened_select(query, base, cand_d, cand_i, k: int, m: int,
         eps_s = eps_rel * qn_abs if passes >= 3 \
             else r_err + pack * qn_abs
     else:  # dot: screen = -q.b, exact d = 1 - q.b
-        bn_max = jnp.sqrt(jnp.max(jnp.sum(base * base, axis=1)))
+        bn_max = base_stats[1] if base_stats is not None \
+            else jnp.sqrt(jnp.max(jnp.sum(base * base, axis=1)))
         tau_s = tau - 1.0
         eps_s = eps_rel * jnp.sqrt(qn_row) * bn_max if passes >= 3 \
             else d_err + pack * jnp.sqrt(qn_row) * bn_max
@@ -436,7 +497,8 @@ def screened_knn_traced(query, base, n_valid, base_offset, k: int,
                         metric: str, screen_precision: str = "medium",
                         max_fallback: int = 128,
                         interpret: bool | None = None,
-                        select_m: int | None = None):
+                        select_m: int | None = None,
+                        base_stats=None, bn_row=None):
     """Fully-traced screened kNN — usable inside shard_map (VERDICT r1
     weak #3: the host-driven certificate fallback downgraded every sharded
     run to "verified"; this variant repairs certificate failures IN-TRACE).
@@ -496,9 +558,10 @@ def screened_knn_traced(query, base, n_valid, base_offset, k: int,
     cand_d, cand_i, _ = screen_kernel.screen_candidates(
         query, base, epilogue=_EPILOGUE_FOR_METRIC[metric],
         screen_precision=screen_precision, interpret=interpret,
-        n_valid=n_valid)
+        n_valid=n_valid, bn_row=bn_row)
     dist, idx, ok = _screened_select(query, base, cand_d, cand_i, k, m,
-                                     metric, passes, block=block)
+                                     metric, passes, block=block,
+                                     base_stats=base_stats)
 
     # ---- in-trace repair of certificate failures ----
     fail = jnp.logical_not(ok)
@@ -534,9 +597,15 @@ def knn(query, base, k: int, metric: str = "sqeuclidean",
     certified fp32 re-rank — the fast path on TPU), or "auto" (screened on
     TPU for large bases, verified for small, exact elsewhere).
     screen_precision picks the screen's MXU passes (see screened_knn);
-    every choice yields exact results via the certificates + repair."""
+    every choice yields exact results via the certificates + repair.
+
+    `base` may be a `PreparedBase` (see `prepare_base`): the screened
+    path then skips its per-call corpus passes (norms + certificate
+    stats) — the right pattern when many query batches hit one corpus."""
     query = jnp.asarray(query, dtype=jnp.float32)
-    base = jnp.asarray(base, dtype=jnp.float32)
+    prep = base if isinstance(base, PreparedBase) else None
+    base = prep.base if prep is not None \
+        else jnp.asarray(base, dtype=jnp.float32)
     n_base = base.shape[0]
     assert k <= n_base, f"k={k} exceeds base row count {n_base} (reference cu_knn.py:237)"
     assert query.shape[1] == base.shape[1], \
@@ -551,7 +620,11 @@ def knn(query, base, k: int, metric: str = "sqeuclidean",
         # measured ~0.4s of the 1.19s call on a remote-attached device)
         return screened_knn_traced(query, base, n_base, base_offset, k,
                                    metric, screen_precision,
-                                   select_m=select_m)
+                                   select_m=select_m,
+                                   base_stats=None if prep is None
+                                   else prep.stats,
+                                   bn_row=None if prep is None
+                                   else prep.bn_row)
 
     if tile_size is None:
         tile_size = DEFAULT_TILE

@@ -179,7 +179,7 @@ def _kernel(qn_ref, bn_ref, q_ref, b_ref, out_ref,
 
 
 def _kernel_pipelined(qn_ref, bn_ref, q_ref, b_ref, out_ref,
-                      acc_ref, mk_ref, *, n_dk: int, epilogue: str,
+                      acc_ref, ret_ref, mk_ref, *, n_dk: int, epilogue: str,
                       passes: int, tq: int, sub: int, tb: int = TB):
     """Software-pipelined variant of `_kernel`: the VPU epilogue for
     sub-tile bi-1 runs DURING sub-tile bi's MXU steps.
@@ -187,41 +187,24 @@ def _kernel_pipelined(qn_ref, bn_ref, q_ref, b_ref, out_ref,
     The plain kernel serializes ~9us of VPU selection work after every
     sub-tile's matmuls; at 1 MXU pass the epilogue is ~70% of the kernel's
     wall-clock (measured 0.51s screen vs a 0.16s MXU floor on the 10k x 1M
-    x 1536 headline). Here the accumulator is double-buffered over sub-tile
-    parity and the epilogue's lane slices are spread across the NEXT
-    sub-tile's n_dk grid steps, giving Mosaic's scheduler independent
-    MXU and VPU instruction streams in every step so they can overlap.
-    The grid gains one trailing bi step to retire the last sub-tile
-    (its dot output is never consumed)."""
+    x 1536 headline). Here the finished accumulator is copied into a
+    dedicated RETIRE buffer on each sub-tile's last depth step, and the
+    epilogue's lane slices are spread across the NEXT sub-tile's n_dk grid
+    steps reading ONLY that retire buffer — so within every step the MXU
+    stream (reads q/b, accumulates acc_ref) and the VPU stream (reads
+    ret_ref/bn, updates mk_ref) touch disjoint refs with no dynamic
+    indexing. (A parity-double-buffered accumulator variant measured the
+    SAME 0.467s — the partial overlap is a Mosaic scheduling limit, not
+    ref aliasing; this form is kept for the statically-disjoint refs and
+    equal VMEM.) The grid gains one
+    trailing bi step to retire the last sub-tile (its own dot output is
+    never consumed). Body order matters: the epilogue's reads of ret_ref
+    precede this step's retire copy, so the dk == n_dk-1 step both
+    finishes the old tile's selection and publishes the new tile."""
     bi = pl.program_id(1)
     dk = pl.program_id(2)
-    par = bi % 2
 
-    # ---- MXU: accumulate sub-tile bi into acc[bi % 2] ----
-    q = q_ref[:]
-    b = b_ref[:]
-    qhi = q.astype(jnp.bfloat16)
-    bhi = b.astype(jnp.bfloat16)
-    dims = (((1,), (1,)), ((), ()))
-    dot = partial(jax.lax.dot_general, dimension_numbers=dims,
-                  preferred_element_type=jnp.float32)
-    part = dot(qhi, bhi)
-    if passes >= 2:
-        qlo = (q - qhi.astype(jnp.float32)).astype(jnp.bfloat16)
-        part = part + dot(qlo, bhi)
-    if passes >= 3:
-        blo = (b - bhi.astype(jnp.float32)).astype(jnp.bfloat16)
-        part = part + dot(qhi, blo)
-
-    @pl.when(dk == 0)
-    def _():
-        acc_ref[par] = part
-
-    @pl.when(dk > 0)
-    def _():
-        acc_ref[par] = acc_ref[par] + part
-
-    # ---- epilogue for the RETIRING sub-tile r = bi - 1 (acc[1 - par]) ----
+    # ---- epilogue for the RETIRING sub-tile r = bi - 1 (from ret_ref) ----
     r = bi - 1
     live = r >= 0
 
@@ -242,7 +225,7 @@ def _kernel_pipelined(qn_ref, bn_ref, q_ref, b_ref, out_ref,
             ks = [mk_ref[t] for t in range(KEEP)]
             for j in sl:
                 cols = slice(j * LANES, (j + 1) * LANES)
-                acc = acc_ref[1 - par, :, cols]
+                acc = ret_ref[:, cols]
                 bn = bn_ref[:, cols]
                 if epilogue == "l2":
                     d = jnp.maximum(qn_ref[:] + bn - 2.0 * acc, 0.0)
@@ -271,6 +254,35 @@ def _kernel_pipelined(qn_ref, bn_ref, q_ref, b_ref, out_ref,
     def _():
         for t in range(KEEP):
             out_ref[:, t * LANES:(t + 1) * LANES] = mk_ref[t]
+
+    # ---- MXU: accumulate sub-tile bi into acc_ref ----
+    q = q_ref[:]
+    b = b_ref[:]
+    qhi = q.astype(jnp.bfloat16)
+    bhi = b.astype(jnp.bfloat16)
+    dims = (((1,), (1,)), ((), ()))
+    dot = partial(jax.lax.dot_general, dimension_numbers=dims,
+                  preferred_element_type=jnp.float32)
+    part = dot(qhi, bhi)
+    if passes >= 2:
+        qlo = (q - qhi.astype(jnp.float32)).astype(jnp.bfloat16)
+        part = part + dot(qlo, bhi)
+    if passes >= 3:
+        blo = (b - bhi.astype(jnp.float32)).astype(jnp.bfloat16)
+        part = part + dot(qhi, blo)
+
+    @pl.when(dk == 0)
+    def _():
+        acc_ref[:] = part
+
+    @pl.when(dk > 0)
+    def _():
+        acc_ref[:] = acc_ref[:] + part
+
+    # ---- publish the finished accumulator for the next bi step ----
+    @pl.when(dk == n_dk - 1)
+    def _():
+        ret_ref[:] = acc_ref[:]
 
 
 def _pick_dk(d: int, dk_max: int = 384) -> int:
@@ -329,7 +341,8 @@ def _screen_call(q, base, qn, bn, epilogue: str, passes: int, tq: int,
             lambda qi, bi, dk: (qi, jnp.maximum(bi - 1, 0) // sub),
             memory_space=pltpu.VMEM)
         scratch = [
-            pltpu.VMEM((2, tq, tb), jnp.float32),       # ping-pong acc
+            pltpu.VMEM((tq, tb), jnp.float32),          # dot accumulator
+            pltpu.VMEM((tq, tb), jnp.float32),          # retire buffer
             pltpu.VMEM((KEEP, tq, LANES), jnp.int32),    # running keys
         ]
     else:
@@ -393,7 +406,8 @@ def screen_candidates(q, base, *, n_rows: int | None = None,
                       tq: int | None = None, sub: int | None = None,
                       tb: int | None = None, dk_max: int | None = None,
                       interpret: bool | None = None,
-                      n_valid=None, pipelined: bool | None = None):
+                      n_valid=None, pipelined: bool | None = None,
+                      bn_row=None):
     """Fused distance+screen: (Q, D) x (B, D) -> (Q, C) candidate
     (distance, global index) lists, C = KEEP*128 per (TB*sub)-row mega-tile.
 
@@ -410,7 +424,11 @@ def screen_candidates(q, base, *, n_rows: int | None = None,
     `n_valid` is an optional TRACED row count: rows at index >= n_valid get
     +inf norms and never win a bin. This is what lets the kernel run under
     shard_map, where the real row count of a statically-shaped padded shard
-    is a traced scalar (n_rows, by contrast, must be static)."""
+    is a traced scalar (n_rows, by contrast, must be static).
+
+    `bn_row` is an optional TRACED (base_rows,) array of precomputed
+    squared base norms (ops.knn.prepare_base) — skips the per-call norm
+    pass over the corpus in the repeated-queries-same-base pattern."""
     assert screen_precision in SCREEN_PRECISIONS
     assert epilogue in EPILOGUES
     passes = PASSES[screen_precision]
@@ -464,7 +482,8 @@ def screen_candidates(q, base, *, n_rows: int | None = None,
     Bp = -(-B // mega) * mega
 
     qn = jnp.sum(q * q, axis=1, keepdims=True)              # (Qp, 1)
-    bn = jnp.sum(base * base, axis=1)[:B]                   # (B,)
+    bn = (jnp.asarray(bn_row, jnp.float32) if bn_row is not None
+          else jnp.sum(base * base, axis=1))[:B]            # (B,)
     if n_valid is not None:
         bn = jnp.where(jnp.arange(B) < n_valid, bn, jnp.inf)
     bn = jnp.pad(bn, (0, Bp - B), constant_values=jnp.inf)[None, :]

@@ -205,6 +205,27 @@ def test_screen_kernel_alternate_tile_shapes():
             tb=2048, sub=64, interpret=True)
 
 
+def test_prepared_base_matches_unprepared():
+    """prepare_base hoists the per-call corpus passes (norms + certificate
+    stats); results must be identical to the unprepared path on every
+    metric, and the stats must match the in-trace computation."""
+    from neighborhoodwatch_tpu.ops.knn import prepare_base, \
+        compute_screen_stats
+
+    q, b = _data(8, MEGA + 300, 48, seed=23)
+    prep = prepare_base(b)
+    np.testing.assert_allclose(np.asarray(prep.bn_row),
+                               (b.astype(np.float64) ** 2).sum(1),
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(prep.stats),
+                                  np.asarray(compute_screen_stats(b)))
+    for metric in ("sqeuclidean", "cosine", "dot"):
+        d0, i0 = knn(q, b, 10, metric=metric, engine="screened")
+        d1, i1 = knn(q, prep, 10, metric=metric, engine="screened")
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+
+
 def test_pipelined_kernel_matches_plain():
     """The software-pipelined kernel variant (epilogue of sub-tile i
     overlapped with sub-tile i+1's MXU steps) must be bit-identical to the
