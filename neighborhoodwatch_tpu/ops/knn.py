@@ -410,7 +410,8 @@ def screened_knn(query, base, k: int, metric: str = "sqeuclidean",
     cand_d, cand_i, _ = screen_kernel.screen_candidates(
         query, base, n_rows=n_base,
         epilogue=_EPILOGUE_FOR_METRIC[metric],
-        screen_precision=screen_precision, interpret=interpret)
+        screen_precision=screen_precision, interpret=interpret,
+        sub=screen_kernel.pick_sub(n_base, k))
     # merge capacity excludes the certificate slab (1 of KEEP per mega)
     cap = (cand_d.shape[1] // screen_kernel.KEEP) * (screen_kernel.KEEP - 1)
     if k > cap:
@@ -539,8 +540,7 @@ def screened_knn_traced(query, base, n_valid, base_offset, k: int,
         return _knn_scan(q, base, n_valid, 0, k, metric, "highest",
                          tile, fb_engine)
 
-    sub_width = 56 if n_base >= screen_kernel._BIG_BASE \
-        else screen_kernel.SUB_PER_MEGA
+    sub_width = screen_kernel.pick_sub(n_base, k)
     cap, m, block = _screen_plan(n_base, k, dim, sub_width, passes)
     if select_m is not None:
         # explicit merge-width override (perf tuning; exactness is
@@ -558,7 +558,7 @@ def screened_knn_traced(query, base, n_valid, base_offset, k: int,
     cand_d, cand_i, _ = screen_kernel.screen_candidates(
         query, base, epilogue=_EPILOGUE_FOR_METRIC[metric],
         screen_precision=screen_precision, interpret=interpret,
-        n_valid=n_valid, bn_row=bn_row)
+        n_valid=n_valid, bn_row=bn_row, sub=sub_width)
     dist, idx, ok = _screened_select(query, base, cand_d, cand_i, k, m,
                                      metric, passes, block=block,
                                      base_stats=base_stats)

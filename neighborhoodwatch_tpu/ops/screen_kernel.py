@@ -58,19 +58,41 @@ KEEP = 4            # mins kept per lane bin (the last is the certificate;
                     # with 224-row bins, P(5 of the top-100 sharing a bin
                     # over a 1M base) ~ 1e-6, so the exact-fallback path
                     # almost never fires; 448-row bins at sub=56 raise the
-                    # fallback rate to ~0.1%, still cheap to recompute)
+                    # fallback rate to ~0.1%, 896-row bins at sub=112 to
+                    # ~0.4% at k=100 — still cheap to repair (pick_sub
+                    # gates the wide tier on k for exactly this reason)
 CAND_PER_MEGA = KEEP * LANES
 
-# base row count from which the wide (sub=56) mega-tile pays off
+# base row count from which the wide (sub=56/112) mega-tiles pay off
 _BIG_BASE = 16 * TB * 56
 
+
+def pick_sub(n_rows: int, k: int | None = None) -> int:
+    """Sub-tiles per mega-tile for a base of `n_rows` (callers that know
+    k should pass it so the widest tier can be used safely).
+
+    Wider megas halve the candidate width the select stage's exact top_k
+    must merge (the select is ~40% of the screened engine's wall-clock on
+    the 10k x 1M x 1536 headline). The limit is bin size: a mega's lane
+    bin holds sub*8 rows and keeps KEEP=4 minima, so ~k/(n_mega*128)
+    true neighbors land per bin and the P(>=4 collide) ~ lambda^4
+    certificate-repair rate grows steeply with k — the 896-row sub=112
+    tier is measured ~0.4% repairs at k=100 / >=8 megas, but would blow
+    past the in-trace repair budget at k ~ several hundred. k unknown ->
+    the safe 56."""
+    if n_rows < _BIG_BASE:
+        return SUB_PER_MEGA
+    return 112 if (k is not None and k <= 150) else 56
+
 # low mantissa bits of the fp32 distance replaced by the bin position
-# (sub*8 positions; 9 bits covers sub=56). Quantization: <= 2^-14 relative.
-POS_BITS = 9
+# (sub*8 positions; 10 bits covers the sub=112 wide tier). Quantization:
+# the packed key floors the distance by <= 2^-13 relative.
+POS_BITS = 10
 POS_MASK = (1 << POS_BITS) - 1
 # relative screening-error contribution of the key quantization (folded
-# into the certificate eps by ops/knn.py)
-PACK_EPS_REL = 2.0 ** -12
+# into the certificate eps by ops/knn.py; 4x the worst-case floor error,
+# same safety convention as the 9-bit round-2 packing)
+PACK_EPS_REL = 2.0 ** -11
 
 # default for the software-pipelined kernel variant (_kernel_pipelined):
 # epilogue of sub-tile i overlapped with the MXU steps of sub-tile i+1.
@@ -88,22 +110,29 @@ SCREEN_PRECISIONS = ("default", "medium", "high")
 PASSES = {"default": 1, "medium": 2, "high": 3}
 
 
-def _kernel(qn_ref, bn_ref, q_ref, b_ref, out_ref,
-            acc_ref, mk_ref, *, n_dk: int, epilogue: str,
+def _kernel(qn_ref, bn_ref, q_ref, b_ref, *rest,
+            n_dk: int, epilogue: str,
             passes: int, tq: int, sub: int, tb: int = TB):
+    # operand layout: b_ref is the PRE-CONVERTED bf16 base (bhi); for the
+    # 3-pass tier a second bf16 operand carries the residual blo. Hoisting
+    # the base conversion out of the kernel halves the dominant HBM term
+    # (the base is re-read per query block) for the 1/2-pass tiers: the
+    # kernel only ever consumes bf16(base), so shipping fp32 rows just to
+    # round them in VMEM wasted half the bytes. The q-side hi/lo split
+    # stays in-kernel (q is tiny and read once per block row).
+    if passes >= 3:
+        blo_ref, out_ref, acc_ref, mk_ref = rest
+    else:
+        out_ref, acc_ref, mk_ref = rest
     qi = pl.program_id(0)
     bi = pl.program_id(1)
     dk = pl.program_id(2)
     del qi
 
     # ---- MXU: accumulate q . b^T over D chunks (bf16 or bf16x3) ----
-    # the hi/lo split stays IN-kernel: hoisting it out (precomputed bf16
-    # operand arrays) measured no faster for the kernel itself and cost
-    # +6GB HBM for the base copies — disqualifying at 10M-row scale
     q = q_ref[:]
-    b = b_ref[:]
     qhi = q.astype(jnp.bfloat16)
-    bhi = b.astype(jnp.bfloat16)
+    bhi = b_ref[:]
     dims = (((1,), (1,)), ((), ()))
     dot = partial(jax.lax.dot_general, dimension_numbers=dims,
                   preferred_element_type=jnp.float32)
@@ -114,8 +143,7 @@ def _kernel(qn_ref, bn_ref, q_ref, b_ref, out_ref,
         qlo = (q - qhi.astype(jnp.float32)).astype(jnp.bfloat16)
         part = part + dot(qlo, bhi)
     if passes >= 3:
-        blo = (b - bhi.astype(jnp.float32)).astype(jnp.bfloat16)
-        part = part + dot(qhi, blo)
+        part = part + dot(qhi, blo_ref[:])
 
     @pl.when(dk == 0)
     def _():
@@ -178,8 +206,8 @@ def _kernel(qn_ref, bn_ref, q_ref, b_ref, out_ref,
                 out_ref[:, t * LANES:(t + 1) * LANES] = ks[t]
 
 
-def _kernel_pipelined(qn_ref, bn_ref, q_ref, b_ref, out_ref,
-                      acc_ref, ret_ref, mk_ref, *, n_dk: int, epilogue: str,
+def _kernel_pipelined(qn_ref, bn_ref, q_ref, b_ref, *rest,
+                      n_dk: int, epilogue: str,
                       passes: int, tq: int, sub: int, tb: int = TB):
     """Software-pipelined variant of `_kernel`: the VPU epilogue for
     sub-tile bi-1 runs DURING sub-tile bi's MXU steps.
@@ -201,6 +229,10 @@ def _kernel_pipelined(qn_ref, bn_ref, q_ref, b_ref, out_ref,
     never consumed). Body order matters: the epilogue's reads of ret_ref
     precede this step's retire copy, so the dk == n_dk-1 step both
     finishes the old tile's selection and publishes the new tile."""
+    if passes >= 3:
+        blo_ref, out_ref, acc_ref, ret_ref, mk_ref = rest
+    else:
+        out_ref, acc_ref, ret_ref, mk_ref = rest
     bi = pl.program_id(1)
     dk = pl.program_id(2)
 
@@ -256,10 +288,10 @@ def _kernel_pipelined(qn_ref, bn_ref, q_ref, b_ref, out_ref,
             out_ref[:, t * LANES:(t + 1) * LANES] = mk_ref[t]
 
     # ---- MXU: accumulate sub-tile bi into acc_ref ----
+    # (bf16 base operands: see _kernel's operand-layout comment)
     q = q_ref[:]
-    b = b_ref[:]
     qhi = q.astype(jnp.bfloat16)
-    bhi = b.astype(jnp.bfloat16)
+    bhi = b_ref[:]
     dims = (((1,), (1,)), ((), ()))
     dot = partial(jax.lax.dot_general, dimension_numbers=dims,
                   preferred_element_type=jnp.float32)
@@ -268,8 +300,7 @@ def _kernel_pipelined(qn_ref, bn_ref, q_ref, b_ref, out_ref,
         qlo = (q - qhi.astype(jnp.float32)).astype(jnp.bfloat16)
         part = part + dot(qlo, bhi)
     if passes >= 3:
-        blo = (b - bhi.astype(jnp.float32)).astype(jnp.bfloat16)
-        part = part + dot(qhi, blo)
+        part = part + dot(qhi, blo_ref[:])
 
     @pl.when(dk == 0)
     def _():
@@ -301,9 +332,11 @@ EPILOGUES = ("l2", "dot", "rdot")
 
 @partial(jax.jit, static_argnames=("epilogue", "passes", "tq", "sub",
                                    "tb", "dk_max", "interpret", "pipelined"))
-def _screen_call(q, base, qn, bn, epilogue: str, passes: int, tq: int,
+def _screen_call(q, bhi, blo, qn, bn, epilogue: str, passes: int, tq: int,
                  sub: int, tb: int, dk_max: int, interpret: bool,
                  pipelined: bool = False):
+    """`bhi`/`blo` are the base's bf16 hi/lo operands (blo is None below
+    the 3-pass tier). q stays fp32; its hi/lo split happens in-kernel."""
     Qp, D = q.shape
     Bp = bn.shape[1]          # virtual (mega-aligned) base rows
     mega = tb * sub
@@ -317,9 +350,11 @@ def _screen_call(q, base, qn, bn, epilogue: str, passes: int, tq: int,
     # time (measured FAILED_PRECONDITION), so clamp the base block index —
     # clamped steps re-read the last real block and their +inf bn entries
     # mask every value out of the bins
-    b_last = (base.shape[0] - 1) // tb
+    b_last = (bhi.shape[0] - 1) // tb
 
     out_shape = jax.ShapeDtypeStruct((Qp, n_mega * CAND_PER_MEGA), jnp.int32)
+    # HBM bytes: the bf16 base operands dominate (re-read per query block)
+    b_bytes = 2 * (2 if passes >= 3 else 1)
     flops = 2 * Qp * Bp * D * passes
     if pipelined:
         # one trailing bi step retires the final sub-tile's epilogue; its
@@ -362,27 +397,33 @@ def _screen_call(q, base, qn, bn, epilogue: str, passes: int, tq: int,
             pltpu.VMEM((tq, tb), jnp.float32),          # dot accumulator
             pltpu.VMEM((KEEP, tq, LANES), jnp.int32),    # running keys
         ]
+    in_specs = [
+        pl.BlockSpec((tq, 1), lambda qi, bi, dk: (qi, 0),
+                     memory_space=pltpu.VMEM),            # qn (col vec)
+        bn_spec,                                          # bn (row vec)
+        pl.BlockSpec((tq, dk_size), lambda qi, bi, dk: (qi, dk),
+                     memory_space=pltpu.VMEM),            # q chunk
+        base_spec,                                        # bhi chunk
+    ]
+    operands = [qn, bn, q, bhi]
+    if passes >= 3:
+        in_specs.append(base_spec)                        # blo chunk
+        operands.append(blo)
     keys = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((tq, 1), lambda qi, bi, dk: (qi, 0),
-                         memory_space=pltpu.VMEM),            # qn (col vec)
-            bn_spec,                                          # bn (row vec)
-            pl.BlockSpec((tq, dk_size), lambda qi, bi, dk: (qi, dk),
-                         memory_space=pltpu.VMEM),            # q chunk
-            base_spec,                                        # base chunk
-        ],
+        in_specs=in_specs,
         out_specs=out_spec,
         out_shape=out_shape,
         scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=int(Qp * D * 4 + Bp * D * 4 * n_q),
+            flops=flops,
+            bytes_accessed=int(Qp * D * 4 + Bp * D * b_bytes * n_q),
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary")),
         interpret=interpret,
-    )(qn, bn, q, base)
+    )(*operands)
 
     # ---- decode keys -> (quantized distance, exact global row id) ----
     signed = epilogue != "l2"
@@ -443,27 +484,33 @@ def screen_candidates(q, base, *, n_rows: int | None = None,
     B = base.shape[0] if n_rows is None else n_rows
     assert B <= base.shape[0]
     if tq is None:
-        # 512-row query blocks would halve the base HBM re-reads but the
-        # epilogue temporaries push peak VMEM to ~19MB > the 16MB/core
-        # physical budget (measured: compile-ok with a raised cap, then
-        # FAILED_PRECONDITION at run time) — stay at 256
-        tq = TQ
+        # 512-row query blocks halve the dominant HBM term (the base is
+        # re-read once per query block). The old full-tile epilogue
+        # overflowed VMEM at tq=512 (~19MB of temporaries > the 16MB
+        # budget); the pipelined epilogue works one (tq, 128) lane slice
+        # at a time and fits (measured on v5e: 0.377 -> 0.32s 1-pass
+        # screen on the 10k x 1M x 1536 headline, before the bf16
+        # operand change). Non-pipelined keeps 256.
+        tq = 512 if (pipelined and Q >= 1024) else TQ
     if tb is None:
         tb = TB
     if sub is None:
-        sub = 56 if B >= _BIG_BASE else SUB_PER_MEGA
+        sub = pick_sub(B)       # callers that know k pass sub explicitly
         if tb != TB:            # keep the mega row count comparable
             sub = max(1, (sub * TB) // tb)
     # the packed key's POS_BITS field must address every row of a bin
     assert sub * (tb // LANES) <= (1 << POS_BITS), \
         f"sub={sub} x {tb // LANES} lane-slices exceeds {POS_BITS}-bit positions"
     if dk_max is None:
-        # bigger tiles need a smaller D chunk to stay inside VMEM
-        dk_max = 384 if (tq <= TQ and tb <= TB) else 256
+        # bigger tiles need a smaller D chunk to stay inside VMEM; the
+        # bf16 base operands halved the base-block bytes, so dk=384 fits
+        # at tq=512 too (measured on v5e)
+        dk_max = 384 if tb <= TB else 256
     elif tq >= TQ and tb >= TB:
         # dk=512 at the default (or larger) tiles overflows VMEM by
-        # ~3.4MB on v5e (measured FAILED_PRECONDITION) — clamp tuning
-        # flags to the proven ceiling unless the tiles were shrunk
+        # ~3.4MB on v5e (measured FAILED_PRECONDITION with fp32 base
+        # operands) — clamp tuning flags to the proven ceiling unless
+        # the tiles were shrunk
         dk_max = min(dk_max, 384)
     mega = tb * sub
 
@@ -488,7 +535,17 @@ def screen_candidates(q, base, *, n_rows: int | None = None,
         bn = jnp.where(jnp.arange(B) < n_valid, bn, jnp.inf)
     bn = jnp.pad(bn, (0, Bp - B), constant_values=jnp.inf)[None, :]
 
-    cand_d, cand_i = _screen_call(q, base, qn, bn, epilogue, passes,
+    # pre-convert the base to its bf16 operands OUTSIDE the kernel: the
+    # screen only ever consumes bf16(base) (plus the bf16 residual at the
+    # 3-pass tier), and the kernel re-reads the base once per query
+    # block, so shipping fp32 rows doubled the dominant HBM term. The
+    # conversion itself is one cheap fused pass per call (hi = bf16(b);
+    # lo = bf16(b - hi), exact by Sterbenz) and is bit-identical to the
+    # old in-kernel rounding.
+    bhi = base.astype(jnp.bfloat16)
+    blo = ((base - bhi.astype(jnp.float32)).astype(jnp.bfloat16)
+           if passes >= 3 else None)
+    cand_d, cand_i = _screen_call(q, bhi, blo, qn, bn, epilogue, passes,
                                   tq, sub, tb, dk_max, interpret,
                                   pipelined=pipelined)
     return cand_d[:Q], cand_i[:Q], Bp // mega

@@ -199,10 +199,34 @@ def test_screen_kernel_alternate_tile_shapes():
         np.testing.assert_array_equal(ci[np.arange(4), cd.argmin(1)],
                                       d64.argmin(1))
     # position-field overflow must be rejected, not silently wrapped
+    # (128 x 16 lane-slices = 2048 positions > the 10-bit field)
     with pytest.raises(AssertionError):
         screen_kernel.screen_candidates(
             jnp.asarray(q), jnp.asarray(b), n_rows=mega, epilogue="l2",
-            tb=2048, sub=64, interpret=True)
+            tb=2048, sub=128, interpret=True)
+
+
+def test_screen_kernel_wide_tier_positions():
+    """The sub=112 wide tier (pick_sub at k<=150 on big bases) packs
+    in-bin positions up to 895 — past the 9-bit field of the original
+    packing. Plant exact matches deep in the mega-tile (lane-slice
+    index > 511) and check the decode recovers the exact rows."""
+    mega = screen_kernel.TB * 112
+    q, b = _data(4, mega + 70, 24, seed=11)
+    plant = np.array([110_003, 111_222, 112_441, 114_660]) % mega
+    b[plant] = q * 1.0                      # distance-0 best candidates
+    cd, ci, n_mega = screen_kernel.screen_candidates(
+        jnp.asarray(q), jnp.asarray(b), n_rows=mega, epilogue="l2",
+        sub=112, interpret=True)
+    assert n_mega == 1
+    cd = np.asarray(cd)
+    ci = np.asarray(ci)
+    # every planted row sits at in-bin position (row // LANES) > 511
+    assert (plant // screen_kernel.LANES > 511).all()
+    np.testing.assert_array_equal(ci[np.arange(4), cd.argmin(1)], plant)
+    assert screen_kernel.pick_sub(2_000_000, 100) == 112
+    assert screen_kernel.pick_sub(2_000_000, 600) == 56
+    assert screen_kernel.pick_sub(100_000, 100) == screen_kernel.SUB_PER_MEGA
 
 
 def test_prepared_base_matches_unprepared():
