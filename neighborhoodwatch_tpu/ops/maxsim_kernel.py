@@ -6,14 +6,19 @@ HBM-bound at ~1% of MXU peak (measured 18.6M doc-scores/s on v5e for
 1k x 200k docs). This kernel keeps the similarity tile in VMEM and fuses:
 
 1. MXU: sims = q_tokens . doc_tokens^T per (query block, doc block), bf16x3
-   passes (fp32-accurate to ~2^-32, cf. ops/screen_kernel.py);
-2. VPU: + (-inf) doc-token padding bias, per-token max over Td as TD
-   aligned slab maxes (doc tokens are laid out td-major so token s of every
-   doc in the block occupies one contiguous column slab); docs longer than
-   32 tokens stream through in 32-token chunks (innermost grid dim) with a
-   running per-(query token, doc) max in VMEM scratch — max over Td
-   decomposes over chunks — so Td is unbounded; masked per-query-token sum
-   over Tq as TQ contiguous row-slab adds (query tokens laid out tq-major);
+   passes (fp32-accurate to ~2^-32, cf. ops/screen_kernel.py) on
+   PRE-CONVERTED bf16 hi/lo operand pairs (the in-kernel splits were ~25%
+   of the kernel's VPU work);
+2. VPU: per-token max over Td as TD aligned slab maxes (doc tokens are
+   laid out td-major so token s of every doc in the block occupies one
+   contiguous column slab; masked doc tokens are pre-replaced by a
+   duplicate of the doc's first valid token — max-invariant, so no
+   per-token bias — and empty/padding docs get one per-DOC bias); docs
+   longer than 32 tokens stream through in 32-token chunks (innermost grid
+   dim) with a running per-(query token, doc) max in VMEM scratch — max
+   over Td decomposes over chunks — so Td is unbounded; masked
+   per-query-token sum over Tq as TQ contiguous row-slab adds (query
+   tokens laid out tq-major);
 3. per-lane-bin top-KEEP screening of NEGATED scores with the packed
    sortable-int32 keys of the kNN screen kernel (distance bits | position),
    flushed per mega-tile of doc blocks.
@@ -38,26 +43,38 @@ from neighborhoodwatch_tpu.ops.screen_kernel import (
 )
 from neighborhoodwatch_tpu.utils.misc import round_up
 
-TQR = 256          # query-token rows per block (QB queries x padded Tq)
-DB = 256           # docs per block at td<=16; 128 at td<=32 (the (TQR,
-                   # td*DB) similarity tile must stay inside VMEM)
+TQR = 256          # query-token rows per block (qb queries x padded Tq);
+                   # 512 for big short-doc batches — the doc tensor is
+                   # re-read from HBM once per query block (the dominant
+                   # HBM term, cf. the kNN screen kernel), so taller
+                   # query blocks halve it
+DB = 256           # docs per block at td<=16; fewer when the (TQR,
+                   # td*DB) fp32 similarity tile would leave VMEM (the
+                   # tile is capped at 4MB; db never drops below the
+                   # 128-lane bin width)
 SUB_PER_MEGA = 32
 MEGA_DOCS = DB * SUB_PER_MEGA  # 8192 docs per mega-tile regardless of DB
 CAND_PER_MEGA = KEEP * LANES
-NEG_BIAS = -1e30   # doc-token padding bias (finite: avoids inf-inf NaNs)
+NEG_BIAS = -1e30   # per-DOC empty/padding bias (finite: avoids inf-inf
+                   # NaNs; masked tokens of nonempty docs need no bias —
+                   # they are pre-replaced by duplicate valid tokens)
 
 # bf16x3 residual + packed-key quantization, relative to the score scale
 MAXSIM_EPS_REL = 1e-5 + PACK_EPS_REL
 
 
-def _screen_scores(m, out_ref, mk_ref, bi, *,
+def _screen_scores(m, dbias, out_ref, mk_ref, bi, *,
                    tq: int, qb: int, sub: int, db: int):
     """Sum the per-query-token maxes over each query's tq token rows
-    (tq-major: contiguous row slabs), then screen: keep the KEEP best
-    (largest) scores per lane bin, flushed per mega-tile."""
+    (tq-major: contiguous row slabs), add the per-DOC bias (NEG_BIAS for
+    empty/padding docs — masked tokens of nonempty docs never reach here:
+    they are replaced by a duplicate of the doc's first valid token, which
+    leaves every max unchanged), then screen: keep the KEEP best (largest)
+    scores per lane bin, flushed per mega-tile."""
     acc = m[0:qb]
     for t in range(1, tq):
         acc = acc + m[t * qb:(t + 1) * qb]            # (QB, DB)
+    acc = acc + dbias
 
     # negate into ascending order and pack like the kNN screen kernel
     bits = jax.lax.bitcast_convert_type(-acc, jnp.int32)
@@ -88,28 +105,35 @@ def _screen_scores(m, out_ref, mk_ref, bi, *,
             out_ref[:, t * LANES:(t + 1) * LANES] = ks[t]
 
 
-def _kernel(db_ref, q_ref, d_ref, out_ref, mk_ref, m_ref, *,
+def _kernel(db_ref, qhi_ref, qlo_ref, dhi_ref, dlo_ref, out_ref,
+            mk_ref, m_ref, *,
             tq: int, tdc: int, qb: int, sub: int, db: int, n_tc: int):
     bi = pl.program_id(1)
     tc = pl.program_id(2)
 
-    q = q_ref[:].reshape(TQR, q_ref.shape[-1])        # (QB*tq, dim)
-    d = d_ref[:].reshape(tdc * db, d_ref.shape[-1])   # (tdc*db, dim)
-    qhi = q.astype(jnp.bfloat16)
-    dhi = d.astype(jnp.bfloat16)
+    # all four token operands arrive as PRE-CONVERTED bf16 hi/lo pairs:
+    # the in-kernel fp32->bf16 splits cost ~1M VPU elem-ops per grid step
+    # — on par with the step's MXU time — and serialized with it
+    # (measured: hoisting them plus the bias removal below took the 1k x
+    # 200k bench from 0.53 to the current number). The similarity tile is
+    # fp32-accurate bf16x3: qhi.dhi + qlo.dhi + qhi.dlo (~2^-32).
+    dim = qhi_ref.shape[-1]
+    qhi = qhi_ref[:].reshape(tq * qb, dim)            # (qb*tq, dim)
+    qlo = qlo_ref[:].reshape(tq * qb, dim)
+    dhi = dhi_ref[:].reshape(tdc * db, dim)           # (tdc*db, dim)
+    dlo = dlo_ref[:].reshape(tdc * db, dim)
     dims = (((1,), (1,)), ((), ()))
     dot = partial(jax.lax.dot_general, dimension_numbers=dims,
                   preferred_element_type=jnp.float32)
-    sims = dot(qhi, dhi)
-    qlo = (q - qhi.astype(jnp.float32)).astype(jnp.bfloat16)
-    dlo = (d - dhi.astype(jnp.float32)).astype(jnp.bfloat16)
-    sims = sims + dot(qlo, dhi) + dot(qhi, dlo)       # (TQR, tdc*DB)
+    sims = dot(qhi, dhi) + dot(qlo, dhi) + dot(qhi, dlo)
 
-    # doc-token padding: masked tokens carry NEG_BIAS and never win a max.
-    # Query-token masking needs no in-kernel work: masked/padded query
-    # tokens are pre-zeroed, and a zero token's max over any doc with a
-    # valid token is exactly 0 — the masked contribution.
-    sims = sims + db_ref[:].reshape(1, tdc * db)
+    # No per-token masking work: masked/padded QUERY tokens are
+    # pre-zeroed (a zero token's max is exactly the masked contribution,
+    # 0), and masked DOC tokens are pre-replaced by a duplicate of the
+    # doc's first valid token (duplicates never change a max) — only
+    # fully-empty/padding docs need a bias, applied per DOC in
+    # _screen_scores. The old per-ELEMENT bias add cost 1 VPU op per
+    # similarity — ~25% of the kernel's non-MXU work.
 
     # per-query-token max over this chunk's tdc tokens: td-major layout
     # makes token s of all DB docs one contiguous column slab
@@ -118,7 +142,8 @@ def _kernel(db_ref, q_ref, d_ref, out_ref, mk_ref, m_ref, *,
         m = jnp.maximum(m, sims[:, s * db:(s + 1) * db])  # (TQR, db)
 
     if n_tc == 1:
-        _screen_scores(m, out_ref, mk_ref, bi, tq=tq, qb=qb, sub=sub, db=db)
+        _screen_scores(m, db_ref[:], out_ref, mk_ref, bi,
+                       tq=tq, qb=qb, sub=sub, db=db)
     else:
         # docs longer than one chunk: fold the chunk max into a running
         # per-(query token, doc) max — max over Td decomposes over chunks
@@ -132,20 +157,22 @@ def _kernel(db_ref, q_ref, d_ref, out_ref, mk_ref, m_ref, *,
 
         @pl.when(tc == n_tc - 1)
         def _():
-            _screen_scores(m_ref[:], out_ref, mk_ref, bi,
+            _screen_scores(m_ref[:], db_ref[:], out_ref, mk_ref, bi,
                            tq=tq, qb=qb, sub=sub, db=db)
 
 
-@partial(jax.jit, static_argnames=("tq", "tdc", "db", "interpret"))
-def _maxsim_screen_call(q_t, d_t, dbias_t, tq: int, tdc: int, db: int,
-                        interpret: bool):
-    """q_t: (tq, Qp, dim) tq-major query tokens (masked tokens pre-zeroed);
-    d_t: (td, Dp, dim) td-major doc tokens (td a multiple of the chunk
-    size tdc); dbias_t: (td, Dp) 0/NEG_BIAS.
+@partial(jax.jit, static_argnames=("tq", "tdc", "db", "tqr", "interpret"))
+def _maxsim_screen_call(qhi_t, qlo_t, dhi_t, dlo_t, doc_bias,
+                        tq: int, tdc: int, db: int,
+                        interpret: bool, tqr: int = TQR):
+    """qhi_t/qlo_t: (tq, Qp, dim) tq-major bf16 query-token hi/lo pairs
+    (masked tokens pre-zeroed); dhi_t/dlo_t: (td, Dp, dim) td-major bf16
+    doc-token pairs (masked tokens pre-duplicated, td a multiple of the
+    chunk size tdc); doc_bias: (1, Dp) 0/NEG_BIAS for empty/padding docs.
     Returns packed keys (Qp, n_mega*CAND_PER_MEGA)."""
-    Qp, dim = q_t.shape[1], q_t.shape[2]
-    td, Dp = d_t.shape[0], d_t.shape[1]
-    qb = TQR // tq
+    Qp, dim = qhi_t.shape[1], qhi_t.shape[2]
+    td, Dp = dhi_t.shape[0], dhi_t.shape[1]
+    qb = tqr // tq
     sub = MEGA_DOCS // db
     n_q = Qp // qb
     n_b = Dp // db
@@ -156,16 +183,18 @@ def _maxsim_screen_call(q_t, d_t, dbias_t, tq: int, tdc: int, db: int,
     kernel = partial(_kernel, tq=tq, tdc=tdc, qb=qb, sub=sub, db=db,
                      n_tc=n_tc)
     out_shape = jax.ShapeDtypeStruct((Qp, n_mega * CAND_PER_MEGA), jnp.int32)
+    q_spec = pl.BlockSpec((tq, qb, dim), lambda qi, bi, tc: (0, qi, 0),
+                          memory_space=pltpu.VMEM)
+    d_spec = pl.BlockSpec((tdc, db, dim), lambda qi, bi, tc: (tc, bi, 0),
+                          memory_space=pltpu.VMEM)
     keys = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tdc, db), lambda qi, bi, tc: (tc, bi),
-                         memory_space=pltpu.VMEM),          # doc-token bias
-            pl.BlockSpec((tq, qb, dim), lambda qi, bi, tc: (0, qi, 0),
-                         memory_space=pltpu.VMEM),          # query tokens
-            pl.BlockSpec((tdc, db, dim), lambda qi, bi, tc: (tc, bi, 0),
-                         memory_space=pltpu.VMEM),          # doc tokens
+            pl.BlockSpec((1, db), lambda qi, bi, tc: (0, bi),
+                         memory_space=pltpu.VMEM),          # per-doc bias
+            q_spec, q_spec,                                 # query hi/lo
+            d_spec, d_spec,                                 # doc hi/lo
         ],
         out_specs=pl.BlockSpec((qb, CAND_PER_MEGA),
                                lambda qi, bi, tc: (qi, bi // sub),
@@ -173,7 +202,7 @@ def _maxsim_screen_call(q_t, d_t, dbias_t, tq: int, tdc: int, db: int,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((KEEP, qb, LANES), jnp.int32),
-            pltpu.VMEM((TQR, db), jnp.float32),   # running chunk max
+            pltpu.VMEM((tqr, db), jnp.float32),   # running chunk max
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * Qp * tq * Dp * td * dim * 3,
@@ -182,7 +211,7 @@ def _maxsim_screen_call(q_t, d_t, dbias_t, tq: int, tdc: int, db: int,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary")),
         interpret=interpret,
-    )(dbias_t, q_t, d_t)
+    )(doc_bias, qhi_t, qlo_t, dhi_t, dlo_t)
 
     # decode: negated score (quantized) + global doc id
     vbits = keys & jnp.int32(~POS_MASK)
@@ -197,6 +226,59 @@ def _maxsim_screen_call(q_t, d_t, dbias_t, tq: int, tdc: int, db: int,
     cand_doc = (mega_i * MEGA_DOCS + (pos // n_slice) * db
                 + (pos % n_slice) * LANES + lane)
     return cand_negscore, cand_doc
+
+
+@partial(jax.jit, static_argnames=("Qp", "Dp", "tq", "td", "tdc", "db",
+                                   "tqr", "dimp", "interpret"))
+def _screen_exec(queries, q_mask, docs, d_mask, *, Qp: int, Dp: int,
+                 tq: int, td: int, tdc: int, db: int, tqr: int,
+                 dimp: int, interpret: bool):
+    """One fused program: mask/pad/duplicate/bf16-split/relayout the token
+    tensors and run the screen kernel. Keeping the prep inside the jit
+    matters — as ~12 eager dispatches it measured +0.05s per call on the
+    1k x 200k bench (and XLA fuses the conversions into the relayouts)."""
+    Q, Tq, dim = queries.shape
+    D, Td = docs.shape[:2]
+
+    # masked query tokens contribute zero to MaxSim; zeroing them here
+    # removes the mask from the kernel entirely (see _kernel comment)
+    queries = jnp.where(q_mask[:, :, None], queries, 0.0)
+    queries = jnp.pad(queries, ((0, Qp - Q), (0, tq - Tq), (0, dimp - dim)))
+    docs = jnp.pad(docs, ((0, Dp - D), (0, td - Td), (0, dimp - dim)))
+    d_mask = jnp.pad(d_mask, ((0, Dp - D), (0, td - Td)))
+
+    # masked DOC tokens -> a duplicate of the doc's first valid token:
+    # max over tokens is invariant under duplicates, so MaxSim is exactly
+    # unchanged and the kernel needs no per-token bias (the old
+    # per-ELEMENT bias add was ~25% of the kernel's VPU work). Docs with
+    # no valid token at all (fully masked, or pure Dp-padding rows) keep
+    # their zero/garbage tokens and are pushed out of every bin by one
+    # per-DOC bias instead.
+    first_tok = jnp.take_along_axis(
+        docs, jnp.argmax(d_mask, axis=1)[:, None, None], axis=1)
+    docs = jnp.where(d_mask[:, :, None], docs, first_tok)
+    doc_bias = jnp.where(jnp.any(d_mask, axis=1), 0.0, NEG_BIAS) \
+        .astype(jnp.float32)[None, :]                     # (1, Dp)
+
+    # bf16 hi/lo operand pairs, pre-converted (the in-kernel splits were
+    # ~25% of the kernel's VPU work, serialized with the MXU stream);
+    # exact: lo = x - bf16(x) is representable (Sterbenz)
+    qhi = queries.astype(jnp.bfloat16)
+    qlo = (queries - qhi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dhi = docs.astype(jnp.bfloat16)
+    dlo = (docs - dhi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    # device relayouts: tq-major queries, td-major docs
+    qhi_t = jnp.swapaxes(qhi, 0, 1)                       # (tq, Qp, dim)
+    qlo_t = jnp.swapaxes(qlo, 0, 1)
+    dhi_t = jnp.swapaxes(dhi, 0, 1)                       # (td, Dp, dim)
+    dlo_t = jnp.swapaxes(dlo, 0, 1)
+
+    cand_neg, cand_doc = _maxsim_screen_call(qhi_t, qlo_t, dhi_t, dlo_t,
+                                             doc_bias,
+                                             tq, tdc, db, interpret,
+                                             tqr=tqr)
+    return cand_neg[:Q], cand_doc[:Q]
 
 
 def screen_maxsim(queries, q_mask, docs, d_mask, *,
@@ -224,32 +306,27 @@ def screen_maxsim(queries, q_mask, docs, d_mask, *,
     # stay on the fused kernel instead of falling back to the XLA path.
     assert Tq <= 32, f"screened MaxSim supports <= 32 query tokens, got {Tq}"
     dimp = round_up(dim, LANES)
-    tq = round_up(Tq, 8)
-    while TQR % tq:
-        tq += 8
     td = round_up(Td, 8)
     if td > 32:
         td = round_up(td, 32)   # a whole number of 32-token chunks
-    qb = TQR // tq
+    tdc = td if td <= 32 else 32
+    # 512-row query blocks halve the dominant HBM term (the doc tensor
+    # is re-read once per query block: 125 x 1.6GB = 205GB on the 1k x
+    # 200k bench at tqr=256). The fp32 similarity tile (tqr, tdc*db) is
+    # capped at 4MB and db cannot shrink below the 128-lane bin width,
+    # so the tall blocks apply only when the doc chunk is <= 16 tokens
+    # (and the query batch is big enough to fill them)
+    tqr = 512 if (tdc <= 16 and Q * Tq >= 4096) else TQR
+    tq = round_up(Tq, 8)
+    while tqr % tq:
+        tq += 8
+    qb = tqr // tq
     Qp = round_up(Q, qb)
     Dp = round_up(D, MEGA_DOCS)
+    # the (tqr, tdc*db) similarity tile must fit VMEM with its operands
+    db = max(LANES, min(DB, (1 << 20) // (tqr * tdc)))
 
-    # masked query tokens contribute zero to MaxSim; zeroing them here
-    # removes the mask from the kernel entirely (see _kernel comment)
-    queries = jnp.where(q_mask[:, :, None], queries, 0.0)
-    queries = jnp.pad(queries, ((0, Qp - Q), (0, tq - Tq), (0, dimp - dim)))
-    docs = jnp.pad(docs, ((0, Dp - D), (0, td - Td), (0, dimp - dim)))
-    d_mask = jnp.pad(d_mask, ((0, Dp - D), (0, td - Td)))
-
-    # device relayouts: tq-major queries, td-major docs
-    q_t = jnp.swapaxes(queries, 0, 1)                     # (tq, Qp, dim)
-    d_t = jnp.swapaxes(docs, 0, 1)                        # (td, Dp, dim)
-    dbias_t = jnp.where(jnp.swapaxes(d_mask, 0, 1), 0.0, NEG_BIAS) \
-        .astype(jnp.float32)
-
-    # the (TQR, tdc*db) similarity tile must fit VMEM with its bf16 copies
-    tdc = td if td <= 32 else 32
-    db = DB if tdc <= 16 else DB // 2
-    cand_neg, cand_doc = _maxsim_screen_call(q_t, d_t, dbias_t,
-                                             tq, tdc, db, interpret)
-    return cand_neg[:Q], cand_doc[:Q], Dp // MEGA_DOCS
+    cand_neg, cand_doc = _screen_exec(
+        queries, q_mask, docs, d_mask, Qp=Qp, Dp=Dp, tq=tq, td=td,
+        tdc=tdc, db=db, tqr=tqr, dimp=dimp, interpret=interpret)
+    return cand_neg, cand_doc, Dp // MEGA_DOCS
