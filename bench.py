@@ -172,13 +172,17 @@ def run_maxsim(args):
     _ = np.asarray(q[0, 0, 0]), np.asarray(d[0, 0, 0])
     log(f"maxsim data ready: {q_n}x{tq} query tokens, {d_n}x{td} doc tokens")
 
-    s, i = maxsim_topk_screened(q, qm, d, dm, k=k)
+    tier = args.screen_precision
+    log(f"screen precision tier: {tier}")
+
+    s, i = maxsim_topk_screened(q, qm, d, dm, k=k, screen_precision=tier)
     _ = np.asarray(s)[0, 0]
     log("compile + first run done")
     times = []
     for _i in range(args.iters):
         t0 = time.perf_counter()
-        s, i = maxsim_topk_screened(q, qm, d, dm, k=k)
+        s, i = maxsim_topk_screened(q, qm, d, dm, k=k,
+                                    screen_precision=tier)
         _ = np.asarray(s)[0, 0]
         times.append(time.perf_counter() - t0)
     elapsed = float(np.median(times))
@@ -208,6 +212,7 @@ def run_maxsim(args):
     print(json.dumps(result))
     extra = {
         "doc_scores_per_s_M": round(scores_per_s / 1e6, 1),
+        "screen_precision": tier,
         "device": str(jax.devices()[0]),
         "baseline_model": "MODELED: exact XLA MaxSim path on the same chip "
                           "(reference has no MaxSim; flat token kNN only)",

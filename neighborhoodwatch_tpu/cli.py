@@ -296,6 +296,11 @@ Some example commands:\n
                              "one exact TPU engine family)")
     parser.add_argument("--precision", type=str, default="highest",
                         choices=["default", "high", "highest"])
+    parser.add_argument("--screen-precision", type=str, default="medium",
+                        choices=["default", "medium", "high"],
+                        help="screened MaxSim engine's MXU-pass tier (every "
+                             "tier is exact via the certificates + repair; "
+                             "see nw --screen-precision)")
     parser.add_argument("--synthetic", action="store_true",
                         help="use synthetic source text (hermetic, no network)")
     parser.add_argument("--maxsim", action="store_true",
@@ -402,7 +407,8 @@ Some example commands:\n
         section_time = time.time()
         timer, n_q_docs, n_b_docs = compute_maxsim_knn(
             data_dir, query_file, base_file, k=args.k,
-            precision=args.precision, mesh=mesh)
+            precision=args.precision, mesh=mesh,
+            screen_precision=args.screen_precision)
         print(timer.report())
         print(f"MaxSim: {n_q_docs} query passages x {n_b_docs} base passages")
         _duration(section_time, start_time)
@@ -414,7 +420,8 @@ Some example commands:\n
             query_file, args.query_token_count,
             mem_tune=args.enable_memory_tuning,
             k=args.k, metric=args.metric,
-            precision=args.precision, engine=args.engine, mesh=mesh)
+            precision=args.precision, engine=args.engine, mesh=mesh,
+            screen_precision=args.screen_precision)
         print(timer.report())
         _duration(section_time, start_time)
 

@@ -92,7 +92,8 @@ def process_knn_computation(data_dir, base_filename, base_count, query_filename,
                             initial_batch_size=1_000_000,
                             max_memory_threshold=0.1, k=100,
                             metric="dot", precision="highest",
-                            engine="auto", mesh=None):
+                            engine="auto", mesh=None,
+                            screen_precision="medium"):
     """Token-vs-token exact kNN (reference: colbert_knn.py:84-126, which
     defaults to the torch `1 - matmul` engine — metric='dot' here).
 
@@ -103,7 +104,7 @@ def process_knn_computation(data_dir, base_filename, base_count, query_filename,
                           initial_batch_size=initial_batch_size,
                           max_memory_threshold=max_memory_threshold,
                           metric=metric, precision=precision, engine=engine,
-                          mesh=mesh)
+                          mesh=mesh, screen_precision=screen_precision)
 
 
 def _split_by_doc(tokens: np.ndarray, doc_ids: np.ndarray):
@@ -128,7 +129,8 @@ def _read_doc_tokens(filename: str):
 
 def compute_maxsim_knn(data_dir, query_filename, base_filename, k,
                        tile_docs=None, precision="highest",
-                       batch_rows=500_000, checkpoint_every=2, mesh=None):
+                       batch_rows=500_000, checkpoint_every=2, mesh=None,
+                       screen_precision="medium"):
     """Doc-level ColBERT MaxSim ground truth: for every query passage,
     the top-k base passages by sum-of-max token similarity.
 
@@ -174,7 +176,8 @@ def compute_maxsim_knn(data_dir, query_filename, base_filename, k,
         queries, q_mask = pad_token_lists(q_docs, dim)
 
     if mesh is None:
-        engine = StreamingMaxSim(queries, q_mask, k=k, precision=precision)
+        engine = StreamingMaxSim(queries, q_mask, k=k, precision=precision,
+                                 screen_precision=screen_precision)
     else:
         # doc tiles shard over the mesh's mp axis with ICI all_gather
         # merge (BASELINE config 4's multi-chip path)
@@ -182,7 +185,8 @@ def compute_maxsim_knn(data_dir, query_filename, base_filename, k,
             ShardedStreamingMaxSim,
         )
         engine = ShardedStreamingMaxSim(queries, q_mask, k=k, mesh=mesh,
-                                        precision=precision)
+                                        precision=precision,
+                                        screen_precision=screen_precision)
 
     ckpt_path = _stream_ckpt_path(data_dir)
     # f_qpad: mesh runs pad query rows to the dp axis, so a checkpoint is

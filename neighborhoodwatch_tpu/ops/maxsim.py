@@ -133,12 +133,14 @@ def maxsim_topk(queries, q_mask, docs, d_mask, k: int,
     return run_s, run_i
 
 
-@partial(jax.jit, static_argnames=("k", "m", "block"))
+@partial(jax.jit, static_argnames=("k", "m", "block", "passes"))
 def _maxsim_select(queries, q_mask, docs, d_mask, cand_neg, cand_doc,
-                   k: int, m: int, block: int = 128):
+                   k: int, m: int, block: int = 128, passes: int = 3):
     """Top-M merge of screened MaxSim candidates + exact fp32 re-rank +
     exactness certificate (the MaxSim analog of ops.knn._screened_select).
-    Returns (scores desc, doc ids, ok)."""
+    Returns (scores desc, doc ids, ok). `passes` is the screen's MXU-pass
+    tier; below 3 passes the certificate eps is computed from the data's
+    actual bf16 residual norms (cf. ops.knn._screen_err_bounds)."""
     from neighborhoodwatch_tpu.ops import maxsim_kernel as mk
 
     q_count, tq, dim = queries.shape
@@ -184,12 +186,34 @@ def _maxsim_select(queries, q_mask, docs, d_mask, cand_neg, cand_doc,
     doc_k = jnp.take_along_axis(doc_m, selk, axis=1)
     tau = sk[:, k - 1]
 
-    # per-query screening error bound on the score scale
+    # per-query screening error bound on the score scale. score =
+    # sum_t max_s <q_t, d_s>, and |max a - max b| <= max|a - b|, so the
+    # per-token dot error bounds sum over the valid query tokens.
     q_norms = jnp.linalg.norm(queries, axis=2)
     q_scale = jnp.sum(jnp.where(q_mask, q_norms, 0.0), axis=1)
     d_norms = jnp.linalg.norm(docs, axis=2)
-    d_max = jnp.max(jnp.where(d_mask, d_norms, 0.0))
-    eps = mk.MAXSIM_EPS_REL * q_scale * jnp.maximum(d_max, 1e-6)
+    d_max = jnp.maximum(jnp.max(jnp.where(d_mask, d_norms, 0.0)), 1e-6)
+    if passes >= 3:
+        # bf16x3 residual + fp32 accumulation + key quantization
+        eps = mk.MAXSIM_EPS_REL * q_scale * d_max
+    else:
+        # 2-pass drops q_t . d_lo,s (d_lo = d - bf16(d), exactly
+        # representable by Sterbenz): per token <= |q_t| * max||d_lo||,
+        # computed from the data (~2.9x tighter than the static 2^-8
+        # worst case); + fp32 accumulation and key quantization on the
+        # score scale (ACC/PACK conventions of ops.knn)
+        dhi = docs.astype(jnp.bfloat16).astype(jnp.float32)
+        dlo_n = jnp.linalg.norm(docs - dhi, axis=2)
+        dlo_max = jnp.max(jnp.where(d_mask, dlo_n, 0.0)) * 1.0001
+        eps = q_scale * dlo_max \
+            + (2.0 ** -16 + mk.PACK_EPS_REL) * q_scale * d_max
+        if passes == 1:
+            # 1-pass additionally drops q_lo,t . d_hi,s
+            qhi = queries.astype(jnp.bfloat16).astype(jnp.float32)
+            qlo_n = jnp.linalg.norm(queries - qhi, axis=2)
+            qlo_scale = jnp.sum(jnp.where(q_mask, qlo_n, 0.0),
+                                axis=1) * 1.0001
+            eps = eps + qlo_scale * 1.004 * d_max
     thresh = (-tau + eps)[:, None]
 
     cert_bins = jnp.min(cert_last, axis=(1, 2)) >= thresh[:, 0]
@@ -226,12 +250,18 @@ def maxsim_screen_plan(n_docs: int, k: int, td: int, dim: int):
 
 
 def maxsim_topk_screened(queries, q_mask, docs, d_mask, k: int,
-                         m: int | None = None):
+                         m: int | None = None,
+                         screen_precision: str = "medium"):
     """Exact top-k documents by MaxSim via the fused Pallas screen kernel
     (ops/maxsim_kernel.py) + certified fp32 re-rank; queries whose
     certificate fails are recomputed with the exact XLA path. ~20x the
-    XLA path's throughput on TPU for large doc sets."""
+    XLA path's throughput on TPU for large doc sets. `screen_precision`
+    trades MXU passes against certificate margin (high/medium/default =
+    3/2/1, cf. screen_maxsim); every tier is exact via the certificates
+    + repair."""
     from neighborhoodwatch_tpu.ops import maxsim_kernel as mk
+    from neighborhoodwatch_tpu.ops.screen_kernel import PASSES
+    passes = PASSES[screen_precision]
 
     queries = jnp.asarray(queries, dtype=jnp.float32)
     docs = jnp.asarray(docs, dtype=jnp.float32)
@@ -250,9 +280,11 @@ def maxsim_topk_screened(queries, q_mask, docs, d_mask, k: int,
     cap = (-(-n_docs // mk.MEGA_DOCS)) * mk.LANES * (mk.KEEP - 1)
     m = min(max(m, k), cap)
 
-    cand_neg, cand_doc, _ = mk.screen_maxsim(queries, q_mask, docs, d_mask)
+    cand_neg, cand_doc, _ = mk.screen_maxsim(
+        queries, q_mask, docs, d_mask, screen_precision=screen_precision)
     scores, idx, ok = _maxsim_select(queries, q_mask, docs, d_mask,
-                                     cand_neg, cand_doc, k, m, block=block)
+                                     cand_neg, cand_doc, k, m, block=block,
+                                     passes=passes)
     ok_host = np.asarray(ok)
     if not ok_host.all():
         bad = np.nonzero(~ok_host)[0]
@@ -278,12 +310,13 @@ class StreamingMaxSim:
     pipeline to stream a corpus that never fits in HBM at once."""
 
     def __init__(self, queries, q_mask, k: int, precision: str = "highest",
-                 engine: str = "auto"):
+                 engine: str = "auto", screen_precision: str = "medium"):
         self.queries = jnp.asarray(queries, dtype=jnp.float32)
         self.q_mask = jnp.asarray(q_mask, dtype=bool)
         self.k = k
         self.precision = precision
         self.engine = engine
+        self.screen_precision = screen_precision
         q_n = self.queries.shape[0]
         self.state = (jnp.full((q_n, k), -jnp.inf, dtype=jnp.float32),
                       jnp.zeros((q_n, k), dtype=jnp.int32))
@@ -305,8 +338,9 @@ class StreamingMaxSim:
         run_s, run_i = self.state
         if engine == "screened":
             kk = min(self.k, n)
-            ts, ti = maxsim_topk_screened(self.queries, self.q_mask,
-                                          doc_tile, tile_mask, k=kk)
+            ts, ti = maxsim_topk_screened(
+                self.queries, self.q_mask, doc_tile, tile_mask, k=kk,
+                screen_precision=self.screen_precision)
             ts = jnp.asarray(ts)
             ti = (jnp.asarray(ti) + offset).astype(jnp.int32)
             md, mi = merge_topk(-run_s, run_i, -ts, ti, self.k)

@@ -105,27 +105,37 @@ def _screen_scores(m, dbias, out_ref, mk_ref, bi, *,
             out_ref[:, t * LANES:(t + 1) * LANES] = ks[t]
 
 
-def _kernel(db_ref, qhi_ref, qlo_ref, dhi_ref, dlo_ref, out_ref,
-            mk_ref, m_ref, *,
-            tq: int, tdc: int, qb: int, sub: int, db: int, n_tc: int):
+def _kernel(db_ref, qhi_ref, *rest,
+            tq: int, tdc: int, qb: int, sub: int, db: int, n_tc: int,
+            passes: int = 3):
+    # operand layout varies with the precision tier (cf. the kNN screen
+    # kernel's tiers): 1-pass = qhi.dhi; 2-pass "medium" = + qlo.dhi
+    # (= exact-q x bf16-docs); 3-pass "high" = + qhi.dlo (bf16x3,
+    # fp32-accurate ~2^-32). The dropped terms at the computed tiers are
+    # bounded per query by the data-dependent certificate eps in
+    # ops.maxsim._maxsim_select.
+    rest = list(rest)
+    qlo_ref = rest.pop(0) if passes >= 2 else None
+    dhi_ref = rest.pop(0)
+    dlo_ref = rest.pop(0) if passes >= 3 else None
+    out_ref, mk_ref, m_ref = rest
     bi = pl.program_id(1)
     tc = pl.program_id(2)
 
-    # all four token operands arrive as PRE-CONVERTED bf16 hi/lo pairs:
-    # the in-kernel fp32->bf16 splits cost ~1M VPU elem-ops per grid step
-    # — on par with the step's MXU time — and serialized with it
-    # (measured: hoisting them plus the bias removal below took the 1k x
-    # 200k bench from 0.53 to the current number). The similarity tile is
-    # fp32-accurate bf16x3: qhi.dhi + qlo.dhi + qhi.dlo (~2^-32).
+    # token operands arrive as PRE-CONVERTED bf16 hi/lo pairs: the
+    # in-kernel fp32->bf16 splits cost ~1M VPU elem-ops per grid step —
+    # on par with the step's MXU time — and serialized with it.
     dim = qhi_ref.shape[-1]
     qhi = qhi_ref[:].reshape(tq * qb, dim)            # (qb*tq, dim)
-    qlo = qlo_ref[:].reshape(tq * qb, dim)
     dhi = dhi_ref[:].reshape(tdc * db, dim)           # (tdc*db, dim)
-    dlo = dlo_ref[:].reshape(tdc * db, dim)
     dims = (((1,), (1,)), ((), ()))
     dot = partial(jax.lax.dot_general, dimension_numbers=dims,
                   preferred_element_type=jnp.float32)
-    sims = dot(qhi, dhi) + dot(qlo, dhi) + dot(qhi, dlo)
+    sims = dot(qhi, dhi)
+    if passes >= 2:
+        sims = sims + dot(qlo_ref[:].reshape(tq * qb, dim), dhi)
+    if passes >= 3:
+        sims = sims + dot(qhi, dlo_ref[:].reshape(tdc * db, dim))
 
     # No per-token masking work: masked/padded QUERY tokens are
     # pre-zeroed (a zero token's max is exactly the masked contribution,
@@ -161,14 +171,16 @@ def _kernel(db_ref, qhi_ref, qlo_ref, dhi_ref, dlo_ref, out_ref,
                            tq=tq, qb=qb, sub=sub, db=db)
 
 
-@partial(jax.jit, static_argnames=("tq", "tdc", "db", "tqr", "interpret"))
+@partial(jax.jit, static_argnames=("tq", "tdc", "db", "tqr", "passes",
+                                   "interpret"))
 def _maxsim_screen_call(qhi_t, qlo_t, dhi_t, dlo_t, doc_bias,
                         tq: int, tdc: int, db: int,
-                        interpret: bool, tqr: int = TQR):
+                        interpret: bool, tqr: int = TQR, passes: int = 3):
     """qhi_t/qlo_t: (tq, Qp, dim) tq-major bf16 query-token hi/lo pairs
-    (masked tokens pre-zeroed); dhi_t/dlo_t: (td, Dp, dim) td-major bf16
-    doc-token pairs (masked tokens pre-duplicated, td a multiple of the
-    chunk size tdc); doc_bias: (1, Dp) 0/NEG_BIAS for empty/padding docs.
+    (masked tokens pre-zeroed; qlo_t None below 2 passes); dhi_t/dlo_t:
+    (td, Dp, dim) td-major bf16 doc-token pairs (masked tokens
+    pre-duplicated, td a multiple of the chunk size tdc; dlo_t None below
+    3 passes); doc_bias: (1, Dp) 0/NEG_BIAS for empty/padding docs.
     Returns packed keys (Qp, n_mega*CAND_PER_MEGA)."""
     Qp, dim = qhi_t.shape[1], qhi_t.shape[2]
     td, Dp = dhi_t.shape[0], dhi_t.shape[1]
@@ -181,21 +193,28 @@ def _maxsim_screen_call(qhi_t, qlo_t, dhi_t, dlo_t, doc_bias,
     grid = (n_q, n_b, n_tc)
 
     kernel = partial(_kernel, tq=tq, tdc=tdc, qb=qb, sub=sub, db=db,
-                     n_tc=n_tc)
+                     n_tc=n_tc, passes=passes)
     out_shape = jax.ShapeDtypeStruct((Qp, n_mega * CAND_PER_MEGA), jnp.int32)
     q_spec = pl.BlockSpec((tq, qb, dim), lambda qi, bi, tc: (0, qi, 0),
                           memory_space=pltpu.VMEM)
     d_spec = pl.BlockSpec((tdc, db, dim), lambda qi, bi, tc: (tc, bi, 0),
                           memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec((1, db), lambda qi, bi, tc: (0, bi),
+                             memory_space=pltpu.VMEM)]      # per-doc bias
+    operands = [doc_bias, qhi_t]
+    in_specs.append(q_spec)                                 # query hi
+    if passes >= 2:
+        in_specs.append(q_spec)                             # query lo
+        operands.append(qlo_t)
+    in_specs.append(d_spec)                                 # doc hi
+    operands.append(dhi_t)
+    if passes >= 3:
+        in_specs.append(d_spec)                             # doc lo
+        operands.append(dlo_t)
     keys = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, db), lambda qi, bi, tc: (0, bi),
-                         memory_space=pltpu.VMEM),          # per-doc bias
-            q_spec, q_spec,                                 # query hi/lo
-            d_spec, d_spec,                                 # doc hi/lo
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((qb, CAND_PER_MEGA),
                                lambda qi, bi, tc: (qi, bi // sub),
                                memory_space=pltpu.VMEM),
@@ -205,13 +224,13 @@ def _maxsim_screen_call(qhi_t, qlo_t, dhi_t, dlo_t, doc_bias,
             pltpu.VMEM((tqr, db), jnp.float32),   # running chunk max
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * Qp * tq * Dp * td * dim * 3,
+            flops=2 * Qp * tq * Dp * td * dim * passes,
             bytes_accessed=int(Dp * td * dim * 4 * n_q + Qp * tq * dim * 4),
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary")),
         interpret=interpret,
-    )(doc_bias, qhi_t, qlo_t, dhi_t, dlo_t)
+    )(*operands)
 
     # decode: negated score (quantized) + global doc id
     vbits = keys & jnp.int32(~POS_MASK)
@@ -229,10 +248,10 @@ def _maxsim_screen_call(qhi_t, qlo_t, dhi_t, dlo_t, doc_bias,
 
 
 @partial(jax.jit, static_argnames=("Qp", "Dp", "tq", "td", "tdc", "db",
-                                   "tqr", "dimp", "interpret"))
+                                   "tqr", "dimp", "passes", "interpret"))
 def _screen_exec(queries, q_mask, docs, d_mask, *, Qp: int, Dp: int,
                  tq: int, td: int, tdc: int, db: int, tqr: int,
-                 dimp: int, interpret: bool):
+                 dimp: int, passes: int, interpret: bool):
     """One fused program: mask/pad/duplicate/bf16-split/relayout the token
     tensors and run the screen kernel. Keeping the prep inside the jit
     matters — as ~12 eager dispatches it measured +0.05s per call on the
@@ -262,30 +281,44 @@ def _screen_exec(queries, q_mask, docs, d_mask, *, Qp: int, Dp: int,
 
     # bf16 hi/lo operand pairs, pre-converted (the in-kernel splits were
     # ~25% of the kernel's VPU work, serialized with the MXU stream);
-    # exact: lo = x - bf16(x) is representable (Sterbenz)
+    # exact: lo = x - bf16(x) is representable (Sterbenz). Tiers below
+    # 3 passes skip the unused lo operand entirely.
     qhi = queries.astype(jnp.bfloat16)
-    qlo = (queries - qhi.astype(jnp.float32)).astype(jnp.bfloat16)
     dhi = docs.astype(jnp.bfloat16)
-    dlo = (docs - dhi.astype(jnp.float32)).astype(jnp.bfloat16)
 
     # device relayouts: tq-major queries, td-major docs
     qhi_t = jnp.swapaxes(qhi, 0, 1)                       # (tq, Qp, dim)
-    qlo_t = jnp.swapaxes(qlo, 0, 1)
     dhi_t = jnp.swapaxes(dhi, 0, 1)                       # (td, Dp, dim)
-    dlo_t = jnp.swapaxes(dlo, 0, 1)
+    qlo_t = dlo_t = None
+    if passes >= 2:
+        qlo = (queries - qhi.astype(jnp.float32)).astype(jnp.bfloat16)
+        qlo_t = jnp.swapaxes(qlo, 0, 1)
+    if passes >= 3:
+        dlo = (docs - dhi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dlo_t = jnp.swapaxes(dlo, 0, 1)
 
     cand_neg, cand_doc = _maxsim_screen_call(qhi_t, qlo_t, dhi_t, dlo_t,
                                              doc_bias,
                                              tq, tdc, db, interpret,
-                                             tqr=tqr)
+                                             tqr=tqr, passes=passes)
     return cand_neg[:Q], cand_doc[:Q]
 
 
 def screen_maxsim(queries, q_mask, docs, d_mask, *,
+                  screen_precision: str = "high",
                   interpret: bool | None = None):
     """Fused MaxSim screen: (Q, Tq, dim) x (D, Td, dim) -> per-mega-tile
     candidate lists of (negated quantized score, doc id). The last KEEP-slab
-    per mega is the certificate slab (4th-best score per 64-doc bin)."""
+    per mega is the certificate slab (4th-best score per 64-doc bin).
+
+    `screen_precision` picks the MXU passes (cf. the kNN screen tiers):
+    "high" = bf16x3 (~2^-32, the default), "medium" = exact-q x bf16-docs
+    (2 passes, only the doc rounding remains), "default" = plain bf16
+    (1 pass). The computed tiers' screening error is bounded per query by
+    the data-dependent certificate eps in ops.maxsim._maxsim_select, so
+    every tier stays exact end to end."""
+    from neighborhoodwatch_tpu.ops.screen_kernel import PASSES
+    passes = PASSES[screen_precision]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     queries = jnp.asarray(queries, jnp.float32)
@@ -328,5 +361,6 @@ def screen_maxsim(queries, q_mask, docs, d_mask, *,
 
     cand_neg, cand_doc = _screen_exec(
         queries, q_mask, docs, d_mask, Qp=Qp, Dp=Dp, tq=tq, td=td,
-        tdc=tdc, db=db, tqr=tqr, dimp=dimp, interpret=interpret)
+        tdc=tdc, db=db, tqr=tqr, dimp=dimp, passes=passes,
+        interpret=interpret)
     return cand_neg, cand_doc, Dp // MEGA_DOCS

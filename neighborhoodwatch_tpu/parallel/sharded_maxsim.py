@@ -39,10 +39,11 @@ from neighborhoodwatch_tpu.utils.misc import round_up
 
 
 @partial(jax.jit, static_argnames=("k", "engine", "precision", "mesh", "m",
-                                   "block"))
+                                   "block", "screen_precision"))
 def _sharded_maxsim_tile(queries, q_mask, tile, tmask, offset, n_valid,
                          k: int, engine: str, precision: str, mesh,
-                         m: int, block: int):
+                         m: int, block: int,
+                         screen_precision: str = "high"):
     """One sharded tile: returns dp-sharded per-tile (scores desc, global
     doc ids, cert_failed) lists. Per-shard selection width is the STATIC
     kk = min(k, shard_docs); m >= kk is guaranteed by the caller's
@@ -67,11 +68,14 @@ def _sharded_maxsim_tile(queries, q_mask, tile, tmask, offset, n_valid,
         m_local = jnp.logical_and(m_local,
                                   (doc_iota < local_valid)[:, None])
         if engine == "screened":
+            from neighborhoodwatch_tpu.ops.screen_kernel import PASSES
             cand_neg, cand_doc, _ = mk.screen_maxsim(
-                q_local, qm_local, t_local, m_local)
+                q_local, qm_local, t_local, m_local,
+                screen_precision=screen_precision)
             s, i, ok = _maxsim_select(q_local, qm_local, t_local, m_local,
                                       cand_neg, cand_doc, kk, m,
-                                      block=block)
+                                      block=block,
+                                      passes=PASSES[screen_precision])
             fail = jnp.logical_not(ok)
         else:
             scores = maxsim_scores(q_local, qm_local, t_local, m_local,
@@ -118,10 +122,12 @@ class ShardedStreamingMaxSim:
     contract."""
 
     def __init__(self, queries, q_mask, k: int, mesh,
-                 precision: str = "highest", engine: str = "auto"):
+                 precision: str = "highest", engine: str = "auto",
+                 screen_precision: str = "medium"):
         self.mesh = mesh
         self.k = k
         self.precision = precision
+        self.screen_precision = screen_precision
         self._engine_req = engine
         self.dp = mesh.shape[DP_AXIS]
         self.mp = mesh.shape[MP_AXIS]
@@ -204,7 +210,8 @@ class ShardedStreamingMaxSim:
         ts, ti, fail = _sharded_maxsim_tile(
             self.queries, self.q_mask, tile_d, mask_d,
             jnp.int32(offset), jnp.int32(n), self.k, engine,
-            self.precision, self.mesh, m, block)
+            self.precision, self.mesh, m, block,
+            screen_precision=self.screen_precision)
 
         fail_h = np.asarray(fail)
         if fail_h.any():

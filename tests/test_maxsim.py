@@ -193,6 +193,28 @@ def test_maxsim_screened_matches_oracle(rng):
     np.testing.assert_allclose(np.asarray(scores), exp_scores, atol=1e-3)
 
 
+def test_maxsim_screened_precision_tiers(rng):
+    """The computed-eps tiers (medium = exact-q x bf16-docs, default =
+    plain bf16) must stay exact end to end: certificate + repair recover
+    the oracle result at every tier."""
+    from neighborhoodwatch_tpu.ops.maxsim import maxsim_topk_screened
+
+    dim, k = 32, 5
+    qs = [rng.standard_normal((int(rng.integers(2, 9)), dim))
+          .astype(np.float32) for _ in range(7)]
+    ds = [rng.standard_normal((int(rng.integers(2, 13)), dim))
+          .astype(np.float32) for _ in range(260)]
+    q, qm = pad_token_lists(qs, dim)
+    d, dm = pad_token_lists(ds, dim)
+    exp_scores, exp_idx = maxsim_oracle(q, qm, d, dm, k=k)
+    for tier in ("medium", "default"):
+        scores, idx = maxsim_topk_screened(q, qm, d, dm, k=k,
+                                           screen_precision=tier)
+        np.testing.assert_array_equal(np.asarray(idx), exp_idx, tier)
+        np.testing.assert_allclose(np.asarray(scores), exp_scores,
+                                   atol=1e-3, err_msg=tier)
+
+
 def test_maxsim_screened_planted_collisions(rng):
     """Five near-identical docs 128 apart land in one lane bin; the
     certificate must detect the bin overflow and fall back exactly."""
