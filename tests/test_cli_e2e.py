@@ -124,7 +124,8 @@ def test_ck_maxsim_mesh_end_to_end(tmp_path):
     entry point on the 8-virtual-device CPU mesh."""
     qt, bt, k = 80, 400, 4
     ck_main([str(qt), str(bt), "-k", str(k), "--synthetic", "-es", "small",
-             "--maxsim", "--mesh", "8", "--data-dir", str(tmp_path)])
+             "--maxsim", "--mesh", "8", "--screen-precision", "medium",
+             "--data-dir", str(tmp_path)])
     data_dir = naming.get_model_data_homedir(str(tmp_path), "colbertv2.0",
                                              qt, bt, k)
     ivecs = glob.glob(f"{data_dir}/*_indices_*.ivec")
