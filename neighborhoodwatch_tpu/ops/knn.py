@@ -171,33 +171,36 @@ class PreparedBase(NamedTuple):
     """Corpus-resident state for the repeated-queries-same-base serving
     pattern: the base plus its one-time screened-engine statistics (the
     framework's analog of an index build — except exactness never depends
-    on it; the stats only size the certificate bounds). Pass in place of
-    `base` to `knn()`. Built by `prepare_base`."""
+    on it; the stats only size the certificate bounds) and the bf16
+    screen operand (the kernel's per-call corpus conversion — a full
+    corpus read+write — amortizes to zero; +50% corpus HBM, the serving
+    trade). Pass in place of `base` to `knn()`. Built by `prepare_base`."""
     base: jax.Array      # (B, D) f32, device-resident
     bn_row: jax.Array    # (B,) f32 squared row norms
     stats: jax.Array     # (4,) f32 — compute_screen_stats layout
+    bhi: jax.Array       # (B, D) bf16 — the screen's base operand
 
 
 @jax.jit
 def _prepare_arrays(base):
     bn_row = jnp.sum(base * base, axis=1)
     bn_max = jnp.max(bn_row)
-    bhi = base.astype(jnp.bfloat16).astype(jnp.float32)
-    blo_n = jnp.sqrt(jnp.sum((base - bhi) ** 2, axis=1))
+    bhi = base.astype(jnp.bfloat16)
+    blo_n = jnp.sqrt(jnp.sum((base - bhi.astype(jnp.float32)) ** 2, axis=1))
     blo_max = jnp.max(blo_n) * 1.0001
     ratio_max = jnp.max(jnp.where(bn_row > 0.0,
                                   blo_n * jax.lax.rsqrt(
                                       jnp.maximum(bn_row, 1e-30)),
                                   0.0)) * 1.0001
     stats = jnp.stack([bn_max, jnp.sqrt(bn_max), blo_max, ratio_max])
-    return bn_row, stats
+    return bn_row, stats, bhi
 
 
 def prepare_base(base) -> PreparedBase:
     """One fused pass over the corpus -> PreparedBase (see class doc)."""
     base = jnp.asarray(base, jnp.float32)
-    bn_row, stats = _prepare_arrays(base)
-    return PreparedBase(base, bn_row, stats)
+    bn_row, stats, bhi = _prepare_arrays(base)
+    return PreparedBase(base, bn_row, stats, bhi)
 
 
 @jax.jit
@@ -499,7 +502,7 @@ def screened_knn_traced(query, base, n_valid, base_offset, k: int,
                         max_fallback: int = 128,
                         interpret: bool | None = None,
                         select_m: int | None = None,
-                        base_stats=None, bn_row=None):
+                        base_stats=None, bn_row=None, bhi=None):
     """Fully-traced screened kNN — usable inside shard_map (VERDICT r1
     weak #3: the host-driven certificate fallback downgraded every sharded
     run to "verified"; this variant repairs certificate failures IN-TRACE).
@@ -540,7 +543,7 @@ def screened_knn_traced(query, base, n_valid, base_offset, k: int,
         return _knn_scan(q, base, n_valid, 0, k, metric, "highest",
                          tile, fb_engine)
 
-    sub_width = screen_kernel.pick_sub(n_base, k)
+    sub_width = screen_kernel.pick_sub(n_base, k, q_rows=q_count)
     cap, m, block = _screen_plan(n_base, k, dim, sub_width, passes)
     if select_m is not None:
         # explicit merge-width override (perf tuning; exactness is
@@ -558,7 +561,7 @@ def screened_knn_traced(query, base, n_valid, base_offset, k: int,
     cand_d, cand_i, _ = screen_kernel.screen_candidates(
         query, base, epilogue=_EPILOGUE_FOR_METRIC[metric],
         screen_precision=screen_precision, interpret=interpret,
-        n_valid=n_valid, bn_row=bn_row, sub=sub_width)
+        n_valid=n_valid, bn_row=bn_row, bhi=bhi, sub=sub_width)
     dist, idx, ok = _screened_select(query, base, cand_d, cand_i, k, m,
                                      metric, passes, block=block,
                                      base_stats=base_stats)
@@ -624,7 +627,9 @@ def knn(query, base, k: int, metric: str = "sqeuclidean",
                                    base_stats=None if prep is None
                                    else prep.stats,
                                    bn_row=None if prep is None
-                                   else prep.bn_row)
+                                   else prep.bn_row,
+                                   bhi=None if prep is None
+                                   else prep.bhi)
 
     if tile_size is None:
         tile_size = DEFAULT_TILE

@@ -225,7 +225,11 @@ def _maxsim_screen_call(qhi_t, qlo_t, dhi_t, dlo_t, doc_bias,
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * Qp * tq * Dp * td * dim * passes,
-            bytes_accessed=int(Dp * td * dim * 4 * n_q + Qp * tq * dim * 4),
+            # bf16 operand pairs: docs move 2 bytes/elem below 3 passes
+            # (hi only), 4 at bf16x3; queries hi(+lo) likewise
+            bytes_accessed=int(
+                Dp * td * dim * (4 if passes >= 3 else 2) * n_q
+                + Qp * tq * dim * (4 if passes >= 2 else 2)),
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary")),
@@ -305,7 +309,7 @@ def _screen_exec(queries, q_mask, docs, d_mask, *, Qp: int, Dp: int,
 
 
 def screen_maxsim(queries, q_mask, docs, d_mask, *,
-                  screen_precision: str = "high",
+                  screen_precision: str = "medium",
                   interpret: bool | None = None):
     """Fused MaxSim screen: (Q, Tq, dim) x (D, Td, dim) -> per-mega-tile
     candidate lists of (negated quantized score, doc id). The last KEEP-slab
@@ -356,8 +360,13 @@ def screen_maxsim(queries, q_mask, docs, d_mask, *,
     qb = tqr // tq
     Qp = round_up(Q, qb)
     Dp = round_up(D, MEGA_DOCS)
-    # the (tqr, tdc*db) similarity tile must fit VMEM with its operands
-    db = max(LANES, min(DB, (1 << 20) // (tqr * tdc)))
+    # the (tqr, tdc*db) fp32 similarity tile is capped at 4MB. db must be
+    # a LANES multiple that divides MEGA_DOCS (the screen loops db//LANES
+    # lane slices and sub = MEGA_DOCS//db): the tile budget picks from
+    # {256, 128} — an intermediate value like 170 (tdc=24) would compile-
+    # fail on TPU and silently skip columns >= 128 in interpret mode
+    # (r3 review finding)
+    db = DB if tqr * tdc * DB * 4 <= (1 << 22) else DB // 2
 
     cand_neg, cand_doc = _screen_exec(
         queries, q_mask, docs, d_mask, Qp=Qp, Dp=Dp, tq=tq, td=td,

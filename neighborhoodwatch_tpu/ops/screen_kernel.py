@@ -67,9 +67,11 @@ CAND_PER_MEGA = KEEP * LANES
 _BIG_BASE = 16 * TB * 56
 
 
-def pick_sub(n_rows: int, k: int | None = None) -> int:
+def pick_sub(n_rows: int, k: int | None = None,
+             q_rows: int | None = None) -> int:
     """Sub-tiles per mega-tile for a base of `n_rows` (callers that know
-    k should pass it so the widest tier can be used safely).
+    k and the query-batch size should pass them so the widest tier can
+    be used safely).
 
     Wider megas halve the candidate width the select stage's exact top_k
     must merge (the select is ~40% of the screened engine's wall-clock on
@@ -78,11 +80,19 @@ def pick_sub(n_rows: int, k: int | None = None) -> int:
     true neighbors land per bin and the P(>=4 collide) ~ lambda^4
     certificate-repair rate grows steeply with k — the 896-row sub=112
     tier is measured ~0.4% repairs at k=100 / >=8 megas, but would blow
-    past the in-trace repair budget at k ~ several hundred. k unknown ->
-    the safe 56."""
+    past repair budgets at k ~ several hundred. The rate also scales the
+    EXPECTED FAILURE COUNT with the query batch: screened_knn_traced
+    repairs at most max_fallback=128 rows in-trace before a lax.cond
+    recomputes the whole tile verified, so 0.4% of a >32k-query batch
+    would waste the entire screen (r3 review finding) — it passes q_rows
+    and big batches stay at sub=56 (~0.1%). q_rows=None means the
+    caller's repair path has no such cliff (the host path re-solves any
+    number of failed rows); k unknown -> the safe 56."""
     if n_rows < _BIG_BASE:
         return SUB_PER_MEGA
-    return 112 if (k is not None and k <= 150) else 56
+    wide_ok = (k is not None and k <= 150
+               and (q_rows is None or q_rows <= 24576))
+    return 112 if wide_ok else 56
 
 # low mantissa bits of the fp32 distance replaced by the bin position
 # (sub*8 positions; 10 bits covers the sub=112 wide tier). Quantization:
@@ -448,7 +458,7 @@ def screen_candidates(q, base, *, n_rows: int | None = None,
                       tb: int | None = None, dk_max: int | None = None,
                       interpret: bool | None = None,
                       n_valid=None, pipelined: bool | None = None,
-                      bn_row=None):
+                      bn_row=None, bhi=None):
     """Fused distance+screen: (Q, D) x (B, D) -> (Q, C) candidate
     (distance, global index) lists, C = KEEP*128 per (TB*sub)-row mega-tile.
 
@@ -469,7 +479,10 @@ def screen_candidates(q, base, *, n_rows: int | None = None,
 
     `bn_row` is an optional TRACED (base_rows,) array of precomputed
     squared base norms (ops.knn.prepare_base) — skips the per-call norm
-    pass over the corpus in the repeated-queries-same-base pattern."""
+    pass over the corpus in the repeated-queries-same-base pattern.
+    `bhi` likewise skips the per-call bf16 conversion of the corpus (a
+    full corpus read+write): a (base_rows, D) bf16 array that MUST equal
+    bf16(base) — the 3-pass tier's residual is computed against it."""
     assert screen_precision in SCREEN_PRECISIONS
     assert epilogue in EPILOGUES
     passes = PASSES[screen_precision]
@@ -514,11 +527,16 @@ def screen_candidates(q, base, *, n_rows: int | None = None,
         dk_max = min(dk_max, 384)
     mega = tb * sub
 
+    if bhi is not None:
+        assert bhi.shape == base.shape, (bhi.shape, base.shape)
+        bhi = jnp.asarray(bhi, jnp.bfloat16)
     # pad D to a 128 multiple (zero columns leave distances unchanged)
     Dp = -(-D // LANES) * LANES
     if Dp != D:
         q = jnp.pad(q, ((0, 0), (0, Dp - D)))
         base = jnp.pad(base, ((0, 0), (0, Dp - D)))
+        if bhi is not None:
+            bhi = jnp.pad(bhi, ((0, 0), (0, Dp - D)))
     Qp = -(-Q // tq) * tq
     if Qp != Q:
         q = jnp.pad(q, ((0, Qp - Q), (0, 0)))
@@ -540,9 +558,11 @@ def screen_candidates(q, base, *, n_rows: int | None = None,
     # 3-pass tier), and the kernel re-reads the base once per query
     # block, so shipping fp32 rows doubled the dominant HBM term. The
     # conversion itself is one cheap fused pass per call (hi = bf16(b);
-    # lo = bf16(b - hi), exact by Sterbenz) and is bit-identical to the
-    # old in-kernel rounding.
-    bhi = base.astype(jnp.bfloat16)
+    # lo = bf16(b - hi), exact by Sterbenz), bit-identical to the old
+    # in-kernel rounding, and skipped entirely when the caller provides
+    # a prepared `bhi` (ops.knn.PreparedBase).
+    if bhi is None:
+        bhi = base.astype(jnp.bfloat16)
     blo = ((base - bhi.astype(jnp.float32)).astype(jnp.bfloat16)
            if passes >= 3 else None)
     cand_d, cand_i = _screen_call(q, bhi, blo, qn, bn, epilogue, passes,

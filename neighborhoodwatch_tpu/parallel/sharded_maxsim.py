@@ -43,7 +43,7 @@ from neighborhoodwatch_tpu.utils.misc import round_up
 def _sharded_maxsim_tile(queries, q_mask, tile, tmask, offset, n_valid,
                          k: int, engine: str, precision: str, mesh,
                          m: int, block: int,
-                         screen_precision: str = "high"):
+                         screen_precision: str = "medium"):
     """One sharded tile: returns dp-sharded per-tile (scores desc, global
     doc ids, cert_failed) lists. Per-shard selection width is the STATIC
     kk = min(k, shard_docs); m >= kk is guaranteed by the caller's

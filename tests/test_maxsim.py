@@ -193,12 +193,14 @@ def test_maxsim_screened_matches_oracle(rng):
     np.testing.assert_allclose(np.asarray(scores), exp_scores, atol=1e-3)
 
 
-def test_maxsim_screened_precision_tiers(rng):
+def test_maxsim_screened_precision_tiers():
     """The computed-eps tiers (medium = exact-q x bf16-docs, default =
     plain bf16) must stay exact end to end: certificate + repair recover
-    the oracle result at every tier."""
+    the oracle result at every tier. Local fixed rng: suite-order
+    independence (the shared session fixture is order-dependent)."""
     from neighborhoodwatch_tpu.ops.maxsim import maxsim_topk_screened
 
+    rng = np.random.default_rng(1234)
     dim, k = 32, 5
     qs = [rng.standard_normal((int(rng.integers(2, 9)), dim))
           .astype(np.float32) for _ in range(7)]
@@ -215,11 +217,42 @@ def test_maxsim_screened_precision_tiers(rng):
                                    atol=1e-3, err_msg=tier)
 
 
-def test_maxsim_screened_planted_collisions(rng):
-    """Five near-identical docs 128 apart land in one lane bin; the
-    certificate must detect the bin overflow and fall back exactly."""
+def test_maxsim_screened_mid_length_docs():
+    """Td in 17..24 pads to 24 tokens (tdc=24): the doc-block width must
+    stay a LANES multiple dividing MEGA_DOCS — the old tile formula gave
+    db=170 here, which compile-fails on TPU and silently never screens
+    doc columns >= 128 in interpret mode (r3 review finding). Plant the
+    best docs in those columns and check against the oracle."""
     from neighborhoodwatch_tpu.ops.maxsim import maxsim_topk_screened
 
+    rng = np.random.default_rng(555)
+    dim, k = 16, 5
+    q = rng.standard_normal((4, 6, dim)).astype(np.float32)
+    qm = np.ones((4, 6), bool)
+    ds = [rng.standard_normal((int(rng.integers(17, 25)), dim))
+          .astype(np.float32) * 0.01 for _ in range(300)]
+    d, dm = pad_token_lists(ds, dim)
+    assert d.shape[1] == 24
+    for qi, doc_id in enumerate((130, 170, 250, 299)):
+        d[doc_id, :6] = q[qi] * 10.0       # unambiguous best match
+    scores, idx = maxsim_topk_screened(q, qm, d, dm, k=k)
+    exp_scores, exp_idx = maxsim_oracle(q, qm, d, dm, k=k)
+    np.testing.assert_array_equal(np.asarray(idx), exp_idx)
+    np.testing.assert_allclose(np.asarray(scores), exp_scores, atol=1e-3)
+
+
+def test_maxsim_screened_planted_collisions():
+    """Five near-identical docs 128 apart land in one lane bin; the
+    certificate must detect the bin overflow and fall back exactly.
+
+    Local fixed rng (the session-scoped fixture makes test data depend
+    on suite ORDER — a flake source) and tie-tolerant assertions: among
+    the ~0.01-magnitude filler docs, two fp32-EQUAL scores may order
+    differently than the float64 oracle; the framework's exactness
+    contract is exact-under-fp32-scoring."""
+    from neighborhoodwatch_tpu.ops.maxsim import maxsim_topk_screened
+
+    rng = np.random.default_rng(777)
     dim, k = 16, 6
     q = rng.standard_normal((3, 4, dim)).astype(np.float32)
     qm = np.ones((3, 4), bool)
@@ -231,8 +264,14 @@ def test_maxsim_screened_planted_collisions(rng):
         d[j * 128] = best + rng.standard_normal((8, dim)).astype(np.float32) * 1e-4
     scores, idx = maxsim_topk_screened(q, qm, d, dm, k=k)
     exp_scores, exp_idx = maxsim_oracle(q, qm, d, dm, k=k)
-    np.testing.assert_array_equal(np.asarray(idx), exp_idx)
+    idx = np.asarray(idx)
+    # the 5 bin-overflowing clones MUST all surface for query 0, in
+    # oracle order (their scores are well separated from the filler)
+    np.testing.assert_array_equal(idx[0, :5], exp_idx[0, :5])
     np.testing.assert_allclose(np.asarray(scores), exp_scores, atol=1e-3)
+    # neighbor sets match up to fp32 ties at the k-th boundary
+    for r in range(3):
+        assert len(set(idx[r]) & set(exp_idx[r])) >= k - 1, r
 
 
 def test_maxsim_screened_wide_tokens(rng):
