@@ -154,17 +154,31 @@ def _knn_full(query, base, n_valid, base_offset, k: int, metric: str,
 
 _EPILOGUE_FOR_METRIC = {"sqeuclidean": "l2", "euclidean": "l2",
                         "cosine": "rdot", "dot": "dot"}
-# screening error bound for the 3-pass (bf16x3) screen, relative to the
-# natural scale of each metric's screen space: the dropped qlo.blo term is
-# ~2^-18 and fp32 accumulation dominates -> 1e-5 is conservative. Adds the
-# packed-key quantization (screen_kernel.PACK_EPS_REL: POS_BITS mantissa
-# bits of the distance are replaced by the bin position).
-_EPS_REL = {3: 1e-5 + screen_kernel.PACK_EPS_REL}
-# fp32-accumulation guard for the computed (1/2-pass) bounds below: the
-# same magnitude the 3-pass tier has always budgeted for the MXU's fp32
-# accumulation over <=8k-dim rows (RMS ~sqrt(D)*2^-24; worst-case D*2^-24
-# is unreachable without adversarially aligned roundings)
-_ACC_REL = 2.0 ** -16
+
+
+def _acc_rel(dim: int) -> float:
+    """WORST-CASE fp32 accumulation guard for one MXU dot over `dim`
+    terms, relative to ||q||·||b||: each fp32 add rounds at 2^-24 of the
+    running partial, and sum|q_i b_i| <= ||q||||b|| (Cauchy-Schwarz), so
+    the chain is bounded by dim·2^-24 regardless of add order. Real data
+    sits near the RMS ~sqrt(dim)·2^-24, but the certificate claims SOUND
+    exactness, so it budgets the adversarial alignment too (r3 review):
+    at 1536d this is ~9.4e-5 — still ~15x below the bf16 residual terms
+    it accompanies. +16 covers the epilogue's few fp32 ops; 1.05 covers
+    second-order (error-of-error) terms."""
+    return (dim + 16) * 2.0 ** -24 * 1.05
+
+
+def _eps3_rel(dim: int) -> float:
+    """Screening error bound for the 3-pass (bf16x3) screen, relative to
+    the metric's natural screen scale. The kernel computes qhi·bhi +
+    bf16(qlo)·bhi + qhi·bf16(blo) with qlo = q - qhi, blo = b - bhi (both
+    exact fp32 by Sterbenz), dropping three terms each <= 2^-16·||q||||b||
+    ((qlo - bf16(qlo))·bhi, qhi·(blo - bf16(blo)), qlo·blo), plus the
+    worst-case fp32 accumulation and the packed-key quantization
+    (screen_kernel.PACK_EPS_REL: POS_BITS mantissa bits of the distance
+    are replaced by the bin position)."""
+    return 3.1 * 2.0 ** -16 + _acc_rel(dim) + screen_kernel.PACK_EPS_REL
 
 
 class PreparedBase(NamedTuple):
@@ -223,15 +237,16 @@ def _screen_err_bounds(query, base, passes: int, base_stats=None):
     """Per-query SOUND bound on |screen dot - exact dot| for the 1/2-pass
     screens, computed from the data itself (round 3).
 
-    The 2-pass screen computes q.bhi exactly (qhi.bhi + qlo.bhi), dropping
-    only q.blo with blo = b - bf16(b); the 1-pass screen additionally
-    drops qlo.bhi. Both dropped terms are bounded by Cauchy-Schwarz with
-    the ACTUAL residual norms — blo is exactly representable in fp32
-    (Sterbenz: bf16(b) is within half an ulp of b), so ||blo|| is computed
-    per base row and maxed. On real data ||blo|| ~ 2^-9.5 ||b||, ~2.9x
-    tighter than the static worst-case 2^-8/2^-7 bounds this replaces —
-    which shrinks the tau+eps certificate band and with it the merge
-    width m the count certificate needs (_screen_plan).
+    The 2-pass screen computes qhi.bhi + bf16(qlo).bhi with qlo = q - qhi
+    (exact in fp32 by Sterbenz), dropping q.blo (blo = b - bf16(b)) plus
+    the qlo double-rounding term (qlo - bf16(qlo)).bhi; the 1-pass screen
+    instead drops qlo.bhi whole. Every dropped term is bounded by
+    Cauchy-Schwarz with the ACTUAL residual norms, computed per row and
+    maxed. On real data ||blo|| ~ 2^-9.5 ||b||, ~2.9x tighter than the
+    static worst-case 2^-8/2^-7 bounds this replaces — which shrinks the
+    tau+eps certificate band and with it the merge width m the count
+    certificate needs (_screen_plan). The fp32 accumulation guard is the
+    worst-case `_acc_rel(dim)` (adversarially aligned roundings included).
 
     Returns (d_err, r_err, qabs): d_err = per-query bound on the absolute
     dot error; r_err = per-query bound on the error of q.(b/||b||) (the
@@ -242,28 +257,26 @@ def _screen_err_bounds(query, base, passes: int, base_stats=None):
     output — skips the corpus passes entirely for the serving pattern."""
     qn_row = jnp.sum(query * query, axis=1)
     qabs = jnp.sqrt(qn_row)
-    if base_stats is not None:
-        babs_max, blo_max, ratio_max = (base_stats[1], base_stats[2],
-                                        base_stats[3])
-    else:
-        bn_row = jnp.sum(base * base, axis=1)
-        babs_max = jnp.sqrt(jnp.max(bn_row))
-        bhi = base.astype(jnp.bfloat16).astype(jnp.float32)
-        blo_n = jnp.sqrt(jnp.sum((base - bhi) ** 2, axis=1))
-        # 1.0001: fp32 rounding of the norm computation itself
-        blo_max = jnp.max(blo_n) * 1.0001
-        ratio_max = jnp.max(jnp.where(bn_row > 0.0,
-                                      blo_n * jax.lax.rsqrt(
-                                          jnp.maximum(bn_row, 1e-30)),
-                                      0.0)) * 1.0001
-    d_err = qabs * (blo_max + _ACC_REL * babs_max)
-    r_err = qabs * (ratio_max + _ACC_REL)
+    if base_stats is None:
+        # one source of truth for the certificate-critical stats math
+        # (r3 review: this branch used to re-implement it)
+        _, base_stats, _ = _prepare_arrays(base)   # bhi/bn_row DCE'd
+    babs_max, blo_max, ratio_max = (base_stats[1], base_stats[2],
+                                    base_stats[3])
+    acc = _acc_rel(query.shape[1])
+    d_err = qabs * (blo_max + acc * babs_max)
+    r_err = qabs * (ratio_max + acc)
+    qhi = query.astype(jnp.bfloat16).astype(jnp.float32)
+    qlo = query - qhi                              # exact (Sterbenz)
     if passes == 1:
-        qhi = query.astype(jnp.bfloat16).astype(jnp.float32)
-        qlo_abs = jnp.sqrt(jnp.sum((query - qhi) ** 2, axis=1)) * 1.0001
-        # ||bhi|| <= (1 + 2^-8) ||b||
-        d_err = d_err + qlo_abs * 1.004 * babs_max
-        r_err = r_err + qlo_abs * 1.004
+        qres = qlo                                 # drops qlo.bhi whole
+    else:
+        # 2-pass ships bf16(qlo): drops (qlo - bf16(qlo)).bhi
+        qres = qlo - qlo.astype(jnp.bfloat16).astype(jnp.float32)
+    qres_abs = jnp.sqrt(jnp.sum(qres * qres, axis=1)) * 1.0001
+    # ||bhi|| <= (1 + 2^-8) ||b||
+    d_err = d_err + qres_abs * 1.004 * babs_max
+    r_err = r_err + qres_abs * 1.004
     return d_err, r_err, qabs
 
 
@@ -344,7 +357,7 @@ def _screened_select(query, base, cand_d, cand_i, k: int, m: int,
     pack = screen_kernel.PACK_EPS_REL
     qn_row = jnp.sum(query * query, axis=1)
     if passes >= 3:
-        eps_rel = _EPS_REL[passes]
+        eps_rel = _eps3_rel(dim)
         d_err = r_err = qabs = None
     else:
         d_err, r_err, qabs = _screen_err_bounds(query, base, passes,
@@ -410,10 +423,14 @@ def screened_knn(query, base, k: int, metric: str = "sqeuclidean",
     # read clamped rows whose +inf padded norms mask them from every bin,
     # so no separate tail pass (a lax.top_k over the ~25k-row tail cost
     # ~0.3s — more than the whole screen) and no multi-GB padded copy
+    # one-time corpus operands/stats shared by the screen and the
+    # certificate (same dedup as screened_knn_traced, r3 review)
+    bn_row, base_stats, bhi = _prepare_arrays(base)
     cand_d, cand_i, _ = screen_kernel.screen_candidates(
         query, base, n_rows=n_base,
         epilogue=_EPILOGUE_FOR_METRIC[metric],
         screen_precision=screen_precision, interpret=interpret,
+        bn_row=bn_row, bhi=bhi,
         sub=screen_kernel.pick_sub(n_base, k))
     # merge capacity excludes the certificate slab (1 of KEEP per mega)
     cap = (cand_d.shape[1] // screen_kernel.KEEP) * (screen_kernel.KEEP - 1)
@@ -436,7 +453,8 @@ def screened_knn(query, base, k: int, metric: str = "sqeuclidean",
     while block > 8 and block * m * query.shape[1] * 4 > (1 << 28):
         block //= 2
     dist, idx, ok = _screened_select(query, base, cand_d, cand_i, k, m,
-                                     metric, passes, block=block)
+                                     metric, passes, block=block,
+                                     base_stats=base_stats)
 
     ok_host = np.asarray(ok)
     if not ok_host.all():
@@ -558,6 +576,14 @@ def screened_knn_traced(query, base, n_valid, base_offset, k: int,
         d, i = _verified(query, q_count)
         return d, (i + base_offset).astype(jnp.int32)
 
+    if bn_row is None or base_stats is None or bhi is None:
+        # no PreparedBase: compute the corpus operands/stats ONCE here and
+        # thread them to both stages — the screen and the certificate used
+        # to each run their own multi-GB corpus passes per call (r3 review)
+        bn_c, stats_c, bhi_c = _prepare_arrays(base)
+        bn_row = bn_c if bn_row is None else bn_row
+        base_stats = stats_c if base_stats is None else base_stats
+        bhi = bhi_c if bhi is None else bhi
     cand_d, cand_i, _ = screen_kernel.screen_candidates(
         query, base, epilogue=_EPILOGUE_FOR_METRIC[metric],
         screen_precision=screen_precision, interpret=interpret,

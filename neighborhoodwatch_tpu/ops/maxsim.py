@@ -96,20 +96,23 @@ def _maxsim_engine(engine: str, n_docs: int, tq: int, td: int) -> str:
 
 def maxsim_topk(queries, q_mask, docs, d_mask, k: int,
                 precision: str = "highest", tile_docs: int = 128,
-                engine: str = "exact"):
+                engine: str = "exact", screen_precision: str = "medium"):
     """Top-k documents per query by MaxSim score.
 
     Returns (scores desc, doc indices), exact. engine="auto" uses the
     fused Pallas screen kernel on TPU when the token counts fit
-    (ops/maxsim_kernel.py). The default XLA path processes documents in
-    `tile_docs` tiles through one compiled tile step driven by a host loop
-    of async dispatches — a 4D `lax.scan` over the doc tensor compiles to
-    a ~400x slower program on TPU (measured: 120s vs 0.29s over 1M base
-    tokens), so the loop deliberately stays on the host."""
+    (ops/maxsim_kernel.py); `screen_precision` then picks the screen's
+    MXU-pass tier (cf. maxsim_topk_screened — exact at every tier). The
+    default XLA path processes documents in `tile_docs` tiles through one
+    compiled tile step driven by a host loop of async dispatches — a 4D
+    `lax.scan` over the doc tensor compiles to a ~400x slower program on
+    TPU (measured: 120s vs 0.29s over 1M base tokens), so the loop
+    deliberately stays on the host."""
     engine = _maxsim_engine(engine, docs.shape[0],
                             queries.shape[1], docs.shape[1])
     if engine == "screened":
-        return maxsim_topk_screened(queries, q_mask, docs, d_mask, k)
+        return maxsim_topk_screened(queries, q_mask, docs, d_mask, k,
+                                    screen_precision=screen_precision)
     queries = jnp.asarray(queries, dtype=jnp.float32)
     docs = jnp.asarray(docs, dtype=jnp.float32)
     q_mask = jnp.asarray(q_mask, dtype=bool)
@@ -194,26 +197,34 @@ def _maxsim_select(queries, q_mask, docs, d_mask, cand_neg, cand_doc,
     d_norms = jnp.linalg.norm(docs, axis=2)
     d_max = jnp.maximum(jnp.max(jnp.where(d_mask, d_norms, 0.0)), 1e-6)
     if passes >= 3:
-        # bf16x3 residual + fp32 accumulation + key quantization
-        eps = mk.MAXSIM_EPS_REL * q_scale * d_max
+        # bf16x3 residual + worst-case fp32 accumulation + quantization
+        eps = mk.maxsim_eps3_rel(dim) * q_scale * d_max
     else:
         # 2-pass drops q_t . d_lo,s (d_lo = d - bf16(d), exactly
         # representable by Sterbenz): per token <= |q_t| * max||d_lo||,
         # computed from the data (~2.9x tighter than the static 2^-8
-        # worst case); + fp32 accumulation and key quantization on the
-        # score scale (ACC/PACK conventions of ops.knn)
+        # worst case), PLUS the q-side double rounding — the kernel ships
+        # bf16(q_lo), dropping (q_lo - bf16(q_lo)) . d_hi (r3 review);
+        # + worst-case fp32 accumulation and key quantization on the
+        # score scale (the _acc_rel convention of ops.knn, +64 for the
+        # <=32-term token sum)
+        acc = (dim + 64) * 2.0 ** -24 * 1.05
         dhi = docs.astype(jnp.bfloat16).astype(jnp.float32)
         dlo_n = jnp.linalg.norm(docs - dhi, axis=2)
         dlo_max = jnp.max(jnp.where(d_mask, dlo_n, 0.0)) * 1.0001
         eps = q_scale * dlo_max \
-            + (2.0 ** -16 + mk.PACK_EPS_REL) * q_scale * d_max
+            + (acc + mk.PACK_EPS_REL) * q_scale * d_max
+        qhi = queries.astype(jnp.bfloat16).astype(jnp.float32)
+        qlo = queries - qhi                        # exact (Sterbenz)
         if passes == 1:
-            # 1-pass additionally drops q_lo,t . d_hi,s
-            qhi = queries.astype(jnp.bfloat16).astype(jnp.float32)
-            qlo_n = jnp.linalg.norm(queries - qhi, axis=2)
-            qlo_scale = jnp.sum(jnp.where(q_mask, qlo_n, 0.0),
-                                axis=1) * 1.0001
-            eps = eps + qlo_scale * 1.004 * d_max
+            qres = qlo                             # drops q_lo . d_hi whole
+        else:
+            qres = qlo - qlo.astype(jnp.bfloat16).astype(jnp.float32)
+        qres_n = jnp.linalg.norm(qres, axis=2)
+        qres_scale = jnp.sum(jnp.where(q_mask, qres_n, 0.0),
+                             axis=1) * 1.0001
+        # ||d_hi|| <= (1 + 2^-8) ||d||
+        eps = eps + qres_scale * 1.004 * d_max
     thresh = (-tau + eps)[:, None]
 
     cert_bins = jnp.min(cert_last, axis=(1, 2)) >= thresh[:, 0]
@@ -223,18 +234,27 @@ def _maxsim_select(queries, q_mask, docs, d_mask, cand_neg, cand_doc,
     return sk, doc_k, ok
 
 
-def maxsim_screen_plan(n_docs: int, k: int, td: int, dim: int):
+def maxsim_screen_plan(n_docs: int, k: int, td: int, dim: int,
+                       passes: int = 2):
     """Static merge-width/block plan for the screened MaxSim select —
     ONE sizing policy shared by the single-device path and the mesh path
     (parallel/sharded_maxsim.py). Returns (m, block, ok): ok=False means
     the screen cannot represent k candidates (k > bin capacity) or even
     the smallest re-rank gather exceeds the ~256MB buffer budget (very
     long docs — r2 advisor finding), and the caller must use the exact
-    XLA path."""
+    XLA path.
+
+    `passes` is the screen-precision tier knob (cf. ops.knn._screen_plan).
+    Measured on the 1k x 200k bench (k=100): certificate failures are
+    999/1000 at BOTH m=256 and m=384 for every tier — bin collisions,
+    m-independent — so unlike the kNN plan all tiers share one width;
+    the parameter exists so a corpus that does show tier-dependent count
+    failures can split the policy without touching callers."""
     from neighborhoodwatch_tpu.ops import maxsim_kernel as mk
 
     n_mega = -(-n_docs // mk.MEGA_DOCS)
     cap = n_mega * mk.LANES * (mk.KEEP - 1)
+    del passes  # one measured width for every tier (see docstring)
     m = max(256, round_up(k + 156, 128))
     m = min(max(m, k), cap)
     budget = 1 << 28
@@ -271,7 +291,7 @@ def maxsim_topk_screened(queries, q_mask, docs, d_mask, k: int,
     assert k <= n_docs
 
     plan_m, block, plan_ok = maxsim_screen_plan(
-        n_docs, k, docs.shape[1], docs.shape[2])
+        n_docs, k, docs.shape[1], docs.shape[2], passes=passes)
     if not plan_ok:   # k unrepresentable / gather unaffordable -> exact
         return maxsim_topk(queries, q_mask, docs, d_mask, k=k,
                            tile_docs=2048)

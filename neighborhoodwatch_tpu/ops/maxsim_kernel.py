@@ -59,8 +59,15 @@ NEG_BIAS = -1e30   # per-DOC empty/padding bias (finite: avoids inf-inf
                    # NaNs; masked tokens of nonempty docs need no bias —
                    # they are pre-replaced by duplicate valid tokens)
 
-# bf16x3 residual + packed-key quantization, relative to the score scale
-MAXSIM_EPS_REL = 1e-5 + PACK_EPS_REL
+def maxsim_eps3_rel(dim: int) -> float:
+    """WORST-CASE screening error of the 3-pass (bf16x3) MaxSim screen,
+    relative to the score scale (sum_t ||q_t||) x max_s ||d_s||: three
+    dropped bf16 residual cross-terms each <= 2^-16 per token pair (cf.
+    ops.knn._eps3_rel), the fp32 accumulation over the `dim`-term dots
+    plus the <=32-term token sum (dim+64 adds at 2^-24, adversarial
+    alignment included — r3 review: the old static 1e-5 only covered the
+    RMS case), and the packed-key quantization."""
+    return 3.1 * 2.0 ** -16 + (dim + 64) * 2.0 ** -24 * 1.05 + PACK_EPS_REL
 
 
 def _screen_scores(m, dbias, out_ref, mk_ref, bi, *,
@@ -284,9 +291,11 @@ def _screen_exec(queries, q_mask, docs, d_mask, *, Qp: int, Dp: int,
         .astype(jnp.float32)[None, :]                     # (1, Dp)
 
     # bf16 hi/lo operand pairs, pre-converted (the in-kernel splits were
-    # ~25% of the kernel's VPU work, serialized with the MXU stream);
-    # exact: lo = x - bf16(x) is representable (Sterbenz). Tiers below
-    # 3 passes skip the unused lo operand entirely.
+    # ~25% of the kernel's VPU work, serialized with the MXU stream).
+    # lo = x - bf16(x) is exact in fp32 (Sterbenz) but the bf16 cast of
+    # lo rounds once more — that double-rounding term is budgeted in the
+    # certificate eps (ops.maxsim._maxsim_select). Tiers below 3 passes
+    # skip the unused lo operand entirely.
     qhi = queries.astype(jnp.bfloat16)
     dhi = docs.astype(jnp.bfloat16)
 
@@ -316,10 +325,10 @@ def screen_maxsim(queries, q_mask, docs, d_mask, *,
     per mega is the certificate slab (4th-best score per 64-doc bin).
 
     `screen_precision` picks the MXU passes (cf. the kNN screen tiers):
-    "high" = bf16x3 (~2^-32, the default), "medium" = exact-q x bf16-docs
-    (2 passes, only the doc rounding remains), "default" = plain bf16
-    (1 pass). The computed tiers' screening error is bounded per query by
-    the data-dependent certificate eps in ops.maxsim._maxsim_select, so
+    "high" = bf16x3 (~2^-32), "medium" = full-q x bf16-docs (2 passes —
+    the default, matching ops.maxsim), "default" = plain bf16 (1 pass).
+    The computed tiers' screening error is bounded per query by the
+    data-dependent certificate eps in ops.maxsim._maxsim_select, so
     every tier stays exact end to end."""
     from neighborhoodwatch_tpu.ops.screen_kernel import PASSES
     passes = PASSES[screen_precision]

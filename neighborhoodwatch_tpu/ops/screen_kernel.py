@@ -114,9 +114,10 @@ PIPELINED_DEFAULT = True
 
 SCREEN_PRECISIONS = ("default", "medium", "high")
 # MXU passes per precision: "default" = one bf16 pass (input rounding
-# 2^-7 relative), "medium" = q.bhi via hi+lo q (only the base rounding
-# remains: 2^-8 — measured 2x the certificate margin of "default" at 2/3
-# the 3-pass matmul cost), "high" = bf16x3 (~2^-32, fp32-accurate)
+# 2^-7 relative), "medium" = q.bhi via hi+lo q (the base rounding 2^-8
+# dominates; + the 2^-16 qlo double rounding — measured 2x the
+# certificate margin of "default" at 2/3 the 3-pass matmul cost),
+# "high" = bf16x3 (~2^-32, fp32-accurate)
 PASSES = {"default": 1, "medium": 2, "high": 3}
 
 
@@ -148,8 +149,9 @@ def _kernel(qn_ref, bn_ref, q_ref, b_ref, *rest,
                   preferred_element_type=jnp.float32)
     part = dot(qhi, bhi)
     if passes >= 2:
-        # 2-pass == full-precision q x bf16 base: qhi.bhi + qlo.bhi =
-        # q.bhi, leaving only the base rounding error |q.blo| <= 2^-8|q||b|
+        # 2-pass ~= full-precision q x bf16 base: qhi.bhi + bf16(qlo).bhi,
+        # leaving the base rounding error |q.blo| <= 2^-8|q||b| plus the
+        # qlo double rounding <= 2^-16|q||b| (budgeted in the cert eps)
         qlo = (q - qhi.astype(jnp.float32)).astype(jnp.bfloat16)
         part = part + dot(qlo, bhi)
     if passes >= 3:

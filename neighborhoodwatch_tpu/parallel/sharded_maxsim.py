@@ -200,7 +200,10 @@ class ShardedStreamingMaxSim:
         # min(k, n) crashed ragged tiles (r3 review finding #1)
         kk_shard = min(self.k, shard_docs)
         from neighborhoodwatch_tpu.ops.maxsim import maxsim_screen_plan
-        m, block, plan_ok = maxsim_screen_plan(shard_docs, kk_shard, td, dim)
+        from neighborhoodwatch_tpu.ops.screen_kernel import PASSES
+        m, block, plan_ok = maxsim_screen_plan(
+            shard_docs, kk_shard, td, dim,
+            passes=PASSES[self.screen_precision])
         engine = self._engine(shard_docs, self.queries.shape[1], plan_ok)
 
         tsh = NamedSharding(self.mesh, P(MP_AXIS, None, None))
