@@ -159,6 +159,75 @@ def test_screen_err_bounds_are_sound():
         assert (np.asarray(d_err) < static).all(), passes
 
 
+def test_screen_err_bound_covers_qlo_double_rounding():
+    """The 2-pass screen ships bf16(qlo) — its per-query bound must cover
+    the qlo DOUBLE-ROUNDING term (qlo - bf16(qlo)).bhi (r3 review: the
+    old bound claimed q.bhi exact and relied on an RMS-sized guard).
+    Queries constructed so every qlo element sits a half-ulp past the
+    bf16 cut maximize exactly that term."""
+    from neighborhoodwatch_tpu.ops.knn import _screen_err_bounds
+
+    rng = np.random.default_rng(31)
+    n, d = 6, 128
+    # qhi = 1.0 exactly; qlo_f = 2^-9 + (2j+1)*2^-17 rounds to bf16 with a
+    # near-half-ulp error in every element (bf16 ulp at 2^-9 is 2^-16)
+    j = rng.integers(0, 32, (n, d))
+    q = (1.0 + 2.0 ** -9 + (2 * j + 1) * 2.0 ** -17).astype(np.float32)
+    q *= rng.choice([-1.0, 1.0], (n, d)).astype(np.float32)
+    # base EXACTLY bf16-representable: blo = 0, so the screen's only
+    # input error is the qlo double rounding this test targets
+    b = np.asarray(jnp.asarray(
+        rng.standard_normal((300, d)).astype(np.float32)
+    ).astype(jnp.bfloat16).astype(jnp.float32))
+    q64, b64 = q.astype(np.float64), b.astype(np.float64)
+    bhi = np.asarray(jnp.asarray(b).astype(jnp.bfloat16), np.float64)
+    qhi = np.asarray(jnp.asarray(q).astype(jnp.bfloat16), np.float64)
+    qlo_b = np.asarray(jnp.asarray(
+        (jnp.asarray(q) - jnp.asarray(qhi, jnp.float32))
+    ).astype(jnp.bfloat16), np.float64)
+    scr = (qhi + qlo_b) @ bhi.T                       # ideal 2-pass screen
+    err = np.abs(q64 @ b64.T - scr)
+    d_err, _, _ = _screen_err_bounds(jnp.asarray(q), jnp.asarray(b), 2)
+    assert (err.max(axis=1) <= np.asarray(d_err)).all()
+    # with blo = 0, the double-rounding term IS the screen's input error
+    # (otherwise this test stresses nothing)
+    dr = np.abs(qlo_b - (q64 - qhi)) @ np.abs(bhi).T
+    assert dr.max() > 0.9 * err.max() > 0.0
+
+
+def test_eps3_static_bound_covers_three_pass_screen():
+    """The 3-pass static bound (_eps3_rel) must dominate the bf16x3
+    screen's true error, including all three dropped residual terms, on
+    near-half-ulp adversarial operands."""
+    from neighborhoodwatch_tpu.ops.knn import _eps3_rel
+    from neighborhoodwatch_tpu.ops.screen_kernel import PACK_EPS_REL
+
+    rng = np.random.default_rng(37)
+    n, d = 6, 256
+    def adversarial(rows):
+        m = rng.integers(0, 256, (rows, d))
+        x = (1.0 + (2 * m + 1) * 2.0 ** -9).astype(np.float32)
+        return x * rng.choice([-1.0, 1.0], (rows, d)).astype(np.float32)
+    q, b = adversarial(n), adversarial(400)
+    q64, b64 = q.astype(np.float64), b.astype(np.float64)
+    f32, bf16 = jnp.float32, jnp.bfloat16
+    qhi = jnp.asarray(q).astype(bf16)
+    bhi = jnp.asarray(b).astype(bf16)
+    qlo = (jnp.asarray(q) - qhi.astype(f32)).astype(bf16)
+    blo = (jnp.asarray(b) - bhi.astype(f32)).astype(bf16)
+    to64 = lambda x: np.asarray(x.astype(f32), np.float64)
+    scr = (to64(qhi) @ to64(bhi).T + to64(qlo) @ to64(bhi).T
+           + to64(qhi) @ to64(blo).T)
+    err = np.abs(q64 @ b64.T - scr)
+    scale = (np.linalg.norm(q64, axis=1)[:, None]
+             * np.linalg.norm(b64, axis=1)[None, :])
+    # the ideal-arithmetic error must fit inside the non-accumulation,
+    # non-quantization part of the budget (accumulation/quantization are
+    # kernel-side effects this numpy model does not reproduce)
+    budget = _eps3_rel(d) - PACK_EPS_REL
+    assert (err / scale).max() <= budget
+
+
 def test_screen_kernel_candidate_indices_valid():
     q, b = _data(4, MEGA + 100, 24, seed=6)
     cd, ci, n_mega = screen_kernel.screen_candidates(
