@@ -181,6 +181,26 @@ def _eps3_rel(dim: int) -> float:
     return 3.1 * 2.0 ** -16 + _acc_rel(dim) + screen_kernel.PACK_EPS_REL
 
 
+def _gather_block(m: int, dim: int) -> int:
+    """Re-rank gather block rows. 128 measured ~20% faster select than
+    256/512 at the headline shapes (64 ties 128; larger only inflates the
+    live (block, m, dim) gather buffer); shrink only to keep that buffer
+    under the ~256MB budget. ONE definition for the host, traced and
+    static-plan paths (r3 review: the loop was copy-pasted three times)."""
+    block = 128
+    while block > 8 and block * m * dim * 4 > (1 << 28):
+        block //= 2
+    return block
+
+
+def _merge_width(k: int, passes: int, cap: int) -> int:
+    """Passes-aware default merge width m (measurement record in
+    _screen_plan's docstring), clamped to [k, cap]."""
+    m = max(128, round_up(k + 28, 64)) if passes >= 2 \
+        else max(192, round_up(k + 92, 64))
+    return min(max(m, k), cap)
+
+
 class PreparedBase(NamedTuple):
     """Corpus-resident state for the repeated-queries-same-base serving
     pattern: the base plus its one-time screened-engine statistics (the
@@ -197,15 +217,23 @@ class PreparedBase(NamedTuple):
 
 @jax.jit
 def _prepare_arrays(base):
+    # every stats entry is an UPPER bound consumed by the certificate eps,
+    # so each computed norm carries the worst-case fp32 accumulation guard
+    # (screen_kernel.norm_guard — r3 review: a flat 1.0001 is outgrown at
+    # dim >= ~3500). bn_row itself stays unguarded: it is the screen's
+    # actual l2-epilogue operand, not a bound.
+    g = screen_kernel.norm_guard(base.shape[1])
     bn_row = jnp.sum(base * base, axis=1)
-    bn_max = jnp.max(bn_row)
+    bn_max = jnp.max(bn_row) * g
     bhi = base.astype(jnp.bfloat16)
     blo_n = jnp.sqrt(jnp.sum((base - bhi.astype(jnp.float32)) ** 2, axis=1))
-    blo_max = jnp.max(blo_n) * 1.0001
+    blo_max = jnp.max(blo_n) * g
     ratio_max = jnp.max(jnp.where(bn_row > 0.0,
                                   blo_n * jax.lax.rsqrt(
                                       jnp.maximum(bn_row, 1e-30)),
-                                  0.0)) * 1.0001
+                                  0.0)) * g
+    # sqrt of the guarded square over-covers the norm (surplus halves
+    # through sqrt: (dim+8)/2 >= (dim+1)/2 + 1 sqrt rounding)
     stats = jnp.stack([bn_max, jnp.sqrt(bn_max), blo_max, ratio_max])
     return bn_row, stats, bhi
 
@@ -251,12 +279,15 @@ def _screen_err_bounds(query, base, passes: int, base_stats=None):
     Returns (d_err, r_err, qabs): d_err = per-query bound on the absolute
     dot error; r_err = per-query bound on the error of q.(b/||b||) (the
     rdot/cosine screen), using the per-ROW ratio ||blo||/||b|| so zero
-    padding rows cannot poison it; qabs = ||q|| per query.
+    padding rows cannot poison it; qabs = guarded upper bound on ||q||
+    per query (its own fp32 accumulation budgeted by norm_guard, like
+    every computed norm entering the bound multiplicatively).
 
     `base_stats` (optional, traced): precomputed `compute_screen_stats`
     output — skips the corpus passes entirely for the serving pattern."""
+    g = screen_kernel.norm_guard(query.shape[1])
     qn_row = jnp.sum(query * query, axis=1)
-    qabs = jnp.sqrt(qn_row)
+    qabs = jnp.sqrt(qn_row) * g          # upper bound on ||q|| (see below)
     if base_stats is None:
         # one source of truth for the certificate-critical stats math
         # (r3 review: this branch used to re-implement it)
@@ -273,7 +304,7 @@ def _screen_err_bounds(query, base, passes: int, base_stats=None):
     else:
         # 2-pass ships bf16(qlo): drops (qlo - bf16(qlo)).bhi
         qres = qlo - qlo.astype(jnp.bfloat16).astype(jnp.float32)
-    qres_abs = jnp.sqrt(jnp.sum(qres * qres, axis=1)) * 1.0001
+    qres_abs = jnp.sqrt(jnp.sum(qres * qres, axis=1)) * g
     # ||bhi|| <= (1 + 2^-8) ||b||
     d_err = d_err + qres_abs * 1.004 * babs_max
     r_err = r_err + qres_abs * 1.004
@@ -355,32 +386,39 @@ def _screened_select(query, base, cand_d, cand_i, k: int, m: int,
     # (_screen_err_bounds); the packed-key quantization is added on the
     # metric's screen scale either way ----
     pack = screen_kernel.PACK_EPS_REL
-    qn_row = jnp.sum(query * query, axis=1)
+    g = screen_kernel.norm_guard(dim)
+    # guarded upper bounds for every computed norm that multiplies into
+    # eps (norm_guard doc; base_stats entries are guarded at the source
+    # in _prepare_arrays)
+    qn_row = jnp.sum(query * query, axis=1) * g
+    qn_abs = jnp.sqrt(qn_row)
     if passes >= 3:
         eps_rel = _eps3_rel(dim)
-        d_err = r_err = qabs = None
+        d_err = r_err = None
     else:
-        d_err, r_err, qabs = _screen_err_bounds(query, base, passes,
-                                                base_stats=base_stats)
+        d_err, r_err, _ = _screen_err_bounds(query, base, passes,
+                                             base_stats=base_stats)
     if metric in ("sqeuclidean", "euclidean"):
         bn_max = base_stats[0] if base_stats is not None \
-            else jnp.max(jnp.sum(base * base, axis=1))
+            else jnp.max(jnp.sum(base * base, axis=1)) * g
         tau_s = tau if metric == "sqeuclidean" else tau * tau
         scale = jnp.max(qn_row) + bn_max
         # l2 epilogue: d = qn + bn - 2*acc, so the dot error enters x2
         eps_s = eps_rel * scale if passes >= 3 \
             else 2.0 * d_err + pack * scale
     elif metric == "cosine":
-        qn_abs = jnp.sqrt(qn_row)
         tau_s = (tau - 1.0) * qn_abs                   # screen = -|q| cos
-        eps_s = eps_rel * qn_abs if passes >= 3 \
-            else r_err + pack * qn_abs
+        # the tau->screen conversion itself uses the computed |q|: budget
+        # its rounding so thresh stays an upper bound for either sign
+        eps_s = (eps_rel * qn_abs if passes >= 3
+                 else r_err + pack * qn_abs) \
+            + jnp.abs(tau - 1.0) * qn_abs * (g - 1.0)
     else:  # dot: screen = -q.b, exact d = 1 - q.b
         bn_max = base_stats[1] if base_stats is not None \
-            else jnp.sqrt(jnp.max(jnp.sum(base * base, axis=1)))
+            else jnp.sqrt(jnp.max(jnp.sum(base * base, axis=1))) * g
         tau_s = tau - 1.0
-        eps_s = eps_rel * jnp.sqrt(qn_row) * bn_max if passes >= 3 \
-            else d_err + pack * jnp.sqrt(qn_row) * bn_max
+        eps_s = eps_rel * qn_abs * bn_max if passes >= 3 \
+            else d_err + pack * qn_abs * bn_max
     thresh = tau_s + eps_s
 
     cert_bins = jnp.min(m_last, axis=(1, 2)) >= thresh
@@ -441,17 +479,8 @@ def screened_knn(query, base, k: int, metric: str = "sqeuclidean",
                    base_offset=base_offset,
                    engine="verified" if jax.default_backend() == "tpu"
                    else "exact")
-    if m is None:
-        # passes-aware margins (see _screen_plan for the measurements)
-        m = max(128, round_up(k + 28, 64)) if passes >= 2 \
-            else max(192, round_up(k + 92, 64))
-    m = min(max(m, k), cap)
-
-    # 128-row gather blocks measured fastest (see _screen_plan); the
-    # budget loop bounds the (block, m, dim) buffer for large k/m
-    block = 128
-    while block > 8 and block * m * query.shape[1] * 4 > (1 << 28):
-        block //= 2
+    m = _merge_width(k, passes, cap) if m is None else min(max(m, k), cap)
+    block = _gather_block(m, query.shape[1])
     dist, idx, ok = _screened_select(query, base, cand_d, cand_i, k, m,
                                      metric, passes, block=block,
                                      base_stats=base_stats)
@@ -502,18 +531,8 @@ def _screen_plan(n_base: int, k: int, dim: int, sub_width: int,
     never exactness)."""
     n_mega = -(-n_base // (screen_kernel.TB * sub_width))
     cap = n_mega * screen_kernel.LANES * (screen_kernel.KEEP - 1)
-    if passes >= 2:
-        m = max(128, round_up(k + 28, 64))
-    else:
-        m = max(192, round_up(k + 92, 64))
-    m = min(max(m, k), cap)
-    # 128-row gather blocks measured ~20% faster select than 256/512 at
-    # the headline shapes (64 ties 128; larger only inflates the live
-    # gather buffer) — the budget loop below still shrinks for huge m*dim
-    block = 128
-    while block > 8 and block * m * dim * 4 > (1 << 28):
-        block //= 2
-    return cap, m, block
+    m = _merge_width(k, passes, cap)
+    return cap, m, _gather_block(m, dim)
 
 
 @partial(jax.jit, static_argnames=("k", "metric", "screen_precision",
@@ -571,9 +590,7 @@ def screened_knn_traced(query, base, n_valid, base_offset, k: int,
         # unaffected — a too-slim m just fails more certificates and
         # repairs): re-derive the gather block bound for the new m
         m = min(max(select_m, k), cap)
-        block = 128
-        while block > 8 and block * m * dim * 4 > (1 << 28):
-            block //= 2
+        block = _gather_block(m, dim)
     if n_base < screen_kernel.MEGA or k > cap:
         # static decision: tile too small for the kernel / k unrepresentable
         d, i = _verified(query, q_count)

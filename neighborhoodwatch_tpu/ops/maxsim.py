@@ -138,12 +138,16 @@ def maxsim_topk(queries, q_mask, docs, d_mask, k: int,
 
 @partial(jax.jit, static_argnames=("k", "m", "block", "passes"))
 def _maxsim_select(queries, q_mask, docs, d_mask, cand_neg, cand_doc,
-                   k: int, m: int, block: int = 128, passes: int = 3):
+                   k: int, m: int, block: int = 128, passes: int = 3,
+                   doc_stats=None):
     """Top-M merge of screened MaxSim candidates + exact fp32 re-rank +
     exactness certificate (the MaxSim analog of ops.knn._screened_select).
     Returns (scores desc, doc ids, ok). `passes` is the screen's MXU-pass
     tier; below 3 passes the certificate eps is computed from the data's
-    actual bf16 residual norms (cf. ops.knn._screen_err_bounds)."""
+    actual bf16 residual norms (cf. ops.knn._screen_err_bounds).
+    `doc_stats` is screen_maxsim's fused (2,) [d_max, dlo_max] — without
+    it the fallback here re-reads (and re-converts) the whole doc tensor
+    for the same two statistics (r3 review)."""
     from neighborhoodwatch_tpu.ops import maxsim_kernel as mk
 
     q_count, tq, dim = queries.shape
@@ -191,11 +195,28 @@ def _maxsim_select(queries, q_mask, docs, d_mask, cand_neg, cand_doc,
 
     # per-query screening error bound on the score scale. score =
     # sum_t max_s <q_t, d_s>, and |max a - max b| <= max|a - b|, so the
-    # per-token dot error bounds sum over the valid query tokens.
+    # per-token dot error bounds sum over the valid query tokens. Every
+    # computed norm entering the bound multiplicatively carries the
+    # worst-case fp32 accumulation guard (screen_kernel.norm_guard — r3
+    # review: the flat 1.0001 is outgrown at dim >= ~3500).
+    from neighborhoodwatch_tpu.ops.screen_kernel import norm_guard
+    g = norm_guard(dim)
     q_norms = jnp.linalg.norm(queries, axis=2)
-    q_scale = jnp.sum(jnp.where(q_mask, q_norms, 0.0), axis=1)
-    d_norms = jnp.linalg.norm(docs, axis=2)
-    d_max = jnp.maximum(jnp.max(jnp.where(d_mask, d_norms, 0.0)), 1e-6)
+    q_scale = jnp.sum(jnp.where(q_mask, q_norms, 0.0), axis=1) * g
+    if doc_stats is None:
+        # no fused stats from the screen: recompute them here (two extra
+        # full passes over the doc tensor — the screened entry points
+        # always pass doc_stats; this branch serves direct callers)
+        d_norms = jnp.linalg.norm(docs, axis=2)
+        d_max = jnp.max(jnp.where(d_mask, d_norms, 0.0)) * g
+        dlo_max = None
+        if passes < 3:
+            dhi = docs.astype(jnp.bfloat16).astype(jnp.float32)
+            dlo_n = jnp.linalg.norm(docs - dhi, axis=2)
+            dlo_max = jnp.max(jnp.where(d_mask, dlo_n, 0.0)) * g
+    else:
+        d_max, dlo_max = doc_stats[0], doc_stats[1]
+    d_max = jnp.maximum(d_max, 1e-6)
     if passes >= 3:
         # bf16x3 residual + worst-case fp32 accumulation + quantization
         eps = mk.maxsim_eps3_rel(dim) * q_scale * d_max
@@ -206,14 +227,10 @@ def _maxsim_select(queries, q_mask, docs, d_mask, cand_neg, cand_doc,
         # worst case), PLUS the q-side double rounding — the kernel ships
         # bf16(q_lo), dropping (q_lo - bf16(q_lo)) . d_hi (r3 review);
         # + worst-case fp32 accumulation and key quantization on the
-        # score scale (the _acc_rel convention of ops.knn, +64 for the
-        # <=32-term token sum)
-        acc = (dim + 64) * 2.0 ** -24 * 1.05
-        dhi = docs.astype(jnp.bfloat16).astype(jnp.float32)
-        dlo_n = jnp.linalg.norm(docs - dhi, axis=2)
-        dlo_max = jnp.max(jnp.where(d_mask, dlo_n, 0.0)) * 1.0001
+        # score scale (mk.maxsim_acc_rel — one definition with the
+        # 3-pass bound)
         eps = q_scale * dlo_max \
-            + (acc + mk.PACK_EPS_REL) * q_scale * d_max
+            + (mk.maxsim_acc_rel(dim) + mk.PACK_EPS_REL) * q_scale * d_max
         qhi = queries.astype(jnp.bfloat16).astype(jnp.float32)
         qlo = queries - qhi                        # exact (Sterbenz)
         if passes == 1:
@@ -221,8 +238,7 @@ def _maxsim_select(queries, q_mask, docs, d_mask, cand_neg, cand_doc,
         else:
             qres = qlo - qlo.astype(jnp.bfloat16).astype(jnp.float32)
         qres_n = jnp.linalg.norm(qres, axis=2)
-        qres_scale = jnp.sum(jnp.where(q_mask, qres_n, 0.0),
-                             axis=1) * 1.0001
+        qres_scale = jnp.sum(jnp.where(q_mask, qres_n, 0.0), axis=1) * g
         # ||d_hi|| <= (1 + 2^-8) ||d||
         eps = eps + qres_scale * 1.004 * d_max
     thresh = (-tau + eps)[:, None]
@@ -245,11 +261,12 @@ def maxsim_screen_plan(n_docs: int, k: int, td: int, dim: int,
     XLA path.
 
     `passes` is the screen-precision tier knob (cf. ops.knn._screen_plan).
-    Measured on the 1k x 200k bench (k=100): certificate failures are
-    999/1000 at BOTH m=256 and m=384 for every tier — bin collisions,
-    m-independent — so unlike the kNN plan all tiers share one width;
-    the parameter exists so a corpus that does show tier-dependent count
-    failures can split the policy without touching callers."""
+    Measured on the 1k x 200k bench (k=100): certificate PASSES are
+    999/1000 at BOTH m=256 and m=384 for every tier (the single failure
+    is a bin collision, m-independent) — so unlike the kNN plan all
+    tiers share one width; the parameter exists so a corpus that does
+    show tier-dependent count failures can split the policy without
+    touching callers."""
     from neighborhoodwatch_tpu.ops import maxsim_kernel as mk
 
     n_mega = -(-n_docs // mk.MEGA_DOCS)
@@ -300,11 +317,11 @@ def maxsim_topk_screened(queries, q_mask, docs, d_mask, k: int,
     cap = (-(-n_docs // mk.MEGA_DOCS)) * mk.LANES * (mk.KEEP - 1)
     m = min(max(m, k), cap)
 
-    cand_neg, cand_doc, _ = mk.screen_maxsim(
+    cand_neg, cand_doc, _, doc_stats = mk.screen_maxsim(
         queries, q_mask, docs, d_mask, screen_precision=screen_precision)
     scores, idx, ok = _maxsim_select(queries, q_mask, docs, d_mask,
                                      cand_neg, cand_doc, k, m, block=block,
-                                     passes=passes)
+                                     passes=passes, doc_stats=doc_stats)
     ok_host = np.asarray(ok)
     if not ok_host.all():
         bad = np.nonzero(~ok_host)[0]

@@ -39,7 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from neighborhoodwatch_tpu.ops.screen_kernel import (
-    KEEP, LANES, POS_BITS, POS_MASK, PACK_EPS_REL,
+    KEEP, LANES, POS_BITS, POS_MASK, PACK_EPS_REL, norm_guard,
 )
 from neighborhoodwatch_tpu.utils.misc import round_up
 
@@ -59,15 +59,25 @@ NEG_BIAS = -1e30   # per-DOC empty/padding bias (finite: avoids inf-inf
                    # NaNs; masked tokens of nonempty docs need no bias —
                    # they are pre-replaced by duplicate valid tokens)
 
+def maxsim_acc_rel(dim: int) -> float:
+    """WORST-CASE fp32 accumulation guard for one MaxSim dot + token sum,
+    relative to the score scale: dim adds at 2^-24 regardless of order
+    (the ops.knn._acc_rel argument), +64 covers the <=32-term query-token
+    sum and the epilogue ops, 1.05 covers second-order terms. ONE
+    definition shared by the 3-pass static bound (maxsim_eps3_rel) and
+    the 1/2-pass data-dependent eps (ops.maxsim._maxsim_select) — r3
+    review: the expression was duplicated and could silently desync."""
+    return (dim + 64) * 2.0 ** -24 * 1.05
+
+
 def maxsim_eps3_rel(dim: int) -> float:
     """WORST-CASE screening error of the 3-pass (bf16x3) MaxSim screen,
     relative to the score scale (sum_t ||q_t||) x max_s ||d_s||: three
     dropped bf16 residual cross-terms each <= 2^-16 per token pair (cf.
-    ops.knn._eps3_rel), the fp32 accumulation over the `dim`-term dots
-    plus the <=32-term token sum (dim+64 adds at 2^-24, adversarial
-    alignment included — r3 review: the old static 1e-5 only covered the
-    RMS case), and the packed-key quantization."""
-    return 3.1 * 2.0 ** -16 + (dim + 64) * 2.0 ** -24 * 1.05 + PACK_EPS_REL
+    ops.knn._eps3_rel), the fp32 accumulation (maxsim_acc_rel —
+    adversarial alignment included; r3 review: the old static 1e-5 only
+    covered the RMS case), and the packed-key quantization."""
+    return 3.1 * 2.0 ** -16 + maxsim_acc_rel(dim) + PACK_EPS_REL
 
 
 def _screen_scores(m, dbias, out_ref, mk_ref, bi, *,
@@ -299,6 +309,21 @@ def _screen_exec(queries, q_mask, docs, d_mask, *, Qp: int, Dp: int,
     qhi = queries.astype(jnp.bfloat16)
     dhi = docs.astype(jnp.bfloat16)
 
+    # certificate doc stats [max valid-token norm, max bf16-residual norm]
+    # fused here where the doc tensor and its bf16 image are already live:
+    # computing them in the select's own jit re-read + re-converted the
+    # whole corpus every call (r3 review). Dupe-filled tokens mirror a
+    # valid token of the same doc, and fully-masked/padding rows are
+    # excluded by d_mask, so masking by d_mask bounds every token that can
+    # influence a candidate score. norm_guard budgets the stats' own fp32
+    # accumulation (they are upper bounds, cf. ops.knn._prepare_arrays).
+    g = norm_guard(dim)
+    dn = jnp.sqrt(jnp.sum(docs * docs, axis=2))
+    d_max = jnp.max(jnp.where(d_mask, dn, 0.0)) * g
+    dlo_n = jnp.sqrt(jnp.sum((docs - dhi.astype(jnp.float32)) ** 2, axis=2))
+    dlo_max = jnp.max(jnp.where(d_mask, dlo_n, 0.0)) * g
+    doc_stats = jnp.stack([d_max, dlo_max])
+
     # device relayouts: tq-major queries, td-major docs
     qhi_t = jnp.swapaxes(qhi, 0, 1)                       # (tq, Qp, dim)
     dhi_t = jnp.swapaxes(dhi, 0, 1)                       # (td, Dp, dim)
@@ -314,7 +339,7 @@ def _screen_exec(queries, q_mask, docs, d_mask, *, Qp: int, Dp: int,
                                              doc_bias,
                                              tq, tdc, db, interpret,
                                              tqr=tqr, passes=passes)
-    return cand_neg[:Q], cand_doc[:Q]
+    return cand_neg[:Q], cand_doc[:Q], doc_stats
 
 
 def screen_maxsim(queries, q_mask, docs, d_mask, *,
@@ -323,6 +348,11 @@ def screen_maxsim(queries, q_mask, docs, d_mask, *,
     """Fused MaxSim screen: (Q, Tq, dim) x (D, Td, dim) -> per-mega-tile
     candidate lists of (negated quantized score, doc id). The last KEEP-slab
     per mega is the certificate slab (4th-best score per 64-doc bin).
+
+    Returns (cand_neg, cand_doc, n_mega, doc_stats); doc_stats is the
+    (2,) f32 [d_max, dlo_max] certificate statistics, computed fused with
+    the screen's operand prep (pass to _maxsim_select to avoid its
+    fallback corpus passes).
 
     `screen_precision` picks the MXU passes (cf. the kNN screen tiers):
     "high" = bf16x3 (~2^-32), "medium" = full-q x bf16-docs (2 passes —
@@ -377,8 +407,8 @@ def screen_maxsim(queries, q_mask, docs, d_mask, *,
     # (r3 review finding)
     db = DB if tqr * tdc * DB * 4 <= (1 << 22) else DB // 2
 
-    cand_neg, cand_doc = _screen_exec(
+    cand_neg, cand_doc, doc_stats = _screen_exec(
         queries, q_mask, docs, d_mask, Qp=Qp, Dp=Dp, tq=tq, td=td,
         tdc=tdc, db=db, tqr=tqr, dimp=dimp, passes=passes,
         interpret=interpret)
-    return cand_neg, cand_doc, Dp // MEGA_DOCS
+    return cand_neg, cand_doc, Dp // MEGA_DOCS, doc_stats

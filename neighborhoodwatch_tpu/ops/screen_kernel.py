@@ -104,6 +104,23 @@ POS_MASK = (1 << POS_BITS) - 1
 # same safety convention as the 9-bit round-2 packing)
 PACK_EPS_REL = 2.0 ** -11
 
+
+def norm_guard(dim: int) -> float:
+    """WORST-CASE multiplicative guard for an fp32-computed Euclidean norm
+    (or squared norm) over `dim` terms. The positive-term sum-of-squares
+    error chain is <= (dim+1)*2^-24 relative regardless of add order (the
+    ops.knn._acc_rel argument); sqrt halves it and rounds once more.
+    (dim+8)*2^-24 covers the squared sum outright and the norm with ~2x
+    headroom (sqrt/rsqrt rounding and second-order terms included).
+
+    Every certificate-critical max-statistic (blo_max / ratio_max /
+    qres_abs in ops.knn, dlo_max / qres_scale / d_max in ops.maxsim) is an
+    fp32-computed norm that enters the SOUND eps bound multiplicatively;
+    an unbudgeted computation underestimate there silently shrinks eps.
+    Replaces the flat 1.0001 guard of round 3, which the accumulation
+    bound outgrows at dim >= ~3500 (r3 review)."""
+    return 1.0 + (dim + 8) * 2.0 ** -24
+
 # default for the software-pipelined kernel variant (_kernel_pipelined):
 # epilogue of sub-tile i overlapped with the MXU steps of sub-tile i+1.
 # Measured on v5e (10k x 1M x 1536 headline, bit-identical outputs):

@@ -69,13 +69,14 @@ def _sharded_maxsim_tile(queries, q_mask, tile, tmask, offset, n_valid,
                                   (doc_iota < local_valid)[:, None])
         if engine == "screened":
             from neighborhoodwatch_tpu.ops.screen_kernel import PASSES
-            cand_neg, cand_doc, _ = mk.screen_maxsim(
+            cand_neg, cand_doc, _, doc_stats = mk.screen_maxsim(
                 q_local, qm_local, t_local, m_local,
                 screen_precision=screen_precision)
             s, i, ok = _maxsim_select(q_local, qm_local, t_local, m_local,
                                       cand_neg, cand_doc, kk, m,
                                       block=block,
-                                      passes=PASSES[screen_precision])
+                                      passes=PASSES[screen_precision],
+                                      doc_stats=doc_stats)
             fail = jnp.logical_not(ok)
         else:
             scores = maxsim_scores(q_local, qm_local, t_local, m_local,

@@ -370,3 +370,36 @@ def test_process_source_dataset_doc_ids_are_per_sentence(tmp_path):
     change_points = (np.diff(doc_ids) != 0).sum()
     assert change_points == 3
     assert tokens == len(doc_ids)
+
+
+def test_maxsim_fused_doc_stats_sound(rng):
+    """screen_maxsim's fused doc_stats [d_max, dlo_max] (r3 review: the
+    select used to re-read + re-convert the whole doc tensor for the same
+    two statistics) must upper-bound the float64-true max valid-token
+    norm and max bf16-residual norm — they are certificate UPPER bounds —
+    and the screened path threaded with them must stay exact."""
+    import jax.numpy as jnp
+    from neighborhoodwatch_tpu.ops import maxsim_kernel as mk
+    from neighborhoodwatch_tpu.ops.maxsim import maxsim_topk_screened
+
+    dim, k = 32, 5
+    qs = [rng.standard_normal((int(rng.integers(2, 9)), dim))
+          .astype(np.float32) for _ in range(5)]
+    ds = [(rng.standard_normal((int(rng.integers(2, 13)), dim)) *
+           np.exp2(rng.integers(-4, 5))).astype(np.float32)
+          for _ in range(270)]
+    q, qm = pad_token_lists(qs, dim)
+    d, dm = pad_token_lists(ds, dim)
+    _, _, _, doc_stats = mk.screen_maxsim(q, qm, d, dm)
+    stats = np.asarray(doc_stats, np.float64)
+    d64 = d.astype(np.float64)
+    dn = np.linalg.norm(d64, axis=2)
+    dhi = np.asarray(jnp.asarray(d).astype(jnp.bfloat16)
+                     .astype(jnp.float32), np.float64)
+    dlo_n = np.linalg.norm(d64 - dhi, axis=2)
+    assert stats[0] >= dn[dm].max()
+    assert stats[1] >= dlo_n[dm].max()
+    scores, idx = maxsim_topk_screened(q, qm, d, dm, k=k)
+    exp_scores, exp_idx = maxsim_oracle(q, qm, d, dm, k=k)
+    np.testing.assert_array_equal(np.asarray(idx), exp_idx)
+    np.testing.assert_allclose(np.asarray(scores), exp_scores, atol=1e-3)

@@ -368,3 +368,35 @@ def test_screened_large_k():
     oracle = np.argsort(d64, axis=1, kind="stable")[:, :k]
     for r in range(4):
         assert set(np.asarray(i_s)[r]) == set(oracle[r])
+
+
+def test_norm_guard_covers_worst_case_accumulation():
+    """norm_guard must budget the WORST-CASE fp32 accumulation of the
+    norm computation itself — (dim+1)*2^-24 on the squared sum regardless
+    of add order, halved through sqrt plus one sqrt rounding (r3 review:
+    the flat 1.0001 guard is outgrown at dim >= ~3500) — and
+    _prepare_arrays' certificate stats must dominate their float64
+    truth (they are UPPER bounds consumed multiplicatively by eps)."""
+    from neighborhoodwatch_tpu.ops.knn import _prepare_arrays
+    from neighborhoodwatch_tpu.ops.screen_kernel import norm_guard
+
+    for dim in (64, 1536, 4096, 16384):
+        assert norm_guard(dim) - 1.0 >= (dim + 1) * 2.0 ** -24, dim
+        assert norm_guard(dim) - 1.0 >= \
+            (dim + 1) * 2.0 ** -25 + 2.0 ** -23, dim
+
+    rng = np.random.default_rng(41)
+    dim = 4096
+    b = (rng.standard_normal((64, dim)) *
+         np.exp2(rng.integers(-5, 6, (64, 1)))).astype(np.float32)
+    _, stats, _ = _prepare_arrays(jnp.asarray(b))
+    stats = np.asarray(stats, np.float64)
+    b64 = b.astype(np.float64)
+    bn_true = (b64 ** 2).sum(1)
+    blo64 = b64 - np.asarray(
+        jnp.asarray(b).astype(jnp.bfloat16).astype(jnp.float32), np.float64)
+    blo_n = np.sqrt((blo64 ** 2).sum(1))
+    assert stats[0] >= bn_true.max()                 # bn_max
+    assert stats[1] >= np.sqrt(bn_true.max())        # babs_max
+    assert stats[2] >= blo_n.max()                   # blo_max
+    assert stats[3] >= (blo_n / np.sqrt(bn_true)).max()   # ratio_max
