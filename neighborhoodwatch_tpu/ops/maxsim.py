@@ -198,24 +198,21 @@ def _maxsim_select(queries, q_mask, docs, d_mask, cand_neg, cand_doc,
     # per-token dot error bounds sum over the valid query tokens. Every
     # computed norm entering the bound multiplicatively carries the
     # worst-case fp32 accumulation guard (screen_kernel.norm_guard — r3
-    # review: the flat 1.0001 is outgrown at dim >= ~3500).
+    # review: the flat 1.0001 is outgrown at dim >= ~3500). The q-side
+    # scales are SUMS of up to tq norms, so their guard budgets the sum's
+    # own accumulation too (dim + 2*tq — second r3 review finding).
     from neighborhoodwatch_tpu.ops.screen_kernel import norm_guard
-    g = norm_guard(dim)
+    g_sum = norm_guard(dim + 2 * tq)
     q_norms = jnp.linalg.norm(queries, axis=2)
-    q_scale = jnp.sum(jnp.where(q_mask, q_norms, 0.0), axis=1) * g
+    q_scale = jnp.sum(jnp.where(q_mask, q_norms, 0.0), axis=1) * g_sum
     if doc_stats is None:
-        # no fused stats from the screen: recompute them here (two extra
-        # full passes over the doc tensor — the screened entry points
-        # always pass doc_stats; this branch serves direct callers)
-        d_norms = jnp.linalg.norm(docs, axis=2)
-        d_max = jnp.max(jnp.where(d_mask, d_norms, 0.0)) * g
-        dlo_max = None
-        if passes < 3:
-            dhi = docs.astype(jnp.bfloat16).astype(jnp.float32)
-            dlo_n = jnp.linalg.norm(docs - dhi, axis=2)
-            dlo_max = jnp.max(jnp.where(d_mask, dlo_n, 0.0)) * g
-    else:
-        d_max, dlo_max = doc_stats[0], doc_stats[1]
+        # no fused stats from the screen: recompute them here (extra full
+        # passes over the doc tensor — the screened entry points always
+        # pass doc_stats; this branch serves direct callers) via the ONE
+        # shared definition (r3 review: a local copy could desync)
+        doc_stats = mk.doc_cert_stats(docs, d_mask, dim,
+                                      need_dlo=passes < 3)
+    d_max, dlo_max = doc_stats[0], doc_stats[1]
     d_max = jnp.maximum(d_max, 1e-6)
     if passes >= 3:
         # bf16x3 residual + worst-case fp32 accumulation + quantization
@@ -238,7 +235,8 @@ def _maxsim_select(queries, q_mask, docs, d_mask, cand_neg, cand_doc,
         else:
             qres = qlo - qlo.astype(jnp.bfloat16).astype(jnp.float32)
         qres_n = jnp.linalg.norm(qres, axis=2)
-        qres_scale = jnp.sum(jnp.where(q_mask, qres_n, 0.0), axis=1) * g
+        qres_scale = jnp.sum(jnp.where(q_mask, qres_n, 0.0),
+                             axis=1) * g_sum
         # ||d_hi|| <= (1 + 2^-8) ||d||
         eps = eps + qres_scale * 1.004 * d_max
     thresh = (-tau + eps)[:, None]

@@ -70,6 +70,30 @@ def maxsim_acc_rel(dim: int) -> float:
     return (dim + 64) * 2.0 ** -24 * 1.05
 
 
+def doc_cert_stats(docs, d_mask, dim: int, dhi=None, need_dlo: bool = True):
+    """Certificate doc statistics: (2,) f32 [d_max, dlo_max] — guarded
+    UPPER bounds on the max valid-token norm and max bf16-residual norm
+    (norm_guard budgets their own fp32 accumulation). ONE definition for
+    the fused screen prep (_screen_exec, where the bf16 image `dhi`
+    already exists) and ops.maxsim._maxsim_select's direct-caller
+    fallback — r3 review: two copies of certificate-critical math can
+    silently desync. `dim` is the true token dim (padding zeros add
+    exactly). need_dlo=False (the 3-pass tier, whose eps branch never
+    reads dlo_max) skips the residual pass over the doc tensor and
+    stores a 0 placeholder."""
+    g = norm_guard(dim)
+    dn = jnp.sqrt(jnp.sum(docs * docs, axis=2))
+    d_max = jnp.max(jnp.where(d_mask, dn, 0.0)) * g
+    if not need_dlo:
+        return jnp.stack([d_max, jnp.zeros_like(d_max)])
+    if dhi is None:
+        dhi = docs.astype(jnp.bfloat16)
+    res = docs - dhi.astype(jnp.float32)
+    dlo_n = jnp.sqrt(jnp.sum(res * res, axis=2))
+    dlo_max = jnp.max(jnp.where(d_mask, dlo_n, 0.0)) * g
+    return jnp.stack([d_max, dlo_max])
+
+
 def maxsim_eps3_rel(dim: int) -> float:
     """WORST-CASE screening error of the 3-pass (bf16x3) MaxSim screen,
     relative to the score scale (sum_t ||q_t||) x max_s ||d_s||: three
@@ -309,20 +333,14 @@ def _screen_exec(queries, q_mask, docs, d_mask, *, Qp: int, Dp: int,
     qhi = queries.astype(jnp.bfloat16)
     dhi = docs.astype(jnp.bfloat16)
 
-    # certificate doc stats [max valid-token norm, max bf16-residual norm]
-    # fused here where the doc tensor and its bf16 image are already live:
-    # computing them in the select's own jit re-read + re-converted the
-    # whole corpus every call (r3 review). Dupe-filled tokens mirror a
-    # valid token of the same doc, and fully-masked/padding rows are
-    # excluded by d_mask, so masking by d_mask bounds every token that can
-    # influence a candidate score. norm_guard budgets the stats' own fp32
-    # accumulation (they are upper bounds, cf. ops.knn._prepare_arrays).
-    g = norm_guard(dim)
-    dn = jnp.sqrt(jnp.sum(docs * docs, axis=2))
-    d_max = jnp.max(jnp.where(d_mask, dn, 0.0)) * g
-    dlo_n = jnp.sqrt(jnp.sum((docs - dhi.astype(jnp.float32)) ** 2, axis=2))
-    dlo_max = jnp.max(jnp.where(d_mask, dlo_n, 0.0)) * g
-    doc_stats = jnp.stack([d_max, dlo_max])
+    # certificate doc stats fused here where the doc tensor and its bf16
+    # image are already live: computing them in the select's own jit
+    # re-read + re-converted the whole corpus every call (r3 review).
+    # Dupe-filled tokens mirror a valid token of the same doc, and
+    # fully-masked/padding rows are excluded by d_mask, so masking by
+    # d_mask bounds every token that can influence a candidate score.
+    doc_stats = doc_cert_stats(docs, d_mask, dim, dhi=dhi,
+                               need_dlo=passes < 3)
 
     # device relayouts: tq-major queries, td-major docs
     qhi_t = jnp.swapaxes(qhi, 0, 1)                       # (tq, Qp, dim)

@@ -109,17 +109,23 @@ def norm_guard(dim: int) -> float:
     """WORST-CASE multiplicative guard for an fp32-computed Euclidean norm
     (or squared norm) over `dim` terms. The positive-term sum-of-squares
     error chain is <= (dim+1)*2^-24 relative regardless of add order (the
-    ops.knn._acc_rel argument); sqrt halves it and rounds once more.
-    (dim+8)*2^-24 covers the squared sum outright and the norm with ~2x
-    headroom (sqrt/rsqrt rounding and second-order terms included).
+    ops.knn._acc_rel argument); sqrt halves it and rounds once more. The
+    soundness requirement is on the RECIPROCAL side — a computed sum can
+    be true*(1 - gamma) with gamma = dim*u/(1 - dim*u), so the guard must
+    be >= 1/(1 - gamma) ~= 1 + dim*u + (dim*u)^2 — and the guard multiply
+    itself rounds once. The 1.05 factor (same convention as _acc_rel)
+    covers those second-order terms up to dim ~ 700k; (dim+8)*u covers
+    the first order with slack (sqrt/rsqrt rounding included).
 
     Every certificate-critical max-statistic (blo_max / ratio_max /
     qres_abs in ops.knn, dlo_max / qres_scale / d_max in ops.maxsim) is an
     fp32-computed norm that enters the SOUND eps bound multiplicatively;
     an unbudgeted computation underestimate there silently shrinks eps.
     Replaces the flat 1.0001 guard of round 3, which the accumulation
-    bound outgrows at dim >= ~3500 (r3 review)."""
-    return 1.0 + (dim + 8) * 2.0 ** -24
+    bound outgrows at dim >= ~3500; callers guarding a SUM of n norms
+    pass dim + 2n so the sum's own accumulation is budgeted too (both
+    r3 review findings)."""
+    return 1.0 + (dim + 8) * 2.0 ** -24 * 1.05
 
 # default for the software-pipelined kernel variant (_kernel_pipelined):
 # epilogue of sub-tile i overlapped with the MXU steps of sub-tile i+1.

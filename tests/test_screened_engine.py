@@ -380,10 +380,16 @@ def test_norm_guard_covers_worst_case_accumulation():
     from neighborhoodwatch_tpu.ops.knn import _prepare_arrays
     from neighborhoodwatch_tpu.ops.screen_kernel import norm_guard
 
-    for dim in (64, 1536, 4096, 16384):
-        assert norm_guard(dim) - 1.0 >= (dim + 1) * 2.0 ** -24, dim
-        assert norm_guard(dim) - 1.0 >= \
-            (dim + 1) * 2.0 ** -25 + 2.0 ** -23, dim
+    u = 2.0 ** -24
+    for dim in (64, 1536, 4096, 16384, 65536, 262144):
+        # rigorous reciprocal-side requirement: a computed positive sum
+        # can be true*(1 - gamma) with gamma = dim*u/(1 - dim*u), so the
+        # guard must be >= 1/(1-gamma), PLUS the guard multiply's own
+        # rounding and a sqrt rounding (second r3 review finding: the
+        # first-order (dim+1)*u check missed the dim^2*u^2 term at
+        # dim >= ~8192)
+        gamma = dim * u / (1.0 - dim * u)
+        assert norm_guard(dim) >= (1.0 + gamma) * (1.0 + 4 * u), dim
 
     rng = np.random.default_rng(41)
     dim = 4096
