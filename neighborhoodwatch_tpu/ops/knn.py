@@ -398,27 +398,41 @@ def _screened_select(query, base, cand_d, cand_i, k: int, m: int,
     else:
         d_err, r_err, _ = _screen_err_bounds(query, base, passes,
                                              base_stats=base_stats)
+    # cross-side consistency (r3 review follow-up): the certificate
+    # compares KERNEL-side screen values against a threshold built from
+    # the RE-RANK's independently recomputed fp32 distances. Beyond the
+    # screen's own error budget, that needs (a) the re-rank's dot
+    # accumulation (one _acc_rel per pair) and, for l2/cosine, (b) the
+    # epilogue norm consistency — the kernel's qn/bn and the re-rank's
+    # recomputed norms are independent fp32 reductions that can disagree
+    # by ~dim*2^-24 relative each. Both previously rode on PACK_EPS_REL's
+    # 4x margin, which runs out around dim ~3000 (l2).
+    acc = _acc_rel(dim)
     if metric in ("sqeuclidean", "euclidean"):
         bn_max = base_stats[0] if base_stats is not None \
             else jnp.max(jnp.sum(base * base, axis=1)) * g
         tau_s = tau if metric == "sqeuclidean" else tau * tau
         scale = jnp.max(qn_row) + bn_max
-        # l2 epilogue: d = qn + bn - 2*acc, so the dot error enters x2
-        eps_s = eps_rel * scale if passes >= 3 \
-            else 2.0 * d_err + pack * scale
+        # l2 epilogue: d = qn + bn - 2*acc, so the dot error enters x2;
+        # 3*acc*scale = norm consistency (2 qn/bn pairs, <= 2*acc*scale
+        # via AM-GM) + the re-rank dot (2*acc*|q||b| <= acc*scale)
+        eps_s = (eps_rel + 3.0 * acc) * scale if passes >= 3 \
+            else 2.0 * d_err + (pack + 3.0 * acc) * scale
     elif metric == "cosine":
         tau_s = (tau - 1.0) * qn_abs                   # screen = -|q| cos
-        # the tau->screen conversion itself uses the computed |q|: budget
-        # its rounding so thresh stays an upper bound for either sign
-        eps_s = (eps_rel * qn_abs if passes >= 3
-                 else r_err + pack * qn_abs) \
+        # 3*acc*|q| = b-normalization consistency (rsqrt(bn) vs the
+        # re-rank's norms, ~2*acc) + the re-rank dot (acc); the last term
+        # budgets the tau->screen conversion's use of the computed |q|
+        eps_s = ((eps_rel + 3.0 * acc) * qn_abs if passes >= 3
+                 else r_err + (pack + 3.0 * acc) * qn_abs) \
             + jnp.abs(tau - 1.0) * qn_abs * (g - 1.0)
-    else:  # dot: screen = -q.b, exact d = 1 - q.b
+    else:  # dot: screen = -q.b, exact d = 1 - q.b (no norms in either
+        # epilogue: only the re-rank dot's own accumulation is added)
         bn_max = base_stats[1] if base_stats is not None \
             else jnp.sqrt(jnp.max(jnp.sum(base * base, axis=1))) * g
         tau_s = tau - 1.0
-        eps_s = eps_rel * qn_abs * bn_max if passes >= 3 \
-            else d_err + pack * qn_abs * bn_max
+        eps_s = (eps_rel + acc) * qn_abs * bn_max if passes >= 3 \
+            else d_err + (pack + acc) * qn_abs * bn_max
     thresh = tau_s + eps_s
 
     cert_bins = jnp.min(m_last, axis=(1, 2)) >= thresh

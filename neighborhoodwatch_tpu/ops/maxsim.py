@@ -214,9 +214,14 @@ def _maxsim_select(queries, q_mask, docs, d_mask, cand_neg, cand_doc,
                                       need_dlo=passes < 3)
     d_max, dlo_max = doc_stats[0], doc_stats[1]
     d_max = jnp.maximum(d_max, 1e-6)
+    # the re-rank recomputes every candidate score with its OWN fp32
+    # accumulation — one extra maxsim_acc_rel on the score scale (the
+    # MaxSim epilogue has no norms, so unlike ops.knn there is no norm-
+    # consistency term; r3 review follow-up)
+    rerank_acc = mk.maxsim_acc_rel(dim) * q_scale * d_max
     if passes >= 3:
         # bf16x3 residual + worst-case fp32 accumulation + quantization
-        eps = mk.maxsim_eps3_rel(dim) * q_scale * d_max
+        eps = mk.maxsim_eps3_rel(dim) * q_scale * d_max + rerank_acc
     else:
         # 2-pass drops q_t . d_lo,s (d_lo = d - bf16(d), exactly
         # representable by Sterbenz): per token <= |q_t| * max||d_lo||,
@@ -226,7 +231,7 @@ def _maxsim_select(queries, q_mask, docs, d_mask, cand_neg, cand_doc,
         # + worst-case fp32 accumulation and key quantization on the
         # score scale (mk.maxsim_acc_rel — one definition with the
         # 3-pass bound)
-        eps = q_scale * dlo_max \
+        eps = q_scale * dlo_max + rerank_acc \
             + (mk.maxsim_acc_rel(dim) + mk.PACK_EPS_REL) * q_scale * d_max
         qhi = queries.astype(jnp.bfloat16).astype(jnp.float32)
         qlo = queries - qhi                        # exact (Sterbenz)
