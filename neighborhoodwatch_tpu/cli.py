@@ -364,7 +364,10 @@ Some example commands:\n
     _section("Generating query dataset with embeddings")
     section_time = time.time()
     query_file = f"{data_dir}/{model_prefix}_{input_dimensions}_query_token{args.query_token_count}{marker}_src.parquet"
-    if not os.path.exists(query_file):
+    # footer-validating resume guard (sources._valid_parquet): a killed
+    # embedding run leaves a footerless parquet that a bare exists() check
+    # would reuse forever, wedging every later ck run (r3 review)
+    if not sources._valid_parquet(query_file):
         src = sources.load_query_source(
             synthetic_rows=args.query_token_count if args.synthetic else None)
         streamer = ParquetStreamer(query_file, token_embed_columns)
@@ -381,7 +384,7 @@ Some example commands:\n
     _section("Generating base dataset with embeddings")
     section_time = time.time()
     base_file = f"{data_dir}/{model_prefix}_{input_dimensions}_base_token{args.base_token_count}{marker}_src.parquet"
-    if not os.path.exists(base_file):
+    if not sources._valid_parquet(base_file):     # see query_file note
         src = sources.load_base_source(
             synthetic_rows=args.base_token_count if args.synthetic else None)
         streamer = ParquetStreamer(base_file, token_embed_columns)

@@ -191,9 +191,14 @@ def compute_maxsim_knn(data_dir, query_filename, base_filename, k,
     ckpt_path = _stream_ckpt_path(data_dir)
     # f_qpad: mesh runs pad query rows to the dp axis, so a checkpoint is
     # only resumable by a run with the same padded state shape
+    st = os.stat(base_filename)
     fingerprint = {"f_mode": "maxsim", "f_k": k, "f_base": base_filename,
                    "f_q": len(q_docs), "f_dims": dim,
-                   "f_qpad": engine.state[0].shape[0]}
+                   "f_qpad": engine.state[0].shape[0],
+                   # content identity (r3 review: same-name regenerated
+                   # bases must invalidate, cf. compute_knn_ds)
+                   "f_bsize": st.st_size,
+                   "f_bmtime": round(st.st_mtime, 3)}
     done_docs = 0
     if checkpoint_every:
         saved = _load_stream_ckpt(ckpt_path, fingerprint)
@@ -224,8 +229,15 @@ def compute_maxsim_knn(data_dir, query_filename, base_filename, k,
 
     with timer.stage("stream_base"):
         for b, batch in enumerate(pf.iter_batches(batch_size=batch_rows)):
-            ids = batch.column(
-                batch.schema.get_field_index("doc_id")).to_numpy()
+            id_col = batch.schema.get_field_index("doc_id")
+            # get_field_index returns -1 (silently the LAST embedding
+            # column via column(-1)) for a non-doc-tracked file — a base
+            # parquet generated without --maxsim must be an error, not
+            # float "doc ids" (r3 review, reproduced)
+            assert id_col >= 0, (
+                f"{base_filename} has no doc_id column — regenerate the "
+                f"base token parquet with --maxsim (doc-tracked rows)")
+            ids = batch.column(id_col).to_numpy()
             if done_docs and len(ids) and ids[-1] < done_docs:
                 continue                  # fully covered by the checkpoint
             cols = [n for n in batch.schema.names if n != "doc_id"]

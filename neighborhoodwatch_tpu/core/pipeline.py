@@ -35,6 +35,7 @@ from neighborhoodwatch_tpu.ops.knn import knn, StreamingKNN
 from neighborhoodwatch_tpu.ops.topk import check_monotonic
 from neighborhoodwatch_tpu.utils.naming import (
     get_partial_indices_filename, get_partial_distances_filename,
+    get_full_filename,
 )
 from neighborhoodwatch_tpu.utils.profiling import StageTimer
 
@@ -253,9 +254,20 @@ def compute_knn_ds(data_dir: str,
                                       tile_size=plan.tile_size, engine=engine,
                                       screen_precision=screen_precision)
         ckpt_path = _stream_ckpt_path(data_dir)
+        st = os.stat(get_full_filename(data_dir, base_filename))
         fingerprint = {"f_k": k, "f_metric": metric, "f_dims": dimensions,
                        "f_base": base_filename, "f_nbase": n_base,
-                       "f_q": query.shape[0]}
+                       "f_q": query.shape[0],
+                       # content identity: a regenerated base with the
+                       # same name/counts must invalidate the checkpoint,
+                       # not silently resume over different embeddings
+                       # (r3 review)
+                       "f_bsize": st.st_size,
+                       "f_bmtime": round(st.st_mtime, 3),
+                       # mesh runs pad the state's query rows to the dp
+                       # axis: only a same-shape run can restore (cf.
+                       # compute_maxsim_knn's f_qpad — r3 review)
+                       "f_qpad": acc.state[0].shape[0]}
         if checkpoint_every:
             saved = _load_stream_ckpt(ckpt_path, fingerprint)
             if saved is not None:

@@ -68,6 +68,13 @@ def _generate_base_vectors_streaming(data_dir, model_name, input_parquet,
     """Out-of-core base export: parquet batches append to the fvec file
     and fill a preallocated hdf5 dataset slab by slab."""
     full_fvec = get_full_filename(data_dir, base_vectors_fvec_file)
+    # crash-safe completeness: batches append into a ".streaming" temp,
+    # atomically renamed after the LAST batch — so a non-empty final fvec
+    # is always complete, never a silently truncated artifact of a killed
+    # export (the fvec analog of write_hdf5_slab's "_streaming" marker;
+    # r3 review). A stale temp from a killed run is overwritten at
+    # offset 0.
+    tmp_fvec = full_fvec + ".streaming"
     need_fvec = is_empty_file(full_fvec)
     if not need_fvec:
         print(f"File {base_vectors_fvec_file} already exists")
@@ -77,15 +84,17 @@ def _generate_base_vectors_streaming(data_dir, model_name, input_parquet,
                                               count=base_count):
         if need_fvec:
             if offset == 0:
-                fvec.write_vectors(full_fvec, mat, "f")
+                fvec.write_vectors(tmp_fvec, mat, "f")
             else:
-                fvec.append_vectors(full_fvec, mat, "f")
+                fvec.append_vectors(tmp_fvec, mat, "f")
         if hdf5_live:
             hdf5_live = write_hdf5_slab(data_dir, model_name, mat, hdf5_file,
                                         "train", base_count, offset,
                                         output_dtype)
         if not need_fvec and not hdf5_live:
             break
+    if need_fvec and os.path.exists(tmp_fvec):
+        os.replace(tmp_fvec, full_fvec)
 
 
 def generate_indices_ivec(data_dir, model_name, input_parquet, k,

@@ -232,10 +232,15 @@ def iter_embedding_batches(data_dir: str, filename: str, batch_size: int,
             rest = tbl.slice(batch_size)
             mat = to_mat(head, columns)
             n_rows = rows_of(mat)
-            if count is not None and offset + n_rows > count:
+            if count is not None and offset + n_rows >= count:
+                # stop AT count: the old `>` test kept decoding the rest
+                # of the file when count was an exact batch multiple and
+                # then yielded a zero-width batch that crashed the kNN
+                # fold (r3 review, reproduced)
                 keep = count - offset
-                mat = mat[:keep] if layout == "row" else mat[:, :keep]
-                yield offset, mat
+                if keep:
+                    mat = mat[:keep] if layout == "row" else mat[:, :keep]
+                    yield offset, mat
                 return
             yield offset, mat
             offset += n_rows

@@ -237,6 +237,12 @@ class ShardedStreamingKNN:
 
     def restore(self, dist, idx, seen: int) -> None:
         from jax.sharding import NamedSharding
+        # the state includes dp-padded query rows: a checkpoint from a
+        # different mesh/pad shape must fail HERE, not inside shard_map
+        # with an opaque XLA shape error (r3 review)
+        expect = self.state[0].shape
+        assert dist.shape == expect and idx.shape == expect, \
+            (dist.shape, expect)
         qsh = NamedSharding(self.mesh, P(DP_AXIS, None))
         self.state = (
             jax.device_put(jnp.asarray(dist, dtype=jnp.float32), qsh),

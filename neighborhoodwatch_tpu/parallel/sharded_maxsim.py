@@ -265,6 +265,10 @@ class ShardedStreamingMaxSim:
                 self._seen)
 
     def restore(self, scores, idx, seen: int) -> None:
+        # same-shape guard as ShardedStreamingKNN.restore (r3 review)
+        expect = self.state[0].shape
+        assert scores.shape == expect and idx.shape == expect, \
+            (scores.shape, expect)
         qsh = NamedSharding(self.mesh, P(DP_AXIS, None))
         self.state = (
             jax.device_put(jnp.asarray(scores, dtype=jnp.float32), qsh),

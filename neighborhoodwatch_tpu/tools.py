@@ -73,11 +73,14 @@ def validate_parquet(filename: str, batch_size: int = 65536,
     """Null counts per column + zero-embedding rows over the streamed file
     (the zero-vector test mirrors nw_utils.py:52-53's skip predicate)."""
     import pyarrow.parquet as pq
+    from neighborhoodwatch_tpu.io.parquet_io import embedding_column_names
 
     out = out or sys.stdout
     pf = pq.ParquetFile(filename)
-    emb_cols = [f.name for f in pf.schema_arrow
-                if f.name.startswith("embedding_")]
+    # matches token_embedding_{i} too — ck token files are the other
+    # schema this pipeline writes, and a hardcoded "embedding_" prefix
+    # silently skipped their zero-row scan (r3 review)
+    emb_cols = embedding_column_names(pf.schema_arrow)
     nulls: dict[str, int] = {f.name: 0 for f in pf.schema_arrow}
     zero_rows = 0
     rows = 0
@@ -140,7 +143,11 @@ def split_embedding_column(src: str, dst: str, column: str = "embedding",
                 fields.append(pa.field(f"embedding_{i}", pa.float32()))
             table = pa.Table.from_arrays(arrays, schema=pa.schema(fields))
             if writer is None:
-                writer = pq.ParquetWriter(dst, table.schema)
+                # PLAIN encoding: ~all-distinct floats dictionary-encode
+                # to +50% size and 5-10x slower decode (CLAUDE.md rule;
+                # same setting as ParquetStreamer — r3 review)
+                writer = pq.ParquetWriter(dst, table.schema,
+                                          use_dictionary=False)
             writer.write_table(table)
             rows += batch.num_rows
     finally:

@@ -142,6 +142,14 @@ def test_iter_embedding_batches(tmp_path, rng):
     # with count clamp
     got = list(iter_embedding_batches(str(tmp_path), "b.parquet", batch_size=10, count=15))
     assert sum(len(m) for _, m in got) == 15
+    # count an EXACT batch multiple with rows left in the file: must stop
+    # AT count — the old `>` test yielded a zero-width batch that crashed
+    # the kNN fold (r3 review, reproduced)
+    got = list(iter_embedding_batches(str(tmp_path), "b.parquet",
+                                      batch_size=10, count=20))
+    assert [(o, len(m)) for o, m in got] == [(0, 10), (10, 10)]
+    np.testing.assert_allclose(np.vstack([m for _, m in got]), emb[:20],
+                               rtol=0)
 
 
 def test_partial_file_helpers(tmp_path, rng):
@@ -245,6 +253,50 @@ def test_streaming_base_export_matches_direct(tmp_path):
                                      "streamed.fvec", True, "streamed.hdf5",
                                      None, batch_rows=100)
     assert open(f"{data_dir}/streamed.fvec", "rb").read() == b
+
+
+def test_streaming_fvec_export_crash_leaves_no_final_file(tmp_path,
+                                                          monkeypatch):
+    """A killed streamed export must not leave a truncated FINAL fvec:
+    batches land in a '.streaming' temp renamed only after the last batch
+    (r3 review — the fvec analog of the hdf5 _streaming marker), so the
+    rerun regenerates instead of shipping a silently short corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from neighborhoodwatch_tpu.io import fvec
+    from neighborhoodwatch_tpu.io.export import (
+        _generate_base_vectors_streaming,
+    )
+
+    rng = np.random.default_rng(7)
+    mat = rng.standard_normal((300, 5)).astype(np.float32)
+    data_dir = str(tmp_path)
+    pq.write_table(pa.table({f"embedding_{i}": mat[:, i] for i in range(5)}),
+                   f"{data_dir}/b.parquet")
+
+    real_append = fvec.append_vectors
+
+    def crashing_append(*a, **k):
+        raise RuntimeError("killed mid-export")
+
+    monkeypatch.setattr(fvec, "append_vectors", crashing_append)
+    with pytest.raises(RuntimeError):
+        _generate_base_vectors_streaming(data_dir, "m", "b.parquet", 300,
+                                         "base.fvec", False, None, None,
+                                         batch_rows=100)
+    import os
+    assert not os.path.exists(f"{data_dir}/base.fvec")   # nothing final
+    assert os.path.exists(f"{data_dir}/base.fvec.streaming")
+
+    # rerun completes and is byte-identical to a clean streamed export
+    monkeypatch.setattr(fvec, "append_vectors", real_append)
+    _generate_base_vectors_streaming(data_dir, "m", "b.parquet", 300,
+                                     "base.fvec", False, None, None,
+                                     batch_rows=100)
+    got = open(f"{data_dir}/base.fvec", "rb").read()
+    fvec.write_vectors(f"{data_dir}/ref.fvec", mat, "f")
+    assert got == open(f"{data_dir}/ref.fvec", "rb").read()
+    assert not os.path.exists(f"{data_dir}/base.fvec.streaming")
 
 
 def test_read_selected_matches_full(tmp_path):

@@ -403,3 +403,32 @@ def test_maxsim_fused_doc_stats_sound(rng):
     exp_scores, exp_idx = maxsim_oracle(q, qm, d, dm, k=k)
     np.testing.assert_array_equal(np.asarray(idx), exp_idx)
     np.testing.assert_allclose(np.asarray(scores), exp_scores, atol=1e-3)
+
+
+def test_compute_maxsim_knn_rejects_base_without_doc_ids(rng, tmp_path):
+    """A base token parquet generated WITHOUT --maxsim (no doc_id column)
+    must be a clear error, not silently split on a float embedding column
+    (r3 review, reproduced: get_field_index returns -1 and column(-1) is
+    the last token_embedding column)."""
+    import pytest
+    from neighborhoodwatch_tpu.core.colbert_pipeline import compute_maxsim_knn
+    from neighborhoodwatch_tpu.io.parquet_io import ParquetStreamer
+
+    dim = 8
+    cols = [f"token_embedding_{i}" for i in range(dim)]
+    data_dir = str(tmp_path)
+    (tmp_path / "partial").mkdir()
+    qf, bf = f"{data_dir}/q_src.parquet", f"{data_dir}/b_src.parquet"
+    q_docs = [rng.standard_normal((3, dim)).astype(np.float32)
+              for _ in range(3)]
+    toks = np.concatenate(q_docs, axis=0)
+    ids = np.concatenate([np.full(3, i, np.int32) for i in range(3)])
+    s = ParquetStreamer(qf, cols)
+    s.stream_tokens_with_doc_ids(toks, ids)
+    s.close()
+    s = ParquetStreamer(bf, cols)    # flat token rows, no doc_id column
+    s.stream_to_parquet_without_src_metadata(
+        rng.standard_normal((20, dim)).astype(np.float32))
+    s.close()
+    with pytest.raises(AssertionError, match="doc_id"):
+        compute_maxsim_knn(data_dir, qf, bf, k=2, tile_docs=8, batch_rows=16)

@@ -127,10 +127,12 @@ def test_tuner_plans_are_deterministic():
     assert 0 < bs <= 5000 + 1024
 
 
-def test_streaming_checkpoint_resume(dataset_dir, normalized_vectors):
+def test_streaming_checkpoint_resume(dataset_dir, normalized_vectors,
+                                     capsys):
     """An interrupted stream resumes from partial/stream_state.npz and
-    produces results identical to a fresh run; mismatched fingerprints
-    are ignored."""
+    produces results identical to a fresh run; mismatched fingerprints —
+    including a same-name same-count REGENERATED base (different
+    size/mtime, r3 review) — are ignored."""
     import os
     from neighborhoodwatch_tpu.core.pipeline import (
         _load_stream_ckpt, _save_stream_ckpt, _stream_ckpt_path,
@@ -141,18 +143,31 @@ def test_streaming_checkpoint_resume(dataset_dir, normalized_vectors):
     q, b = normalized_vectors
     cleanup_partial_parquet(f"{data_dir}/partial")
 
-    # simulate a run that died after the first 400 base rows
+    # simulate a run that died after the first 400 base rows, using the
+    # SAME fingerprint keys the pipeline builds (the content-identity and
+    # state-shape keys included — a hand-rolled subset would make the
+    # resume below silently degrade to a fresh run)
+    st = os.stat(naming.get_full_filename(data_dir, bfile))
     fingerprint = {"f_k": K, "f_metric": "sqeuclidean", "f_dims": DIMENSIONS,
-                   "f_base": bfile, "f_nbase": BASE_COUNT, "f_q": QUERY_COUNT}
+                   "f_base": bfile, "f_nbase": BASE_COUNT, "f_q": QUERY_COUNT,
+                   "f_bsize": st.st_size, "f_bmtime": round(st.st_mtime, 3),
+                   "f_qpad": QUERY_COUNT}
     acc = StreamingKNN(q, k=K)
     acc.update(b[:400], 0)
     ckpt = _stream_ckpt_path(data_dir)
     _save_stream_ckpt(ckpt, acc, fingerprint)
     assert _load_stream_ckpt(ckpt, fingerprint) is not None
     assert _load_stream_ckpt(ckpt, {**fingerprint, "f_k": K + 1}) is None
+    # a regenerated base (same name/counts, different stat) must NOT resume
+    assert _load_stream_ckpt(
+        ckpt, {**fingerprint, "f_bmtime": fingerprint["f_bmtime"] + 1}) is None
 
+    capsys.readouterr()
     compute_knn_ds(data_dir, DIMENSIONS, qfile, QUERY_COUNT, bfile,
                    BASE_COUNT, k=K, initial_batch_size=200)
+    # the checkpoint must have actually engaged (fingerprint parity with
+    # the pipeline's own construction)
+    assert "resuming kNN stream from checkpoint: 400" in capsys.readouterr().out
     import pyarrow.parquet as pq
     got_i = pq.read_table(
         naming.get_partial_indices_filename(data_dir, -1)).to_pandas().values
