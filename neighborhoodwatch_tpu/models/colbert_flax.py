@@ -149,15 +149,33 @@ class ColbertFlaxEmbeddingGenerator(EmbeddingGenerator):
     def _call_model_api(self, text_list, *args, **kwargs):
         raise NotImplementedError("ColBERT uses generate_embedding directly")
 
-    def encode_passages(self, texts, batch_size: int = 64):
+    def encode_passages(self, texts, batch_size: int = 64,
+                        max_in_flight: int = 4):
         """(total_tokens, 128) embeddings + per-passage token counts —
-        the CollectionEncoder.encode_passages contract. All batches are
-        dispatched before the first device->host read so tokenization of
-        batch i+1 overlaps the encode of batch i (jax dispatch is async).
+        the CollectionEncoder.encode_passages contract. Batches are
+        dispatched ahead of the device->host reads so tokenization of
+        batch i+1 overlaps the encode of batch i (jax dispatch is async),
+        but at most `max_in_flight` device outputs stay live: unbounded
+        dispatch held EVERY batch's output in HBM, ~7 MB per 64-passage
+        batch, which OOMs a chip at the generator's advertised 300k-chunk
+        scale (r3 review).
 
         With real weights + real vocab this matches colbert-ai's document
         encoding: "[D]" marker after [CLS], punctuation tokens dropped."""
         marker = DOC_MARKER_ID if self.use_doc_marker else None
+        skip = np.fromiter(self._skiplist, dtype=np.int64) if self._skiplist \
+            else None
+        all_tokens, counts = [], []
+
+        def drain(dev, ids, mask):
+            emb = np.asarray(dev, dtype=np.float32)
+            keep = mask.astype(bool)
+            if skip is not None:
+                keep &= ~np.isin(ids, skip)
+            for row_emb, row_keep in zip(emb, keep):
+                all_tokens.append(row_emb[row_keep])
+                counts.append(int(row_keep.sum()))
+
         pending = []
         for s in range(0, len(texts), batch_size):
             batch = texts[s:s + batch_size]
@@ -166,17 +184,10 @@ class ColbertFlaxEmbeddingGenerator(EmbeddingGenerator):
             dev = self._forward(self.params, jnp.asarray(ids),
                                 jnp.asarray(mask))
             pending.append((dev, ids, mask))
-        skip = np.fromiter(self._skiplist, dtype=np.int64) if self._skiplist \
-            else None
-        all_tokens, counts = [], []
-        for dev, ids, mask in pending:
-            emb = np.asarray(dev, dtype=np.float32)
-            keep = mask.astype(bool)
-            if skip is not None:
-                keep &= ~np.isin(ids, skip)
-            for row_emb, row_keep in zip(emb, keep):
-                all_tokens.append(row_emb[row_keep])
-                counts.append(int(row_keep.sum()))
+            if len(pending) >= max_in_flight:
+                drain(*pending.pop(0))
+        for item in pending:
+            drain(*item)
         if not all_tokens:
             return np.empty((0, COLBERT_DIM), dtype=np.float32), []
         return np.concatenate(all_tokens, axis=0), counts

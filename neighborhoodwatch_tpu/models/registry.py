@@ -146,9 +146,9 @@ def local_weight_status(model_name: str) -> str:
     surface it loudly up front.
 
     Checks what a load would ACTUALLY use: the weights file itself (not
-    just config.json) AND torch importability — the torch->Flax conversion
-    reads the checkpoint through transformers+torch, so a primed cache
-    without torch still means random init."""
+    just config.json) AND the loader's import needs — e5 converts through
+    transformers+torch, while ColBERT reads model.safetensors via
+    safetensors.numpy with no torch at all (torch only for .bin caches)."""
     def cached(repo, fname="config.json"):
         try:
             from transformers.utils import hub
@@ -178,13 +178,31 @@ def local_weight_status(model_name: str) -> str:
             return ("cached checkpoint but torch unavailable -> "
                     "RANDOM INIT — NOT ground truth")
         return "RANDOM INIT (no local checkpoint) — NOT ground truth"
+    def safetensors_ok():
+        try:
+            import safetensors  # noqa: F401
+            return True
+        except Exception:
+            return False
+
     if model_name == EmbeddingModelName.COLBERT_V2.value:
-        if not torch_ok():
-            return ("cached checkpoint but torch unavailable -> "
-                    "RANDOM INIT — NOT ground truth") \
-                if weights_cached("colbert-ir/colbertv2.0") \
-                else "RANDOM INIT (no local checkpoint) — NOT ground truth"
+        # load_colbert_hf_weights reads model.safetensors WITHOUT torch
+        # (safetensors.numpy); torch is needed only for a .bin-only cache.
+        # The banner must match what the load actually uses (r3 review:
+        # it claimed RANDOM INIT for a torch-free safetensors cache the
+        # run loads fine).
+        def colbert_loadable(repo):
+            if cached(repo, "model.safetensors") and safetensors_ok():
+                return True
+            return weights_cached(repo) and torch_ok()
+        head = colbert_loadable("colbert-ir/colbertv2.0")
+        if not head and weights_cached("colbert-ir/colbertv2.0"):
+            return ("cached checkpoint but torch/safetensors unavailable "
+                    "-> RANDOM INIT — NOT ground truth")
+        # the bert-base-uncased backbone fallback converts through
+        # transformers+torch (load_hf_weights), so it does need torch
         return colbert_weight_status(
-            head_pretrained=weights_cached("colbert-ir/colbertv2.0"),
-            backbone_pretrained=weights_cached("bert-base-uncased"))
+            head_pretrained=head,
+            backbone_pretrained=weights_cached("bert-base-uncased")
+            and torch_ok())
     return "remote API (weights server-side)"

@@ -221,8 +221,33 @@ struct NwioStream {
         next_row += take;
         prod_slot ^= 1;
       }
-      int64_t got = read_span(fd, fi, start, take,
-                              buf[slot].data());
+      // parallel span read into the owned slot (same pread-based worker
+      // split as nwio_fvec_read_rows — r3 review: n_threads was stored
+      // but produce() always read single-threaded). Small batches skip
+      // the thread-spawn overhead.
+      int64_t got = 0;
+      if (n_threads <= 1 || take < 8192) {
+        got = read_span(fd, fi, start, take, buf[slot].data());
+      } else {
+        int64_t span = (take + n_threads - 1) / n_threads;
+        std::vector<std::thread> workers;
+        std::vector<int64_t> results(static_cast<size_t>(n_threads), 0);
+        for (int t = 0; t < n_threads; ++t) {
+          int64_t lo = t * span;
+          if (lo >= take) break;
+          int64_t sub = std::min(span, take - lo);
+          workers.emplace_back([&, t, lo, sub] {
+            results[static_cast<size_t>(t)] =
+                read_span(fd, fi, start + lo, sub,
+                          buf[slot].data() + lo * 4LL * fi.dim);
+          });
+        }
+        for (auto& w : workers) w.join();
+        for (int64_t r : results) {
+          if (r < 0) { got = r; break; }
+          got += r;
+        }
+      }
       {
         std::unique_lock<std::mutex> lk(mu);
         if (got < 0) err = got;

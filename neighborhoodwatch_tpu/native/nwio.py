@@ -108,6 +108,7 @@ class FvecStream:
 
     def __init__(self, path: str, batch_rows: int, payload_dtype,
                  n_threads: int | None = None):
+        self._handle = None          # set first: __del__ runs on any path
         lib = _load()
         assert lib is not None
         info = probe(path)
@@ -117,12 +118,19 @@ class FvecStream:
         self.batch_rows = batch_rows
         self.payload_dtype = payload_dtype
         self._lib = lib
+        if self.n_rows == 0:
+            # the C++ opener rejects empty files; the pure-Python fallback
+            # yields nothing — the A/B invariance the module promises
+            # requires matching it, not raising (r3 review, reproduced)
+            return
         self._handle = lib.nwio_stream_open(
             path.encode(), batch_rows, n_threads or min(4, os.cpu_count() or 1))
         if not self._handle:
             raise IOError(f"nwio_stream_open({path}) failed")
 
     def __iter__(self):
+        if self._handle is None:     # empty file: nothing to stream
+            return
         offset = 0
         try:
             while True:
@@ -143,3 +151,17 @@ class FvecStream:
         if self._handle:
             self._lib.nwio_stream_close(self._handle)
             self._handle = None
+
+    # a constructed-but-never-iterated stream must not leak the fd and a
+    # producer thread parked on the condition variable (r3 review)
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

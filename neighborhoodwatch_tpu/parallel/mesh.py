@@ -43,6 +43,12 @@ def make_mesh(n_devices: int | None = None, dp: int | None = None,
         devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
+    assert n_devices <= len(devices), (
+        f"asked for {n_devices} devices but only {len(devices)} visible "
+        f"({jax.default_backend()} backend) — on a single-chip host use "
+        f"JAX_PLATFORMS=cpu with "
+        f"XLA_FLAGS=--xla_force_host_platform_device_count=N to rehearse "
+        f"a mesh")  # r3 review: the old slice failed as an opaque reshape
     devices = devices[:n_devices]
     if dp is None:
         dp = 1

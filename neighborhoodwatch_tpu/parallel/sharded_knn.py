@@ -267,8 +267,13 @@ def ring_knn(query, base, k: int, mesh, metric: str = "sqeuclidean",
     shard into a running top-k. Communication (shard-sized) overlaps the
     next shard's distance computation under XLA's async collectives.
 
-    Exactness and tie-order match `sharded_knn`: candidates are merged in
-    ascending global-offset order via a final stable re-sort."""
+    Exactness and tie-order match `sharded_knn`: every fold merges
+    lexicographically on (distance, global index) — a distance-only merge
+    drops tied lower-index candidates at the k boundary on chips that
+    visit later-offset shards first, and no FINAL re-sort can restore
+    them (r3 review, confirmed on duplicated rows: the result both
+    violated the lowest-index contract and differed per chip while
+    declared replicated)."""
     query = jnp.asarray(query, dtype=jnp.float32)
     base = jnp.asarray(base, dtype=jnp.float32)
     mp = mesh.shape[MP_AXIS]
@@ -290,8 +295,13 @@ def ring_knn(query, base, k: int, mesh, metric: str = "sqeuclidean",
             d = pairwise_distance(q_local, shard, metric=metric,
                                   precision=precision)
             td, ti = smallest_k(d, k)
-            run_d, run_i = merge_topk(run_d, run_i,
-                                      td, (ti + offset).astype(jnp.int32), k)
+            # lexicographic (distance, index) merge: order-independent, so
+            # every chip keeps the same canonical tied set (see docstring)
+            cd = jnp.concatenate([run_d, td], axis=1)
+            ci = jnp.concatenate(
+                [run_i, (ti + offset).astype(jnp.int32)], axis=1)
+            sd, si = jax.lax.sort((cd, ci), dimension=1, num_keys=2)
+            run_d, run_i = sd[:, :k], si[:, :k]
             shard = jax.lax.ppermute(shard, MP_AXIS, perm)
             return (run_d, run_i, shard), None
 
@@ -301,11 +311,7 @@ def ring_knn(query, base, k: int, mesh, metric: str = "sqeuclidean",
                 b_local)
         (run_d, run_i, _), _ = jax.lax.scan(fold, init,
                                             jnp.arange(mp, dtype=jnp.int32))
-        # visiting order differs per chip -> final stable sort by
-        # (distance, index) restores the canonical lowest-index tie-break
-        order = jnp.lexsort((run_i, run_d), axis=-1)
-        return (jnp.take_along_axis(run_d, order, axis=1),
-                jnp.take_along_axis(run_i, order, axis=1))
+        return run_d, run_i
 
     fn = shard_map(
         _shard_fn, mesh=mesh,

@@ -33,7 +33,7 @@ except ImportError:  # pragma: no cover - older jax
 
 from neighborhoodwatch_tpu.ops.topk import merge_topk, merge_topk_many
 from neighborhoodwatch_tpu.parallel.mesh import DP_AXIS, MP_AXIS
-from neighborhoodwatch_tpu.utils.misc import round_up
+
 
 
 

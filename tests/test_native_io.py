@@ -113,3 +113,39 @@ def test_python_fallback_matches(tmp_path, monkeypatch):
     np.testing.assert_array_equal(native, fallback)
     for a, b in zip(native_batches, fallback_batches, strict=True):
         np.testing.assert_array_equal(a, b)
+
+
+def test_native_stream_empty_file_matches_python(tmp_path):
+    """A zero-row fvec must stream as 'nothing' on BOTH engines — the
+    native opener rejects empty files, so the binding special-cases them
+    instead of raising where the numpy fallback returns cleanly
+    (r3 review, reproduced)."""
+    import numpy as np
+    from neighborhoodwatch_tpu.io import fvec
+    from neighborhoodwatch_tpu.native import nwio
+
+    f = str(tmp_path / "empty.fvec")
+    fvec.write_vectors(f, np.empty((0, 4), np.float32), "f")
+    assert list(fvec.iter_vector_batches(f, 16)) == []
+    if nwio.available():
+        assert list(nwio.FvecStream(f, 16, np.float32)) == []
+
+
+def test_native_stream_context_manager_and_gc(tmp_path):
+    """FvecStream supports `with`, and a constructed-but-never-iterated
+    stream must not leak its fd / parked producer thread (r3 review)."""
+    import numpy as np
+    from neighborhoodwatch_tpu.io import fvec
+    from neighborhoodwatch_tpu.native import nwio
+
+    if not nwio.available():
+        import pytest
+        pytest.skip("no native toolchain")
+    mat = np.arange(80, dtype=np.float32).reshape(20, 4)
+    f = str(tmp_path / "m.fvec")
+    fvec.write_vectors(f, mat, "f")
+    with nwio.FvecStream(f, 8, np.float32) as s:
+        got = np.vstack([b for _, b in s])
+    np.testing.assert_array_equal(got, mat)
+    s2 = nwio.FvecStream(f, 8, np.float32)
+    del s2                                  # __del__ closes; no hang

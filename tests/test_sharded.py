@@ -283,3 +283,26 @@ def test_compute_knn_ds_mesh_kill_and_resume(tmp_path, normalized_vectors,
     ref_d, ref_i = knn(q, b, k=k)
     np.testing.assert_array_equal(got_i, np.asarray(ref_i))
     assert not os.path.exists(ckpt)              # consumed on success
+
+
+def test_ring_knn_tie_break_with_duplicates(mesh8):
+    """Duplicated base rows spread ACROSS shards with more ties than k:
+    ring_knn must return the canonical lowest-index tied set (r3 review,
+    reproduced: the distance-only fold merge kept whichever tied rows the
+    chip's rotation visited first, so the result violated the contract
+    AND differed per chip while declared replicated)."""
+    rng = np.random.default_rng(3)
+    dim, k = 16, 8
+    b = rng.standard_normal((64, dim)).astype(np.float32)
+    q = rng.standard_normal((4, dim)).astype(np.float32)
+    # 16 exact duplicates of query 0 at indices 0, 4, ..., 60 — two per
+    # 8-row shard, twice as many zero-distance ties as k
+    dup = np.arange(0, 64, 4)
+    b[dup] = q[0]
+    ref_d, ref_i = knn(q, b, k=k)     # canonical lowest-index tie-break
+    np.testing.assert_array_equal(np.asarray(ref_i)[0], dup[:k])
+    d, i = ring_knn(q, b, k=k, mesh=mesh8)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+    # shard-local vs full-base fp32 reductions differ by ~2e-6 on the
+    # zero-distance duplicates; the INDEX set above is the exact contract
+    np.testing.assert_allclose(np.asarray(d), np.asarray(ref_d), atol=1e-5)
