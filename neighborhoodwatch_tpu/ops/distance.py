@@ -64,12 +64,16 @@ def pairwise_distance(query, base, metric: str = "sqeuclidean",
         d = jnp.maximum(qn + bn.T - 2.0 * dots, 0.0)
         if metric == "euclidean":
             d = jnp.sqrt(d)
-        return d
-    if metric == "cosine":
-        return 1.0 - dots
-    if metric == "dot":
-        return 1.0 - dots
-    raise ValueError(f"unknown metric {metric!r}; must be one of {METRICS}")
+    elif metric in ("cosine", "dot"):
+        d = 1.0 - dots
+    else:
+        raise ValueError(f"unknown metric {metric!r}; must be one of "
+                         f"{METRICS}")
+    # a NaN distance (rows with inf/NaN values: inf - inf in the l2
+    # epilogue, inf/inf in cosine) is never meaningful, and NaN WINS
+    # lax.top_k — sanitize to "infinitely far" so garbage rows lose in
+    # every engine, matching the screen kernel's bin masking (r3 review)
+    return jnp.where(jnp.isnan(d), jnp.inf, d)
 
 
 def similarity_from_distance(distance, metric: str):

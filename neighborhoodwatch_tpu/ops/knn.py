@@ -65,9 +65,12 @@ def _verified_smallest_k(d, k: int):
     4. if any row fails the proof (ulp-level ties, unlucky binning), fall
        back to the exact lax.top_k for the whole tile via a scalar cond.
 
-    Returns (dist, idx, exact_bool). Index order among exactly-equal
-    distances may differ from the stable-argsort order; distances and the
-    neighbor set are exact."""
+    Returns (dist, idx). Distances are exact and the result is a true
+    k-smallest multiset. Tie caveat (r3 review): when MORE rows tie
+    exactly at the k-th distance than fit in k, the count certificate is
+    tie-tolerant and accepts ANY tied subset — the exact engine returns
+    the canonical lowest-index subset, this engine an arbitrary one
+    (same guarantee RAFT/cuVS give; see ops/topk.py)."""
     n = d.shape[1]
     margin = min(n, max(k + 28, (k * 5) // 4))
     vd, vi = jax.lax.approx_min_k(d, margin, recall_target=0.999)
@@ -509,15 +512,13 @@ def screened_knn(query, base, k: int, metric: str = "sqeuclidean",
         sel_rows = np.pad(bad, (0, bucket - n_bad), mode="edge")
         q_bad = query[jnp.asarray(sel_rows)]
         # "verified" is exact (approx_min_k + count proof + cond fallback)
-        # at 2.5-3x the speed of the plain top_k scan
+        # at 2.5-3x the speed of the plain top_k scan. n_base >= MEGA >
+        # DEFAULT_TILE here (tiny bases took the exact early-return
+        # above), so the repair always scans (r3 review: a _knn_full
+        # small-base branch was unreachable dead code)
         fb_engine = "verified" if jax.default_backend() == "tpu" else "exact"
-        if n_base <= DEFAULT_TILE:
-            base_p, _ = _pad_rows(base, 128)
-            d_f, i_f = _knn_full(q_bad, base_p, n_base, 0, k, metric,
-                                 "highest", fb_engine)
-        else:
-            d_f, i_f = _knn_scan(q_bad, base, n_base, 0, k, metric,
-                                 "highest", DEFAULT_TILE, fb_engine)
+        d_f, i_f = _knn_scan(q_bad, base, n_base, 0, k, metric,
+                             "highest", DEFAULT_TILE, fb_engine)
         dist = np.array(dist)
         idx = np.array(idx)
         dist[bad] = np.asarray(d_f)[:n_bad]

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from neighborhoodwatch_tpu.ops.distance import resolve_precision
+from neighborhoodwatch_tpu.ops.screen_kernel import LANES
 from neighborhoodwatch_tpu.ops.topk import merge_topk
 from neighborhoodwatch_tpu.utils.misc import round_up
 
@@ -81,15 +82,19 @@ def _maxsim_tile_step(run_s, run_i, queries, q_mask, tile, tmask, start,
     return -md, mi
 
 
-def _maxsim_engine(engine: str, n_docs: int, tq: int, td: int) -> str:
+def _maxsim_engine(engine: str, n_docs: int, tq: int, dim: int) -> str:
     """'screened' = the fused Pallas kernel + certified re-rank (21x the
     XLA path on TPU, measured 0.50s vs 10.8s for 1k x 200k docs). Doc
     token counts are unbounded (long docs stream through the kernel in
     32-token chunks); only the query side is capped by the VMEM tiling
-    (tq <= 32 — ColBERT's query_maxlen). 'exact' = the XLA tile loop."""
+    (tq <= 32 — ColBERT's query_maxlen) and the token dim by the kernel's
+    lane layout (<= 128 or a 128-multiple — r3 review: 'auto' used to
+    pick a dim the kernel then asserted on instead of falling back).
+    'exact' = the XLA tile loop, any shape."""
     if engine != "auto":
         return engine
-    if (jax.default_backend() == "tpu" and n_docs >= 4096 and tq <= 32):
+    if (jax.default_backend() == "tpu" and n_docs >= 4096 and tq <= 32
+            and (dim <= LANES or dim % LANES == 0)):
         return "screened"
     return "exact"
 
@@ -109,7 +114,7 @@ def maxsim_topk(queries, q_mask, docs, d_mask, k: int,
     TPU (measured: 120s vs 0.29s over 1M base tokens), so the loop
     deliberately stays on the host."""
     engine = _maxsim_engine(engine, docs.shape[0],
-                            queries.shape[1], docs.shape[1])
+                            queries.shape[1], docs.shape[-1])
     if engine == "screened":
         return maxsim_topk_screened(queries, q_mask, docs, d_mask, k,
                                     screen_precision=screen_precision)
@@ -373,8 +378,15 @@ class StreamingMaxSim:
         n = doc_tile.shape[0] if n_valid is None else n_valid
         doc_tile = jnp.asarray(doc_tile, dtype=jnp.float32)
         tile_mask = jnp.asarray(tile_mask, dtype=bool)
+        if n < doc_tile.shape[0]:
+            # honor the n_valid contract for EVERY engine: the screened
+            # branch has no n_docs cutoff, so unmasked padding rows would
+            # score for real and alias the NEXT tile's doc ids (r3
+            # review; previously only safe because the ck pipeline
+            # defensively pre-zeroed the padding mask itself)
+            tile_mask = tile_mask.at[n:].set(False)
         engine = _maxsim_engine(self.engine, doc_tile.shape[0],
-                                self.queries.shape[1], doc_tile.shape[1])
+                                self.queries.shape[1], doc_tile.shape[-1])
         run_s, run_i = self.state
         if engine == "screened":
             kk = min(self.k, n)
@@ -412,7 +424,11 @@ class StreamingMaxSim:
 
     def finalize(self):
         """(scores desc, doc indices) as numpy."""
-        assert self._seen >= 1, "no documents streamed"
+        # same guard as StreamingKNN.finalize: an under-fed stream would
+        # return -inf scores with garbage doc id 0 past row _seen
+        # (r3 review)
+        assert self._seen >= self.k, \
+            f"saw only {self._seen} base docs but k={self.k}"
         s, i = self.state
         return np.asarray(s), np.asarray(i)
 

@@ -117,8 +117,13 @@ def _screen_scores(m, dbias, out_ref, mk_ref, bi, *,
         acc = acc + m[t * qb:(t + 1) * qb]            # (QB, DB)
     acc = acc + dbias
 
-    # negate into ascending order and pack like the kNN screen kernel
-    bits = jax.lax.bitcast_convert_type(-acc, jnp.int32)
+    # negate into ascending order and pack like the kNN screen kernel.
+    # NaN scores (inf/NaN garbage tokens) must LOSE every bin: a NaN with
+    # its sign bit set would transform to a huge negative key that wins
+    # unconditionally (r3 review, cf. the kNN screen's sanitization)
+    negscore = -acc
+    negscore = jnp.where(jnp.isnan(negscore), jnp.inf, negscore)
+    bits = jax.lax.bitcast_convert_type(negscore, jnp.int32)
     neg = jax.lax.shift_right_arithmetic(bits, 31)
     bits = bits ^ (neg & jnp.int32(0x7FFFFFFF))
 

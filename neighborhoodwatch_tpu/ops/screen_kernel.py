@@ -201,14 +201,23 @@ def _kernel(qn_ref, bn_ref, q_ref, b_ref, *rest,
     def _():
         acc = acc_ref[:]
         bn = bn_ref[:]
+        # NaN distances (inf/NaN garbage in a base row) must LOSE every
+        # bin: a NaN with its sign bit set bitcasts to a huge negative
+        # key that would win unconditionally (r3 review). l2 distances
+        # are non-negative, so one abs (a single AND) clears the NaN sign
+        # and its key sorts past +inf — the isnan+select variant measured
+        # ~10% slower end-to-end here; the signed epilogues need the
+        # select (legit negative distances) but are off the headline.
         if epilogue == "l2":          # squared-L2 (sqeuclidean/euclidean)
-            d = jnp.maximum(qn_ref[:] + bn[:] - 2.0 * acc, 0.0)
+            d = jnp.abs(jnp.maximum(qn_ref[:] + bn[:] - 2.0 * acc, 0.0))
         elif epilogue == "dot":       # -q.b ordering (metric "dot");
             # bn carries +inf on padding rows, masking them here too
             d = jnp.where(jnp.isinf(bn), jnp.inf, -acc)
+            d = jnp.where(jnp.isnan(d), jnp.inf, d)
         else:                         # "rdot": -q.b/|b| == cosine ordering
             d = jnp.where(jnp.isinf(bn), jnp.inf,
                           -acc * jax.lax.rsqrt(jnp.maximum(bn, 1e-30)))
+            d = jnp.where(jnp.isnan(d), jnp.inf, d)
 
         bits = jax.lax.bitcast_convert_type(d, jnp.int32)
         if epilogue != "l2":
@@ -294,13 +303,18 @@ def _kernel_pipelined(qn_ref, bn_ref, q_ref, b_ref, *rest,
                 cols = slice(j * LANES, (j + 1) * LANES)
                 acc = ret_ref[:, cols]
                 bn = bn_ref[:, cols]
+                # NaN-sign sanitization — see _kernel (r3 review): abs
+                # for the non-negative l2, select for the signed metrics
                 if epilogue == "l2":
-                    d = jnp.maximum(qn_ref[:] + bn - 2.0 * acc, 0.0)
+                    d = jnp.abs(jnp.maximum(qn_ref[:] + bn - 2.0 * acc,
+                                            0.0))
                 elif epilogue == "dot":
                     d = jnp.where(jnp.isinf(bn), jnp.inf, -acc)
+                    d = jnp.where(jnp.isnan(d), jnp.inf, d)
                 else:                   # "rdot"
                     d = jnp.where(jnp.isinf(bn), jnp.inf,
                                   -acc * jax.lax.rsqrt(jnp.maximum(bn, 1e-30)))
+                    d = jnp.where(jnp.isnan(d), jnp.inf, d)
                 bits = jax.lax.bitcast_convert_type(d, jnp.int32)
                 if epilogue != "l2":
                     neg = jax.lax.shift_right_arithmetic(bits, 31)
@@ -568,7 +582,9 @@ def screen_candidates(q, base, *, n_rows: int | None = None,
     # the base is NOT row-padded (that would copy the multi-GB corpus);
     # instead the grid covers a virtual mega-aligned row count and the tail
     # blocks read ragged/clamped rows whose +inf padded norms mask them out
-    # of every bin (NaN/garbage distances never win a `<` comparison)
+    # of every bin (the l2 epilogue's qn + inf - 2*acc can still be NaN
+    # when acc is also inf; the kernels' NaN-sign sanitization forces any
+    # NaN distance to LOSE every bin — r3 review)
     Bp = -(-B // mega) * mega
 
     qn = jnp.sum(q * q, axis=1, keepdims=True)              # (Qp, 1)

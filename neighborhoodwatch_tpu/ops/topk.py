@@ -7,6 +7,14 @@ argsort-based partial merge (reference: merge.py:73-101) with
 Tie-breaking: `lax.top_k` is stable in the input order, so concatenating
 [running, new] with running entries originating from earlier (smaller) base
 offsets reproduces the "lowest index wins" order of a stable CPU argsort.
+
+Contract scope (r3 review): the canonical lowest-index tie-break holds for
+the EXACT engine and every merge built from these primitives. The verified
+and screened engines prove a true k-smallest multiset via tie-tolerant
+count certificates — when more rows tie exactly at the k-th distance than
+fit in k, WHICH tied subset they return is arbitrary (the guarantee
+RAFT/cuVS give). fp32 distances make exact cross-row ties vanishingly rare
+on real embeddings.
 """
 
 from functools import partial

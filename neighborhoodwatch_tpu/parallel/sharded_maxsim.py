@@ -278,7 +278,8 @@ class ShardedStreamingMaxSim:
 
     def finalize(self):
         """(scores desc, doc indices) as numpy, original query rows only."""
-        assert self._seen >= 1, "no documents streamed"
+        assert self._seen >= self.k, \
+            f"saw only {self._seen} base docs but k={self.k}"
         s, i = self.state
         return (np.asarray(s)[: self._q_rows],
                 np.asarray(i)[: self._q_rows])

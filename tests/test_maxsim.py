@@ -432,3 +432,62 @@ def test_compute_maxsim_knn_rejects_base_without_doc_ids(rng, tmp_path):
     s.close()
     with pytest.raises(AssertionError, match="doc_id"):
         compute_maxsim_knn(data_dir, qf, bf, k=2, tile_docs=8, batch_rows=16)
+
+
+def test_streaming_maxsim_screened_honors_n_valid(rng):
+    """The screened update branch must mask padding doc rows itself:
+    tiles padded by REPEATING real docs (mask left True) used to score
+    the duplicates for real and alias the next tile's doc ids
+    (r3 review; only the ck pipeline's defensive mask-zeroing hid it)."""
+    dim, k, n_docs, tile = 24, 5, 40, 16
+    qs = [rng.standard_normal((3, dim)).astype(np.float32)
+          for _ in range(4)]
+    ds = [rng.standard_normal((int(rng.integers(2, 7)), dim))
+          .astype(np.float32) for _ in range(n_docs)]
+    q, qm = pad_token_lists(qs, dim)
+    d, dm = pad_token_lists(ds, dim)
+    eng = StreamingMaxSim(q, qm, k=k, engine="screened")
+    for start in range(0, n_docs, tile):
+        chunk = d[start:start + tile]
+        cmask = dm[start:start + tile]
+        n_valid = len(chunk)
+        if n_valid < tile:          # edge-pad, mask left True on purpose
+            reps = tile - n_valid
+            chunk = np.concatenate([chunk, chunk[:1].repeat(reps, 0)])
+            cmask = np.concatenate([cmask, cmask[:1].repeat(reps, 0)])
+        eng.update(chunk, cmask, n_valid=n_valid)
+    s, i = eng.finalize()
+    exp_s, exp_i = maxsim_oracle(q, qm, d, dm, k=k)
+    np.testing.assert_array_equal(i, exp_i)
+    np.testing.assert_allclose(s, exp_s, atol=1e-3)
+
+
+def test_maxsim_auto_engine_gates_on_dim(monkeypatch):
+    """'auto' must fall back to the exact path for token dims the kernel
+    cannot lay out (not <=128 and not a 128-multiple) instead of crashing
+    on the kernel's dim assert (r3 review)."""
+    from neighborhoodwatch_tpu.ops.maxsim import _maxsim_engine
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert _maxsim_engine("auto", 10_000, 8, 128) == "screened"
+    assert _maxsim_engine("auto", 10_000, 8, 256) == "screened"
+    assert _maxsim_engine("auto", 10_000, 8, 64) == "screened"
+    assert _maxsim_engine("auto", 10_000, 8, 192) == "exact"
+    assert _maxsim_engine("auto", 10_000, 40, 128) == "exact"  # tq cap
+
+
+def test_streaming_maxsim_finalize_requires_k_docs(rng):
+    """finalize() on an under-fed stream must fail loudly (rows past
+    _seen would be -inf scores with garbage doc id 0 — r3 review; same
+    guard as StreamingKNN)."""
+    import pytest
+    dim = 16
+    q, qm = pad_token_lists([rng.standard_normal((2, dim))
+                             .astype(np.float32)], dim)
+    d, dm = pad_token_lists([rng.standard_normal((3, dim))
+                             .astype(np.float32)] * 4, dim)
+    eng = StreamingMaxSim(q, qm, k=10)
+    eng.update(d, dm)
+    with pytest.raises(AssertionError, match="saw only 4"):
+        eng.finalize()

@@ -406,3 +406,29 @@ def test_norm_guard_covers_worst_case_accumulation():
     assert stats[1] >= np.sqrt(bn_true.max())        # babs_max
     assert stats[2] >= blo_n.max()                   # blo_max
     assert stats[3] >= (blo_n / np.sqrt(bn_true)).max()   # ratio_max
+
+
+def test_screened_garbage_base_rows_never_win():
+    """Base rows containing inf (bad upstream embeddings) make the l2
+    epilogue's qn + inf - 2*inf a NaN. Two r3 review fixes pinned here:
+    a NaN with its sign bit set used to bitcast to a huge NEGATIVE packed
+    key that won every screen bin, and NaN distances WIN lax.top_k, so
+    even the exact engine returned garbage rows as nearest. Sanitized
+    (NaN -> +inf everywhere), garbage rows must lose in every engine and
+    the engines must agree. ("dot" excluded: a +inf dot is -inf distance
+    by the metric's own math — GIGO, not NaN.)"""
+    rng = np.random.default_rng(77)
+    q = rng.standard_normal((6, 32)).astype(np.float32)
+    b = rng.standard_normal((MEGA + 500, 32)).astype(np.float32)
+    bad = rng.choice(len(b), 64, replace=False)
+    b[bad[:32]] = np.inf
+    b[bad[32:]] = -np.inf
+    k = 9
+    for metric in ("sqeuclidean", "cosine"):
+        d_e, i_e = knn(q, b, k, metric=metric, engine="exact")
+        d_s, i_s = screened_knn(q, b, k, metric=metric)
+        for r in range(6):
+            got, exp = set(np.asarray(i_s)[r]), set(np.asarray(i_e)[r])
+            assert got == exp, (metric, r)
+            assert not (got & set(bad)), (metric, r)
+            assert not (exp & set(bad)), (metric, r)
