@@ -249,8 +249,12 @@ def load_base_source(synthetic_rows: int | None = None):
 
 
 def _valid_parquet(filename: str) -> bool:
-    """Resume guard: treat truncated/footerless parquet (e.g. from a killed
-    run) as absent instead of silently reusing it."""
+    """Resume guard: treat truncated/footerless parquet as absent instead of
+    silently reusing it. Non-destructive: ParquetStreamer writes to a
+    `.inprogress` temp and renames atomically on close, so an unreadable file
+    at the final path can only be a foreign/legacy artifact — warn and let
+    the regenerating writer's atomic os.replace supersede it, rather than
+    os.remove()ing what might be another process's output (r3 review)."""
     if not os.path.exists(filename):
         return False
     try:
@@ -259,7 +263,6 @@ def _valid_parquet(filename: str) -> bool:
         return True
     except Exception:
         print(f"   [warn] {filename} exists but is unreadable; regenerating")
-        os.remove(filename)
         return False
 
 

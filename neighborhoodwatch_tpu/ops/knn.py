@@ -550,11 +550,22 @@ def _screen_plan(n_base: int, k: int, dim: int, sub_width: int,
     return cap, m, _gather_block(m, dim)
 
 
+def _repair_budget(q_count: int, max_fallback: int | None) -> int:
+    """In-trace certificate-repair row budget. None -> max(128, Q/64):
+    ~4x the wide (sub=112) tier's measured ~0.4% expected failure count at
+    any batch size, for <=1.6% of a verified pass in repair cost — a fixed
+    128 sat ~3 sigma from the whole-tile-recompute cliff at Q=24576
+    (r3 review)."""
+    if max_fallback is None:
+        max_fallback = max(128, q_count // 64)
+    return min(max_fallback, q_count)
+
+
 @partial(jax.jit, static_argnames=("k", "metric", "screen_precision",
                                    "max_fallback", "interpret", "select_m"))
 def screened_knn_traced(query, base, n_valid, base_offset, k: int,
                         metric: str, screen_precision: str = "medium",
-                        max_fallback: int = 128,
+                        max_fallback: int | None = None,
                         interpret: bool | None = None,
                         select_m: int | None = None,
                         base_stats=None, bn_row=None, bhi=None):
@@ -568,7 +579,14 @@ def screened_knn_traced(query, base, n_valid, base_offset, k: int,
     verified engine — up to `max_fallback` rows via a static-size gather +
     scatter (cost max_fallback/Q of a verified pass); if more fail (never
     observed: measured rates are ~0.04%), a lax.cond recomputes the whole
-    tile verified. Either way the result is exact."""
+    tile verified. Either way the result is exact.
+
+    `max_fallback=None` (the default) scales the repair budget with the
+    query batch: max(128, Q/64). A FIXED 128 put big batches too close to
+    the whole-tile-recompute cliff — at Q=24576 on the sub=112 wide tier
+    the expected failure count (~0.4% measured) is ~98, only ~3 sigma
+    under the budget (r3 review); Q/64 keeps a ~4x expected-count margin
+    at every size for ~1.6% of a verified pass in repair cost."""
     query = jnp.asarray(query, dtype=jnp.float32)
     base = jnp.asarray(base, dtype=jnp.float32)
     q_count, dim = query.shape
@@ -629,7 +647,7 @@ def screened_knn_traced(query, base, n_valid, base_offset, k: int,
 
     # ---- in-trace repair of certificate failures ----
     fail = jnp.logical_not(ok)
-    nb = min(max_fallback, q_count)
+    nb = _repair_budget(q_count, max_fallback)
     # top_k over the 0/1 mask yields the first nb failed row ids (stable
     # lowest-index tie-break); non-failed fillers are masked via `take`
     _, rows = jax.lax.top_k(fail.astype(jnp.int32), nb)

@@ -1,6 +1,7 @@
 """Format round-trip tests: fvec/ivec byte-exactness, hdf5 groups, parquet
 streamer schema, naming parity (model of reference tests/test_04_gen_ifvec_hdf5.py)."""
 
+import os
 import struct
 
 import numpy as np
@@ -119,6 +120,38 @@ def test_parquet_streamer_schema(tmp_path, rng):
     assert table.schema.field("embedding_0").type == "float"
     mat = read_embeddings(str(tmp_path), "e.parquet")
     np.testing.assert_allclose(mat, np.vstack([emb, emb]), rtol=0)
+
+
+def test_parquet_streamer_atomic_rename(tmp_path, rng):
+    """A killed embedding run must never leave a footerless parquet at the
+    FINAL path, and the resume probe must never delete another writer's
+    in-flight file (r3 review): ParquetStreamer writes <path>.inprogress
+    and os.replace()s on close."""
+    from neighborhoodwatch_tpu.data.sources import _valid_parquet
+    emb = rng.standard_normal((5, 3)).astype(np.float32)
+    path = str(tmp_path / "a.parquet")
+
+    # simulate a kill: stream rows, never close
+    ps = ParquetStreamer(path, ["title"])
+    ps.stream_to_parquet([["t"]] * 5, emb)
+    assert not os.path.exists(path)              # nothing at the final path
+    assert os.path.exists(path + ".inprogress")  # the half-write lives here
+    assert not _valid_parquet(path)              # resume probe: regenerate
+
+    # a foreign/legacy corrupt file at the final path: probe says invalid
+    # but does NOT delete it (it may belong to a concurrent run)
+    with open(path, "wb") as f:
+        f.write(b"PAR1 not a real footer")
+    assert not _valid_parquet(path)
+    assert os.path.exists(path)
+
+    # the regenerating run atomically supersedes it
+    with ParquetStreamer(path, ["title"]) as ps2:
+        ps2.stream_to_parquet([["t"]] * 5, emb)
+    assert _valid_parquet(path)
+    assert not os.path.exists(path + ".inprogress")
+    mat = read_embeddings(str(tmp_path), "a.parquet")
+    np.testing.assert_allclose(mat, emb, rtol=0)
 
 
 def test_parquet_token_streamer(tmp_path, rng):

@@ -296,6 +296,21 @@ def test_screen_kernel_wide_tier_positions():
     assert screen_kernel.pick_sub(2_000_000, 100) == 112
     assert screen_kernel.pick_sub(2_000_000, 600) == 56
     assert screen_kernel.pick_sub(100_000, 100) == screen_kernel.SUB_PER_MEGA
+    # very large query batches stay on the safe sub=56 tier (~0.1% repairs)
+    assert screen_kernel.pick_sub(2_000_000, 100, q_rows=10_000) == 112
+    assert screen_kernel.pick_sub(2_000_000, 100, q_rows=32_768) == 56
+
+
+def test_repair_budget_scales_with_batch():
+    """The in-trace certificate-repair budget must scale with the query
+    batch: a fixed 128 sat ~3 sigma from the whole-tile-recompute cliff at
+    Q=24576 on the wide screen tier (r3 review)."""
+    from neighborhoodwatch_tpu.ops.knn import _repair_budget
+    assert _repair_budget(10_000, None) == 156          # Q/64 > 128
+    assert _repair_budget(1_000, None) == 128           # floor
+    assert _repair_budget(64, None) == 64               # never exceeds Q
+    assert _repair_budget(24_576, None) == 384          # ~4x expected 98
+    assert _repair_budget(24_576, 200) == 200           # explicit wins
 
 
 def test_prepared_base_matches_unprepared():
