@@ -314,6 +314,15 @@ Some example commands:\n
                              "(token batches / doc tiles split over the mp "
                              "axis, ICI all_gather top-k merge); "
                              "0 = single device")
+    parser.add_argument("--post-validation", action="store_true",
+                        help="validate the written artifacts: flat token "
+                             "mode recomputes similarities from the files "
+                             "(validate_files_v0); --maxsim mode recomputes "
+                             "MaxSim scores in float64 from the fvec + "
+                             "doc-id-map artifacts alone "
+                             "(validate_maxsim_files, beyond the reference)")
+    parser.add_argument("--yes", "-y", action="store_true",
+                        help="skip the validation confirmation prompt")
     args = parser.parse_args(argv)
 
     assert args.model_name == EmbeddingModelName.COLBERT_V2.value, \
@@ -435,12 +444,14 @@ Some example commands:\n
 
     _section("Generating ivec's and fvec's")
     section_time = time.time()
-    generate_output_files(data_dir, model_prefix, input_dimensions, base_file,
-                          query_file, args.base_token_count,
-                          args.query_token_count,
-                          naming.get_partial_indices_filename(data_dir, -1),
-                          naming.get_partial_distances_filename(data_dir, -1),
-                          args.k, args.gen_hdf5, token_embed_columns)
+    (query_fvec, base_fvec, indices_ivec,
+     distances_fvec) = generate_output_files(
+        data_dir, model_prefix, input_dimensions, base_file,
+        query_file, args.base_token_count,
+        args.query_token_count,
+        naming.get_partial_indices_filename(data_dir, -1),
+        naming.get_partial_distances_filename(data_dir, -1),
+        args.k, args.gen_hdf5, token_embed_columns)
     if args.maxsim:
         # neighbors/distances are per query *passage*: also export the
         # token->passage maps so the artifact set is self-contained
@@ -452,6 +463,31 @@ Some example commands:\n
         print(f"  doc-id maps: {n_q_docs} query passages, "
               f"{n_b_docs} base passages")
     _duration(section_time, start_time)
+
+    if args.post_validation:
+        proceed = args.yes
+        if not proceed:
+            answer = input("Dataset validation may take a long time. "
+                           "Continue? (y/n/yes/no): ")
+            proceed = answer in ("y", "yes")
+        if proceed:
+            _section("Validating ivec's and fvec's")
+            section_time = time.time()
+            if args.maxsim:
+                from neighborhoodwatch_tpu.validate import validate_maxsim_files
+                q_map_file, b_map_file = naming.get_doc_id_map_filenames(
+                    data_dir, model_prefix, input_dimensions,
+                    args.base_token_count, args.query_token_count)
+                mismatches = validate_maxsim_files(
+                    data_dir, query_fvec, base_fvec, q_map_file, b_map_file,
+                    indices_ivec, distances_fvec)
+            else:
+                from neighborhoodwatch_tpu.validate import validate_files_v0
+                mismatches = validate_files_v0(
+                    data_dir, query_fvec, base_fvec, indices_ivec,
+                    distances_fvec, metric=args.metric)
+            logger.info(f"post-validation mismatch count: {mismatches}")
+            _duration(section_time, start_time)
 
 
 if __name__ == "__main__":

@@ -179,6 +179,141 @@ def validate_files(data_dir, query_vector_fvec, base_vector_fvec, indices_ivec,
     return total_mismatch
 
 
+def _doc_token_ranges(doc_ids):
+    """Ascending per-token doc ids -> (n_docs, 2) [start, end) token-row
+    ranges, asserting the ids are dense 0..n_docs-1 (the contract the
+    maxsim pipeline writes: colbert_pipeline.process_source_dataset)."""
+    doc_ids = np.asarray(doc_ids).ravel()
+    assert len(doc_ids) > 0, "empty doc-id map"
+    assert (np.diff(doc_ids) >= 0).all(), "doc-id map is not ascending"
+    n_docs = int(doc_ids[-1]) + 1
+    starts = np.searchsorted(doc_ids, np.arange(n_docs), side="left")
+    ends = np.searchsorted(doc_ids, np.arange(n_docs), side="right")
+    assert (ends > starts).all(), "doc-id map has gaps (missing passage ids)"
+    return np.stack([starts, ends], axis=1)
+
+
+def _maxsim_scores_f64(q_tokens, doc_token_list):
+    """MaxSim(q, doc) = sum over query tokens of max over doc tokens of
+    dot, in float64 (shares no code with the JAX engines — the validator's
+    independent scorer, same contract as ops.maxsim.maxsim_oracle)."""
+    q = np.asarray(q_tokens, dtype=np.float64)
+    return np.array([(q @ np.asarray(d, dtype=np.float64).T).max(axis=1).sum()
+                     for d in doc_token_list])
+
+
+def validate_maxsim_files(data_dir, query_vector_fvec, base_vector_fvec,
+                          query_doc_map_ivec, base_doc_map_ivec,
+                          indices_ivec, distances_fvec, atol=1e-3,
+                          sample=256, exhaustive=None, seed=0) -> int:
+    """Artifact-level validator for the `ck --maxsim` ground truth — the
+    MaxSim analog of validate_files_v0/v1 (no reference counterpart: the
+    reference validators cover only flat kNN, parquet_to_format.py:351-491).
+    Works from the written files alone, proving the exported artifact set
+    is self-contained:
+
+    1. coherence — `neighbors` has one row per query passage in the doc-id
+       map, every neighbor id is a valid base passage id, and per-row
+       distances are monotonically nondecreasing (best-first negated
+       scores);
+    2. score check — for `sample` query passages (all, when fewer),
+       recompute MaxSim(qp, b) in float64 for every listed neighbor b and
+       check `-score == distance` within atol. Base passage tokens are
+       gathered with one sequential chunked scan (fvec.read_selected), so
+       arbitrarily large base exports validate in O(selected) memory;
+    3. optimality — when `exhaustive` (default: auto for small bases),
+       score the sampled queries against EVERY base passage and check no
+       unlisted passage beats the written k-th score by more than atol:
+       a true top-k proof from the artifacts.
+
+    Returns the total mismatch count (0 = valid)."""
+    from neighborhoodwatch_tpu.utils.naming import get_full_filename
+
+    q_tokens = _read(data_dir, query_vector_fvec)
+    q_ranges = _doc_token_ranges(_read(data_dir, query_doc_map_ivec))
+    b_map = _read(data_dir, base_doc_map_ivec).ravel()
+    b_ranges = _doc_token_ranges(b_map)
+    indices = _read(data_dir, indices_ivec).astype(np.int64)
+    distances = _read(data_dir, distances_fvec)
+    n_q_docs, n_b_docs = len(q_ranges), len(b_ranges)
+
+    # 1. coherence
+    assert len(q_tokens) == int(q_ranges[-1, 1]), \
+        f"query doc map covers {q_ranges[-1, 1]} rows, fvec has {len(q_tokens)}"
+    assert indices.shape[0] == n_q_docs, \
+        f"neighbors rows {indices.shape[0]} != query passage count {n_q_docs}"
+    assert indices.shape == distances.shape
+    assert indices.min() >= 0 and indices.max() < n_b_docs, \
+        f"neighbor ids outside [0, {n_b_docs})"
+    mono_viol = np.diff(distances, axis=1) < -1e-6
+    assert not mono_viol.any(), \
+        f"distances not monotonically nondecreasing for rows " \
+        f"{np.nonzero(mono_viol.any(1))[0][:10]}"
+
+    rng = np.random.default_rng(seed)
+    if n_q_docs <= sample:
+        q_sel = np.arange(n_q_docs)
+    else:
+        q_sel = np.sort(rng.choice(n_q_docs, size=sample, replace=False))
+
+    n_b_tokens = int(b_ranges[-1, 1])
+    if exhaustive is None:
+        # auto: full-base optimality when the float64 rescore is cheap
+        # (sampled query tokens x all base tokens x dim <= ~2 GFLOP)
+        q_tok_sample = int((q_ranges[q_sel, 1] - q_ranges[q_sel, 0]).sum())
+        exhaustive = (q_tok_sample * n_b_tokens * q_tokens.shape[1]
+                      <= 2 * 10**9)
+
+    base_full = get_full_filename(data_dir, base_vector_fvec)
+    if exhaustive:
+        b_tokens = fvec.read_vectors(base_full)
+        assert len(b_tokens) == n_b_tokens, \
+            f"base doc map covers {n_b_tokens} rows, fvec has {len(b_tokens)}"
+        doc_of = lambda p: b_tokens[b_ranges[p, 0]:b_ranges[p, 1]]
+    else:
+        # gather only the listed neighbors' token rows: one sequential scan
+        need = np.unique(indices[q_sel])
+        rows = np.concatenate([np.arange(b_ranges[p, 0], b_ranges[p, 1])
+                               for p in need])
+        gathered = fvec.read_selected(base_full, rows)
+        bounds = np.cumsum([b_ranges[p, 1] - b_ranges[p, 0] for p in need])
+        parts = np.split(gathered, bounds[:-1])
+        by_id = {int(p): t for p, t in zip(need, parts)}
+        doc_of = lambda p: by_id[int(p)]
+
+    k = indices.shape[1]
+    total_mismatch = 0
+    opt_viol = 0
+    for qi in q_sel:
+        qt = q_tokens[q_ranges[qi, 0]:q_ranges[qi, 1]]
+        scores = _maxsim_scores_f64(qt, [doc_of(p) for p in indices[qi]])
+        bad = ~np.isclose(-scores, distances[qi].astype(np.float64),
+                          atol=atol)
+        for j in np.nonzero(bad)[0][:3]:
+            print(f"query passage {qi} neighbor {indices[qi, j]} (rank {j}): "
+                  f"recomputed -MaxSim {-scores[j]:.6f} vs written "
+                  f"distance {distances[qi, j]:.6f}")
+        total_mismatch += int(bad.sum())
+        if exhaustive:
+            all_scores = _maxsim_scores_f64(
+                qt, [b_tokens[s:e] for s, e in b_ranges])
+            kth = -distances[qi, k - 1]          # written k-th best score
+            unlisted = np.ones(n_b_docs, dtype=bool)
+            unlisted[indices[qi]] = False
+            beat = all_scores[unlisted] > kth + atol
+            if beat.any():
+                worst = all_scores[unlisted].max()
+                print(f"query passage {qi}: unlisted base passage scores "
+                      f"{worst:.6f} > written k-th score {kth:.6f}")
+                opt_viol += int(beat.sum())
+    if exhaustive:
+        print(f"Optimality violations (unlisted passage beats written "
+              f"k-th): {opt_viol}")
+        total_mismatch += opt_viol
+    print(f"Total mismatch count: {total_mismatch}")
+    return total_mismatch
+
+
 def dot_product(a, b):
     """(reference: parquet_to_format.py:494-495 — kept for API parity,
     vectorized)"""

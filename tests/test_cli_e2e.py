@@ -137,10 +137,14 @@ def test_ck_maxsim_mesh_end_to_end(tmp_path):
     assert np.all(np.diff(dist, axis=1) >= -1e-5)
 
 
-def test_ck_maxsim_end_to_end(tmp_path):
+def test_ck_maxsim_end_to_end(tmp_path, capsys):
     qt, bt, k = 120, 600, 5
     ck_main([str(qt), str(bt), "-k", str(k), "--synthetic", "-es", "small",
-             "--maxsim", "--data-dir", str(tmp_path)])
+             "--maxsim", "--post-validation", "--yes",
+             "--data-dir", str(tmp_path)])
+    # --post-validation recomputes MaxSim in float64 from the written
+    # artifacts alone (incl. the exhaustive optimality check at this size)
+    assert "Total mismatch count: 0" in capsys.readouterr().out
     data_dir = naming.get_model_data_homedir(str(tmp_path), "colbertv2.0",
                                              qt, bt, k)
     # maxsim mode: neighbors are passage ids, distances negative MaxSim

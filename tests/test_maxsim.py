@@ -491,3 +491,64 @@ def test_streaming_maxsim_finalize_requires_k_docs(rng):
     eng.update(d, dm)
     with pytest.raises(AssertionError, match="saw only 4"):
         eng.finalize()
+
+
+def test_validate_maxsim_files_catches_corruption(tmp_path, rng):
+    """The maxsim artifact validator must (a) pass pristine artifacts,
+    (b) catch a corrupted distance, (c) catch a wrong neighbor id whose
+    written distance was forged to look consistent (optimality check)."""
+    from neighborhoodwatch_tpu.io import fvec
+    from neighborhoodwatch_tpu.validate import validate_maxsim_files
+
+    dim, k = 8, 3
+    q_docs = [rng.standard_normal((int(rng.integers(2, 5)), dim))
+              .astype(np.float32) for _ in range(6)]
+    b_docs = [rng.standard_normal((int(rng.integers(2, 6)), dim))
+              .astype(np.float32) for _ in range(20)]
+
+    # float64 ground truth (the oracle used by every engine test)
+    scores = np.array([[ (q.astype(np.float64) @ b.astype(np.float64).T)
+                         .max(axis=1).sum() for b in b_docs]
+                       for q in q_docs])
+    idx = np.argsort(-scores, axis=1, kind="stable")[:, :k].astype(np.int32)
+    dist = -np.take_along_axis(scores, idx.astype(np.int64), axis=1)
+
+    d = str(tmp_path)
+    names = dict(query_vector_fvec="q.fvec", base_vector_fvec="b.fvec",
+                 query_doc_map_ivec="qmap.ivec",
+                 base_doc_map_ivec="bmap.ivec",
+                 indices_ivec="n.ivec", distances_fvec="dist.fvec")
+    fvec.write_vectors(f"{d}/q.fvec", np.concatenate(q_docs), "f")
+    fvec.write_vectors(f"{d}/b.fvec", np.concatenate(b_docs), "f")
+    fvec.write_vectors(f"{d}/qmap.ivec", np.concatenate(
+        [np.full(len(t), i, np.int32) for i, t in enumerate(q_docs)])[:, None], "i")
+    fvec.write_vectors(f"{d}/bmap.ivec", np.concatenate(
+        [np.full(len(t), i, np.int32) for i, t in enumerate(b_docs)])[:, None], "i")
+    fvec.write_vectors(f"{d}/n.ivec", idx, "i")
+    fvec.write_vectors(f"{d}/dist.fvec", dist.astype(np.float32), "f")
+
+    assert validate_maxsim_files(d, **names) == 0          # pristine
+
+    bad_dist = dist.copy()
+    bad_dist[2, 1] += 0.25                                  # corrupt a score
+    fvec.write_vectors(f"{d}/dist.fvec", bad_dist.astype(np.float32), "f")
+    assert validate_maxsim_files(d, **names) >= 1
+
+    # forge a consistent-looking wrong neighbor: replace query 0's true
+    # best with the WORST passage and write its true (recomputed) score,
+    # so the per-neighbor score check passes — only the exhaustive
+    # optimality check can catch it
+    worst = int(np.argsort(-scores[0])[-1])
+    bad_idx, bad_dist = idx.copy(), dist.copy()
+    bad_idx[0, 0] = worst
+    bad_dist[0, 0] = -scores[0, worst]
+    order = np.argsort(bad_dist[0], kind="stable")          # keep monotone
+    bad_idx[0], bad_dist[0] = bad_idx[0][order], bad_dist[0][order]
+    fvec.write_vectors(f"{d}/n.ivec", bad_idx, "i")
+    fvec.write_vectors(f"{d}/dist.fvec", bad_dist.astype(np.float32), "f")
+    assert validate_maxsim_files(d, **names) >= 1
+
+    # sampled (non-exhaustive) mode still validates pristine artifacts
+    fvec.write_vectors(f"{d}/n.ivec", idx, "i")
+    fvec.write_vectors(f"{d}/dist.fvec", dist.astype(np.float32), "f")
+    assert validate_maxsim_files(d, exhaustive=False, sample=4, **names) == 0
