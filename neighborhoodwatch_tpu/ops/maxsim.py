@@ -48,7 +48,13 @@ def maxsim_scores(queries, q_mask, docs, d_mask, precision: str = "highest"):
     sims = jnp.where(d_mask.reshape(1, d_n * td), sims, NEG)
     per_qtok = jnp.max(sims.reshape(q_n * tq, d_n, td), axis=2)  # (Qt, D)
     per_qtok = jnp.where(q_mask.reshape(q_n * tq, 1), per_qtok, 0.0)
-    return jnp.sum(per_qtok.reshape(q_n, tq, d_n), axis=1)       # (Q, D)
+    scores = jnp.sum(per_qtok.reshape(q_n, tq, d_n), axis=1)     # (Q, D)
+    # garbage docs (inf/NaN upstream embeddings) produce NaN scores, and
+    # NaN WINS lax.top_k — the bug class fixed for the knn engines (ops.knn
+    # sanitizes NaN distances to +inf) existed here too. Match the fused
+    # kernel's contract (maxsim_kernel.py: NaN negscore -> +inf): any NaN
+    # in a doc's score makes that doc LOSE in every engine.
+    return jnp.where(jnp.isnan(scores), NEG, scores)
 
 
 def pad_token_lists(token_lists, dim, max_tokens=None):

@@ -31,15 +31,22 @@ K = 10
 DIMENSIONS = 384
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    """Function-scoped: each test gets its own deterministic stream, so
+    test data never depends on suite execution order (r3 test review: the
+    old session-scoped mutable rng made every exact engine-vs-oracle
+    index assertion downstream of any added/reordered test a potential
+    order-dependent flake)."""
     return np.random.default_rng(42)
 
 
 @pytest.fixture(scope="session")
-def normalized_vectors(rng):
+def normalized_vectors():
     """Synthetic L2-normalized vectors — the reference's hermetic kNN test
-    input (reference: tests/test_02_cu_knn.py:10-41)."""
+    input (reference: tests/test_02_cu_knn.py:10-41). Own rng: immutable
+    session-cached data, independent of the function-scoped `rng` stream."""
+    rng = np.random.default_rng(42)
     q = rng.standard_normal((QUERY_COUNT, DIMENSIONS)).astype(np.float32)
     b = rng.standard_normal((BASE_COUNT, DIMENSIONS)).astype(np.float32)
     q /= np.linalg.norm(q, axis=1, keepdims=True)

@@ -186,7 +186,14 @@ def test_ck_maxsim_end_to_end(tmp_path, capsys):
         assert f["distances"].attrs["semantics"] == "negated_maxsim_scores"
         assert np.array_equal(np.asarray(f["test_doc_ids"])[:, 0], q_ids)
         # reconstruct query passage 0's tokens from the files alone and
-        # check it matches the test group rows the map points at
+        # check the hdf5 `test` rows the map points at are byte-identical
+        # to the fvec token rows (r3 test review: the comparison this
+        # block was added for was missing — only shapes were checked)
         rows = np.nonzero(q_ids == 0)[0]
         assert np.asarray(f["test"]).shape == (qt, 128)
         assert len(rows) > 0
+        qfvecs = glob.glob(f"{data_dir}/*_query_vectors_*.fvec")
+        assert qfvecs
+        q_tok = fv.read_vectors(qfvecs[0])
+        np.testing.assert_array_equal(np.asarray(f["test"])[rows],
+                                      q_tok[rows])

@@ -124,8 +124,7 @@ def test_generate_query_and_base_datasets(tmp_path):
 
 def test_zero_embedding_rows_are_skipped(tmp_path):
     ds = synthetic_dataset("query", 30)
-    # make some rows fail -> zero vectors -> skipped, still reach count
-    g = _DetGenerator(fail_marker=None)
+    # make one row fail -> zero vector -> skipped, still reach count
     marked = [dict(r) for r in ds]
     marked[2]["question"] = "POISON sentence."
     ds.rows = marked
@@ -136,6 +135,10 @@ def test_zero_embedding_rows_are_skipped(tmp_path):
                                          "intfloat/e5-small-v2", generator=g)
     streamer.close()
     assert processed == 10
+    # the poison injection must actually have engaged (r3 test review: with
+    # skipped unchecked, a refactor that stops feeding the marked row would
+    # leave this test passing while testing nothing)
+    assert skipped == 1
     mat = read_embeddings(str(tmp_path), "z.parquet")
     assert not np.any(np.all(mat == 0, axis=1))
 

@@ -19,19 +19,16 @@ def _toy(rng, q_n=6, d_n=40, dim=32, tq=7, td=11):
 
 
 def test_maxsim_scores_match_oracle(rng):
+    """Dense engine scores == the float64 oracle. The oracle returns
+    score-sorted rows with indices, so un-sort its output back to the dense
+    layout instead of duplicating its masking loop inline (r3 test review:
+    the inline copy could silently diverge from the oracle every other
+    test uses)."""
     q, qm, d, dm = _toy(rng)
     got = np.asarray(maxsim_scores(q, qm, d, dm))
-    exp, _ = maxsim_oracle(q, qm, d, dm, k=d.shape[0])
-    # oracle returns sorted scores; compare the dense matrix instead
-    q64 = q.astype(np.float64)
-    dense = np.zeros((q.shape[0], d.shape[0]))
-    for qi in range(q.shape[0]):
-        for di in range(d.shape[0]):
-            sims = q64[qi] @ d[di].astype(np.float64).T
-            sims[:, ~dm[di]] = -np.inf
-            per_tok = sims.max(axis=1)
-            per_tok[~qm[qi]] = 0.0
-            dense[qi, di] = per_tok.sum()
+    exp_scores, exp_idx = maxsim_oracle(q, qm, d, dm, k=d.shape[0])
+    dense = np.empty_like(exp_scores)
+    np.put_along_axis(dense, exp_idx, exp_scores, axis=1)
     np.testing.assert_allclose(got, dense, atol=1e-4)
 
 
@@ -493,13 +490,15 @@ def test_streaming_maxsim_finalize_requires_k_docs(rng):
         eng.finalize()
 
 
-def test_validate_maxsim_files_catches_corruption(tmp_path, rng):
+def test_validate_maxsim_files_catches_corruption(tmp_path):
     """The maxsim artifact validator must (a) pass pristine artifacts,
     (b) catch a corrupted distance, (c) catch a wrong neighbor id whose
-    written distance was forged to look consistent (optimality check)."""
+    written distance was forged to look consistent (optimality check).
+    Local rng: the data must not depend on suite execution order."""
     from neighborhoodwatch_tpu.io import fvec
     from neighborhoodwatch_tpu.validate import validate_maxsim_files
 
+    rng = np.random.default_rng(7)
     dim, k = 8, 3
     q_docs = [rng.standard_normal((int(rng.integers(2, 5)), dim))
               .astype(np.float32) for _ in range(6)]
@@ -530,7 +529,9 @@ def test_validate_maxsim_files_catches_corruption(tmp_path, rng):
     assert validate_maxsim_files(d, **names) == 0          # pristine
 
     bad_dist = dist.copy()
-    bad_dist[2, 1] += 0.25                                  # corrupt a score
+    # corrupt the LAST column: keeps per-row monotonicity so the coherence
+    # assert cannot preempt the score check this case is about
+    bad_dist[2, -1] += 0.25
     fvec.write_vectors(f"{d}/dist.fvec", bad_dist.astype(np.float32), "f")
     assert validate_maxsim_files(d, **names) >= 1
 
@@ -552,3 +553,47 @@ def test_validate_maxsim_files_catches_corruption(tmp_path, rng):
     fvec.write_vectors(f"{d}/n.ivec", idx, "i")
     fvec.write_vectors(f"{d}/dist.fvec", dist.astype(np.float32), "f")
     assert validate_maxsim_files(d, exhaustive=False, sample=4, **names) == 0
+
+
+def test_maxsim_garbage_docs_never_win():
+    """Docs containing inf tokens (bad upstream embeddings) produce NaN
+    MaxSim scores, and NaN WINS lax.top_k — the bug class fixed for the
+    knn engines (test_screened_garbage_base_rows_never_win) existed in the
+    exact MaxSim paths too (r3 test review: the fused kernel sanitizes NaN
+    negscores, the exact scorer did not). Contract, every engine: any NaN
+    in a doc's score makes that doc lose; finite docs rank exactly as the
+    float64 oracle says."""
+    rng = np.random.default_rng(123)
+    dim, k, n_docs = 16, 6, 64
+    qs = [rng.standard_normal((3, dim)).astype(np.float32) for _ in range(4)]
+    ds = [rng.standard_normal((4, dim)).astype(np.float32)
+          for _ in range(n_docs)]
+    bad = [5, 17, 18, 40]
+    for j, b in enumerate(bad):          # all-inf and mixed-sign inf tokens
+        ds[b] = np.full((4, dim), np.inf if j % 2 else -np.inf,
+                        dtype=np.float32)
+        ds[b][0, ::2] *= -1              # mixed signs -> NaN dots
+    q, qm = pad_token_lists(qs, dim)
+    d, dm = pad_token_lists(ds, dim)
+
+    finite = [i for i in range(n_docs) if i not in bad]
+    exp_s, exp_local = maxsim_oracle(q[:, :, :], qm,
+                                     d[finite], dm[finite], k=k)
+    exp_idx = np.asarray(finite, dtype=np.int64)[exp_local]
+
+    # exact tiled engine
+    s1, i1 = maxsim_topk(q, qm, d, dm, k=k, tile_docs=16)
+    np.testing.assert_array_equal(np.asarray(i1), exp_idx)
+    np.testing.assert_allclose(np.asarray(s1), exp_s, atol=1e-4)
+
+    # streaming engine (exact auto path on CPU), uneven tiles
+    eng = StreamingMaxSim(q, qm, k=k)
+    eng.update(d[:40], dm[:40], 0)
+    eng.update(d[40:], dm[40:], 40)
+    s2, i2 = eng.finalize()
+    np.testing.assert_array_equal(np.asarray(i2), exp_idx)
+
+    # dense scorer: garbage docs carry the sentinel losing score, not NaN
+    dense = np.asarray(maxsim_scores(q, qm, d, dm))
+    assert np.isfinite(dense).all()
+    assert (dense[:, bad] <= -1e29).all()

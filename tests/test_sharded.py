@@ -69,13 +69,22 @@ def test_ring_knn_cosine(mesh2x4, normalized_vectors):
 
 
 def test_explicit_shardings_compile(mesh8, normalized_vectors):
-    """Placing inputs with NamedSharding before the call keeps data resident
-    (no implicit reshard)."""
+    """Inputs pre-placed with the module's own NamedShardings must be
+    ACCEPTED as-is: the shard_map in_specs match query_sharding /
+    base_sharding, so the pre-placed arrays keep their sharding (checked
+    below — an in_spec drift would silently gather/reshard) and the result
+    matches the single-device reference."""
     q, b = normalized_vectors
     b = b[:960]
     qd = jax.device_put(q, query_sharding(mesh8))
     bd = jax.device_put(b, base_sharding(mesh8))
     d, i = sharded_knn(qd, bd, k=10, mesh=mesh8)
+    # the placed inputs still carry the shardings the kernel consumes
+    # directly (r3 test review: the docstring claimed residency, nothing
+    # asserted it)
+    assert qd.sharding.is_equivalent_to(query_sharding(mesh8), qd.ndim)
+    assert bd.sharding.is_equivalent_to(base_sharding(mesh8), bd.ndim)
+    assert len(d.sharding.device_set) == 8, "result not mesh-distributed"
     ref_d, ref_i = knn(q, b, k=10)
     np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
 

@@ -146,8 +146,10 @@ def test_sharded_maxsim_forced_repair_is_exact(monkeypatch):
     import neighborhoodwatch_tpu.ops.maxsim as ms
 
     real_select = ms._maxsim_select
+    calls = []
 
     def failing_select(*args, **kwargs):
+        calls.append(1)
         sk_, dk_, ok = real_select(*args, **kwargs)
         import jax.numpy as jnp
         return sk_, dk_, jnp.zeros_like(ok)
@@ -168,6 +170,12 @@ def test_sharded_maxsim_forced_repair_is_exact(monkeypatch):
     acc = ShardedStreamingMaxSim(q, qm, k=k, mesh=mesh, engine="screened")
     acc.update(docs, dm, 0)
     s, i = acc.finalize()
+
+    # the monkeypatch only takes on a FRESH jit trace (the select is bound
+    # at trace time); if a cache hit defused it, this test proved nothing
+    # (r3 test review) — the unique (q_n, tq, dim, k) shapes above are what
+    # keeps the trace fresh, and this assert makes a regression loud
+    assert calls, "forced-failure select never ran: jit trace-cache hit"
 
     ref_s, ref_i = maxsim_topk(q, qm, docs, dm, k=k, tile_docs=2048)
     np.testing.assert_array_equal(i, np.asarray(ref_i))

@@ -31,13 +31,25 @@ def test_verified_engine_tiled(normalized_vectors):
 
 def test_verified_engine_with_ties(rng):
     """Duplicated base rows force exact distance ties — the proof's
-    tie-tolerant count argument must still produce a correct set."""
+    tie-tolerant count argument must still produce a correct set. Under
+    exact ties the top-k SET is not unique, so the index contract is:
+    no duplicates per row, and every returned index points at a base row
+    whose true distance matches the reported one (r3 test review: the old
+    distances-only assert let wrong/duplicated tied indices pass)."""
     q = rng.standard_normal((16, 64)).astype(np.float32)
     b0 = rng.standard_normal((128, 64)).astype(np.float32)
     b = np.concatenate([b0, b0[:32], b0[:32]], axis=0)  # triplicate ties
     de, ie = knn(q, b, k=12, engine="exact")
     dv, iv = knn(q, b, k=12, engine="verified")
     np.testing.assert_allclose(np.asarray(dv), np.asarray(de), atol=1e-7)
+    q64, b64 = q.astype(np.float64), b.astype(np.float64)
+    for dists, idx in ((de, ie), (dv, iv)):
+        idx = np.asarray(idx)
+        assert all(len(set(row)) == len(row) for row in idx.tolist()), \
+            "duplicate neighbor indices within a row"
+        true_d = np.array([
+            ((q64[i] - b64[idx[i]]) ** 2).sum(axis=1) for i in range(len(q))])
+        np.testing.assert_allclose(np.asarray(dists), true_d, atol=1e-5)
 
 
 def test_select_engine_on_cpu():
