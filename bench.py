@@ -471,12 +471,13 @@ def main():
 
     if (args.select_m is None and engine == "screened"
             and args.screen_precision == "default"):
-        # measured on the headline workload: the 1-pass tier's computed
-        # certificate eps certifies 9996/10k at m=128 just as at the
-        # library default m=192 (the 4 failures are bin collisions,
-        # m-independent), and the narrower merge+re-rank saves ~0.02s.
-        # The library keeps m=192 for clustered real-world corpora;
-        # exactness never depends on m (in-run recall check below).
+        # measured on the headline workload (post worst-case-soundness
+        # guards): the 1-pass tier's computed certificate eps fails
+        # 61/10k at m=128 vs 36/10k at m=192 — both far inside the one
+        # 128-row repair quantum (ops.knn._repair_budget), so the
+        # narrower merge+re-rank nets its ~0.02s with zero extra repair
+        # cost. The library keeps m=192 for clustered real-world
+        # corpora; exactness never depends on m (recall check below).
         args.select_m = 128
         log("select_m: bench default 128 for the 1-pass tier "
             "(library plan stays 192; pass --select-m to override)")

@@ -16,6 +16,7 @@ The same running-top-k update is reused by the multi-chip path
 (parallel/sharded_knn.py) and by the streaming pipeline (core/pipeline.py).
 """
 
+import math
 from functools import partial
 from typing import NamedTuple
 
@@ -550,15 +551,41 @@ def _screen_plan(n_base: int, k: int, dim: int, sub_width: int,
     return cap, m, _gather_block(m, dim)
 
 
-def _repair_budget(q_count: int, max_fallback: int | None) -> int:
-    """In-trace certificate-repair row budget. None -> max(128, Q/64):
-    ~4x the wide (sub=112) tier's measured ~0.4% expected failure count at
-    any batch size, for <=1.6% of a verified pass in repair cost — a fixed
-    128 sat ~3 sigma from the whole-tile-recompute cliff at Q=24576
-    (r3 review)."""
-    if max_fallback is None:
-        max_fallback = max(128, q_count // 64)
-    return min(max_fallback, q_count)
+def _repair_budget(q_count: int, max_fallback: int | None,
+                   sub_width: int | None = None, k: int = 100) -> int:
+    """In-trace certificate-repair row budget, sized in 128-row quanta.
+
+    None -> statistical sizing. Certificate failures are ~Poisson with
+    mean lambda = p*Q; p is the measured per-query failure rate of the
+    screen tier in play (0.61% measured at sub=112 on the 10k x 1M x
+    1536 headline — bin collisions dominate; ~0.1% at sub=56; both at
+    k=100, and collision intensity between tiers scales ~quadratically
+    with k). The budget is the smallest multiple of 128 whose Chernoff
+    tail P(X >= nb) <= 1e-9 — overflow means a lax.cond recomputes the
+    whole tile verified (a ~18x cliff measured on the headline), so the
+    bound is on a *perf* cliff, never on exactness.
+
+    Why this shape (both r3-review follow-ups, measured on v5e):
+    - a FIXED 128 sat ~3 sigma from the cliff at Q=24576 (expected ~150
+      failures there beats the budget outright);
+    - the linear max(128, Q/64) fix overshot the other way: repair cost
+      is STEP-QUANTIZED, not per-row — the repair scan re-derives its
+      base tile from the row count, and nb=156 measured SLOWER than
+      nb=256 (0.52 vs 0.50 s/call end-to-end) while nb=128 runs 0.44;
+      Q/64=156 at the 10k headline was an 18% regression for margin
+      the Poisson tail (4e-13 at lambda=61, nb=128) never needed."""
+    if max_fallback is not None:
+        return min(max_fallback, q_count)
+    p = 0.002 if sub_width == 56 else 0.0065
+    lam = p * q_count * max(1.0, k / 100.0) ** 2
+    nb = 128
+    # Chernoff: P(Poisson(lam) >= n) <= exp((n - lam) - n*ln(n/lam)),
+    # valid only past the mean — below it the tail is ~1, keep stepping
+    while nb < q_count and (
+            nb <= lam
+            or nb - lam - nb * math.log(nb / max(lam, 1e-9)) > -20.7):
+        nb += 128
+    return min(nb, q_count)
 
 
 @partial(jax.jit, static_argnames=("k", "metric", "screen_precision",
@@ -581,12 +608,11 @@ def screened_knn_traced(query, base, n_valid, base_offset, k: int,
     observed: measured rates are ~0.04%), a lax.cond recomputes the whole
     tile verified. Either way the result is exact.
 
-    `max_fallback=None` (the default) scales the repair budget with the
-    query batch: max(128, Q/64). A FIXED 128 put big batches too close to
-    the whole-tile-recompute cliff — at Q=24576 on the sub=112 wide tier
-    the expected failure count (~0.4% measured) is ~98, only ~3 sigma
-    under the budget (r3 review); Q/64 keeps a ~4x expected-count margin
-    at every size for ~1.6% of a verified pass in repair cost."""
+    `max_fallback=None` (the default) sizes the repair budget
+    statistically from the screen tier's measured failure rate and the
+    batch size, in 128-row quanta (see `_repair_budget`): 128 at the 10k
+    headline, stepping to 256+ before big batches get within Chernoff
+    reach (1e-9) of the whole-tile-recompute cliff."""
     query = jnp.asarray(query, dtype=jnp.float32)
     base = jnp.asarray(base, dtype=jnp.float32)
     q_count, dim = query.shape
@@ -647,7 +673,7 @@ def screened_knn_traced(query, base, n_valid, base_offset, k: int,
 
     # ---- in-trace repair of certificate failures ----
     fail = jnp.logical_not(ok)
-    nb = _repair_budget(q_count, max_fallback)
+    nb = _repair_budget(q_count, max_fallback, sub_width, k)
     # top_k over the 0/1 mask yields the first nb failed row ids (stable
     # lowest-index tie-break); non-failed fillers are masked via `take`
     _, rows = jax.lax.top_k(fail.astype(jnp.int32), nb)

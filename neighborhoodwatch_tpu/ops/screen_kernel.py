@@ -82,13 +82,14 @@ def pick_sub(n_rows: int, k: int | None = None,
     tier is measured ~0.4% repairs at k=100 / >=8 megas, but would blow
     past repair budgets at k ~ several hundred. The rate also scales the
     EXPECTED FAILURE COUNT with the query batch: screened_knn_traced
-    repairs up to max(128, Q/64) rows in-trace before a lax.cond
-    recomputes the whole tile verified — the Q/64 budget keeps ~4x
-    expected-count margin over the wide tier's 0.4% at any Q, and the
-    q_rows gate below drops very large batches to sub=56 (~0.1%, 15x
-    margin) as a second line of defense (r3 review findings). q_rows=None
-    means the caller's repair path has no such cliff (the host path
-    re-solves any number of failed rows); k unknown -> the safe 56."""
+    repairs a statistically-sized budget of rows in-trace (128-row
+    quanta, Chernoff tail <= 1e-9 over the tier's measured rate — see
+    ops.knn._repair_budget) before a lax.cond recomputes the whole tile
+    verified, and the q_rows gate below drops very large batches to
+    sub=56 (~0.1% rate) as a second line of defense (r3 review
+    findings). q_rows=None means the caller's repair path has no such
+    cliff (the host path re-solves any number of failed rows); k
+    unknown -> the safe 56."""
     if n_rows < _BIG_BASE:
         return SUB_PER_MEGA
     wide_ok = (k is not None and k <= 150

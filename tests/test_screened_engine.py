@@ -303,14 +303,29 @@ def test_screen_kernel_wide_tier_positions():
 
 def test_repair_budget_scales_with_batch():
     """The in-trace certificate-repair budget must scale with the query
-    batch: a fixed 128 sat ~3 sigma from the whole-tile-recompute cliff at
-    Q=24576 on the wide screen tier (r3 review)."""
+    batch (a fixed 128 sat ~3 sigma from the whole-tile-recompute cliff
+    at Q=24576 on the wide tier — r3 review) BUT in 128-row quanta that
+    keep the 10k headline at exactly 128: repair cost is step-quantized
+    (nb=156 measured slower than nb=256 and +18% over nb=128 end-to-end
+    on v5e), and the Poisson tail at lambda~61 makes 128 a 4e-13 risk."""
     from neighborhoodwatch_tpu.ops.knn import _repair_budget
-    assert _repair_budget(10_000, None) == 156          # Q/64 > 128
-    assert _repair_budget(1_000, None) == 128           # floor
-    assert _repair_budget(64, None) == 64               # never exceeds Q
-    assert _repair_budget(24_576, None) == 384          # ~4x expected 98
-    assert _repair_budget(24_576, 200) == 200           # explicit wins
+    # headline: Q=10k on the wide (sub=112) tier stays at the 128 floor
+    assert _repair_budget(10_000, None, 112, 100) == 128
+    assert _repair_budget(1_000, None, 112, 100) == 128     # floor
+    assert _repair_budget(64, None, 112, 100) == 64         # never > Q
+    # big batches step up BEFORE the cliff gets within Chernoff reach
+    assert _repair_budget(24_576, None, 112, 100) == 256
+    # the narrow tier's lower failure rate sizes smaller at the same Q
+    assert _repair_budget(100_000, None, 56, 100) == 384
+    assert _repair_budget(100_000, None, 112, 100) >= 768
+    # k above the measured 100 inflates the expected-failure intensity
+    assert (_repair_budget(24_576, None, 56, 150)
+            > _repair_budget(24_576, None, 56, 100))
+    assert _repair_budget(24_576, 200, 112, 100) == 200     # explicit wins
+    # budgets are always 128-row quanta (or Q itself)
+    for q in (5_000, 10_000, 20_000, 50_000):
+        nb = _repair_budget(q, None, 112, 100)
+        assert nb % 128 == 0
 
 
 def test_prepared_base_matches_unprepared():
