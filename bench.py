@@ -471,16 +471,16 @@ def main():
 
     if (args.select_m is None and engine == "screened"
             and args.screen_precision == "default"):
-        # measured on the headline workload (post worst-case-soundness
-        # guards): the 1-pass tier's computed certificate eps fails
-        # 61/10k at m=128 vs 36/10k at m=192 — both far inside the one
-        # 128-row repair quantum (ops.knn._repair_budget), so the
-        # narrower merge+re-rank nets its ~0.02s with zero extra repair
-        # cost. The library keeps m=192 for clustered real-world
-        # corpora; exactness never depends on m (recall check below).
-        args.select_m = 128
-        log("select_m: bench default 128 for the 1-pass tier "
-            "(library plan stays 192; pass --select-m to override)")
+        # measured on the headline workload with the SOUND certificate
+        # eps (the fold-proofed data-dependent bound): the 1-pass count
+        # certificate's candidate band is median 196 / max 248 wide, so
+        # m=256 covers it with zero merge overflows while the library
+        # default m=320 keeps ~30% extra headroom for clustered
+        # real-world corpora; the narrower re-rank saves ~0.035s.
+        # Exactness never depends on m (in-run recall check below).
+        args.select_m = 256
+        log("select_m: bench default 256 for the 1-pass tier "
+            "(library plan stays 320; pass --select-m to override)")
 
     base_arg = base
     prepared = engine == "screened" and not args.no_prepared_base

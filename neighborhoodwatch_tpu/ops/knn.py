@@ -199,9 +199,18 @@ def _gather_block(m: int, dim: int) -> int:
 
 def _merge_width(k: int, passes: int, cap: int) -> int:
     """Passes-aware default merge width m (measurement record in
-    _screen_plan's docstring), clamped to [k, cap]."""
-    m = max(128, round_up(k + 28, 64)) if passes >= 2 \
-        else max(192, round_up(k + 92, 64))
+    _screen_plan's docstring), clamped to [k, cap]. The width must cover
+    every candidate within eps of tau (the count certificate), and the
+    SOUND eps band is passes-dependent: measured c_all on the headline
+    is median 196 / max 248 at 1 pass (eps ~ 0.0088), median 152 / max
+    190 at 2 passes (eps ~ 0.0054), and collision-width only at 3
+    passes (eps ~ 2^-32-scale)."""
+    if passes >= 3:
+        m = max(128, round_up(k + 28, 64))
+    elif passes == 2:
+        m = max(256, round_up(k + 156, 64))
+    else:
+        m = max(320, round_up(k + 220, 64))
     return min(max(m, k), cap)
 
 
@@ -229,8 +238,12 @@ def _prepare_arrays(base):
     g = screen_kernel.norm_guard(base.shape[1])
     bn_row = jnp.sum(base * base, axis=1)
     bn_max = jnp.max(bn_row) * g
-    bhi = base.astype(jnp.bfloat16)
-    blo_n = jnp.sqrt(jnp.sum((base - bhi.astype(jnp.float32)) ** 2, axis=1))
+    # bf16_round, not astype: XLA folds an astype down/up pair under jit
+    # and the residual below becomes ZERO on TPU — the certificate-
+    # soundness bug class of screen_kernel.bf16_round's docstring
+    bhi_f = screen_kernel.bf16_round(base)
+    bhi = bhi_f.astype(jnp.bfloat16)
+    blo_n = jnp.sqrt(jnp.sum((base - bhi_f) ** 2, axis=1))
     blo_max = jnp.max(blo_n) * g
     ratio_max = jnp.max(jnp.where(bn_row > 0.0,
                                   blo_n * jax.lax.rsqrt(
@@ -301,13 +314,15 @@ def _screen_err_bounds(query, base, passes: int, base_stats=None):
     acc = _acc_rel(query.shape[1])
     d_err = qabs * (blo_max + acc * babs_max)
     r_err = qabs * (ratio_max + acc)
-    qhi = query.astype(jnp.bfloat16).astype(jnp.float32)
+    # bf16_round, not astype: the astype round-trip folds to the identity
+    # under jit on TPU, zeroing qlo/qres (screen_kernel.bf16_round doc)
+    qhi = screen_kernel.bf16_round(query)
     qlo = query - qhi                              # exact (Sterbenz)
     if passes == 1:
         qres = qlo                                 # drops qlo.bhi whole
     else:
         # 2-pass ships bf16(qlo): drops (qlo - bf16(qlo)).bhi
-        qres = qlo - qlo.astype(jnp.bfloat16).astype(jnp.float32)
+        qres = qlo - screen_kernel.bf16_round(qlo)
     qres_abs = jnp.sqrt(jnp.sum(qres * qres, axis=1)) * g
     # ||bhi|| <= (1 + 2^-8) ||b||
     d_err = d_err + qres_abs * 1.004 * babs_max
@@ -315,13 +330,41 @@ def _screen_err_bounds(query, base, passes: int, base_stats=None):
     return d_err, r_err, qabs
 
 
+def _exact_pair_dists(qb, cb, metric: str):
+    """Exact fp32 (HIGHEST) distances of qb[t] against its own candidate
+    rows cb[t]: (T, dim) x (T, M, dim) -> (T, M). ONE definition shared
+    by the select's blocked re-rank and the suspicious-bin repair — the
+    certificate's tau comes from these values, so two drifting copies of
+    the distance math would silently desync the proof."""
+    dots = jnp.einsum("td,tmd->tm", qb, cb,
+                      precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)
+    if metric in ("sqeuclidean", "euclidean"):
+        qn = jnp.sum(qb * qb, axis=1)
+        cn = jnp.sum(cb * cb, axis=2)
+        d = jnp.maximum(qn[:, None] + cn - 2.0 * dots, 0.0)
+        if metric == "euclidean":
+            d = jnp.sqrt(d)
+    elif metric == "cosine":
+        qn = jnp.sqrt(jnp.sum(qb * qb, axis=1))
+        cn = jnp.sqrt(jnp.sum(cb * cb, axis=2))
+        denom = jnp.maximum(qn[:, None] * cn, 1e-30)
+        d = 1.0 - dots / denom
+    else:  # dot
+        d = 1.0 - dots
+    return d
+
+
 @partial(jax.jit, static_argnames=("k", "m", "metric", "passes", "block"))
 def _screened_select(query, base, cand_d, cand_i, k: int, m: int,
                      metric: str, passes: int, block: int = 512,
                      base_stats=None):
     """Top-M merge of screened candidates + exact fp32 re-rank + exactness
-    certificate. Returns (dist, idx, ok) with ok a per-query bool: True
-    means the screened result is provably the exact k-NN set."""
+    certificate. Returns (dist, idx, ok, cert_merge, thresh): ok is the
+    per-query proof bit (bin AND count certificates); cert_merge and the
+    screen-space threshold are exposed so the caller's repair can
+    separate bin-flag failures (repairable from the suspicious bins
+    alone) from count failures (need a full rescan)."""
     q_count, dim = query.shape
     keep = screen_kernel.KEEP
     lanes = screen_kernel.LANES
@@ -351,24 +394,7 @@ def _screened_select(query, base, cand_d, cand_i, k: int, m: int,
 
     def refine_block(args):
         qb, ib = args
-        cb = base[ib]                                  # (block, m, dim)
-        dots = jnp.einsum("td,tmd->tm", qb, cb,
-                          precision=jax.lax.Precision.HIGHEST,
-                          preferred_element_type=jnp.float32)
-        if metric in ("sqeuclidean", "euclidean"):
-            qn = jnp.sum(qb * qb, axis=1)
-            cn = jnp.sum(cb * cb, axis=2)
-            d = jnp.maximum(qn[:, None] + cn - 2.0 * dots, 0.0)
-            if metric == "euclidean":
-                d = jnp.sqrt(d)
-        elif metric == "cosine":
-            qn = jnp.sqrt(jnp.sum(qb * qb, axis=1))
-            cn = jnp.sqrt(jnp.sum(cb * cb, axis=2))
-            denom = jnp.maximum(qn[:, None] * cn, 1e-30)
-            d = 1.0 - dots / denom
-        else:  # dot
-            d = 1.0 - dots
-        return d
+        return _exact_pair_dists(qb, base[ib], metric)  # (block, m)
 
     d_exact = jax.lax.map(
         refine_block,
@@ -446,7 +472,7 @@ def _screened_select(query, base, cand_d, cand_i, k: int, m: int,
     c_sel = jnp.sum((scr < thresh[:, None]).astype(jnp.int32), axis=1)
     cert_merge = c_all == c_sel
     ok = jnp.logical_and(cert_bins, cert_merge)
-    return dist, idx, ok
+    return dist, idx, ok, cert_merge, thresh
 
 
 def screened_knn(query, base, k: int, metric: str = "sqeuclidean",
@@ -456,7 +482,8 @@ def screened_knn(query, base, k: int, metric: str = "sqeuclidean",
 
     Screens the full base with bf16x3 ("high", ~2^-32 error), exact-q x
     bf16-base ("medium" — the default: 2/3 the matmul cost of high with
-    a measured 99.96% certificate pass rate on the headline workload) or
+    a measured ~98.8% certificate pass rate on the headline workload
+    under the sound fold-proofed eps) or
     bf16 ("default", 1 pass) MXU passes; the certificate eps for the
     1/2-pass tiers is computed per call from the data's actual bf16
     residual norms (_screen_err_bounds); keeps the 4 smallest per lane
@@ -499,9 +526,10 @@ def screened_knn(query, base, k: int, metric: str = "sqeuclidean",
                    else "exact")
     m = _merge_width(k, passes, cap) if m is None else min(max(m, k), cap)
     block = _gather_block(m, query.shape[1])
-    dist, idx, ok = _screened_select(query, base, cand_d, cand_i, k, m,
-                                     metric, passes, block=block,
-                                     base_stats=base_stats)
+    dist, idx, ok, _, _ = _screened_select(query, base, cand_d, cand_i,
+                                           k, m, metric, passes,
+                                           block=block,
+                                           base_stats=base_stats)
 
     ok_host = np.asarray(ok)
     if not ok_host.all():
@@ -536,48 +564,32 @@ def _screen_plan(n_base: int, k: int, dim: int, sub_width: int,
     represent k candidates and the caller must use another engine.
 
     The merge width m must cover every candidate within eps of the k-th
-    distance or the count certificate fails. With the data-dependent eps
-    (_screen_err_bounds, round 3) the tau+eps band shrank ~2.9x at the
-    computed tiers, and the measured headline (10k x 1M x 1536 k=100)
-    cert rates became 9996/10k at m=128 for BOTH high and medium (the 4
-    failures are bin collisions, m-independent; the static 2^-8 bound had
-    medium at 0/10k for m=128), and 9996/10k at m=192 for the 1-pass
-    tier. Margins keep ~2x headroom over the measured band for clustered
-    real-world corpora (certificate failures there cost repair time,
-    never exactness)."""
+    distance or the count certificate fails. Measurement record with the
+    SOUND fold-proofed eps (10k x 1M x 1536 k=100 headline, v5e): the
+    1-pass band (eps ~ 0.0088) holds median 196 / max 248 candidates —
+    m=256 leaves ZERO merge overflows and 370 bin-flag failures (class A,
+    repaired from the suspicious bins alone); the 2-pass band (eps ~
+    0.0054) is median 152 / max 190 — m=192 suffices, m=256 default
+    keeps headroom; 3-pass eps is 2^-32-scale, m=k+pad. Margins cost
+    re-rank time only — certificate failures cost repair time, never
+    exactness."""
     n_mega = -(-n_base // (screen_kernel.TB * sub_width))
     cap = n_mega * screen_kernel.LANES * (screen_kernel.KEEP - 1)
     m = _merge_width(k, passes, cap)
     return cap, m, _gather_block(m, dim)
 
 
-def _repair_budget(q_count: int, max_fallback: int | None,
-                   sub_width: int | None = None, k: int = 100) -> int:
-    """In-trace certificate-repair row budget, sized in 128-row quanta.
+def _chernoff_budget(q_count: int, rate: float, k: int = 100) -> int:
+    """Smallest 128-row multiple whose Poisson tail at lambda =
+    rate * Q * max(1, k/100)^2 is below 1e-9 (Chernoff), clamped to Q.
 
-    None -> statistical sizing. Certificate failures are ~Poisson with
-    mean lambda = p*Q; p is the measured per-query failure rate of the
-    screen tier in play (0.61% measured at sub=112 on the 10k x 1M x
-    1536 headline — bin collisions dominate; ~0.1% at sub=56; both at
-    k=100, and collision intensity between tiers scales ~quadratically
-    with k). The budget is the smallest multiple of 128 whose Chernoff
-    tail P(X >= nb) <= 1e-9 — overflow means a lax.cond recomputes the
-    whole tile verified (a ~18x cliff measured on the headline), so the
-    bound is on a *perf* cliff, never on exactness.
-
-    Why this shape (both r3-review follow-ups, measured on v5e):
-    - a FIXED 128 sat ~3 sigma from the cliff at Q=24576 (expected ~150
-      failures there beats the budget outright);
-    - the linear max(128, Q/64) fix overshot the other way: repair cost
-      is STEP-QUANTIZED, not per-row — the repair scan re-derives its
-      base tile from the row count, and nb=156 measured SLOWER than
-      nb=256 (0.52 vs 0.50 s/call end-to-end) while nb=128 runs 0.44;
-      Q/64=156 at the 10k headline was an 18% regression for margin
-      the Poisson tail (4e-13 at lambda=61, nb=128) never needed."""
-    if max_fallback is not None:
-        return min(max_fallback, q_count)
-    p = 0.002 if sub_width == 56 else 0.0065
-    lam = p * q_count * max(1.0, k / 100.0) ** 2
+    128-row quanta because repair cost is STEP-QUANTIZED, not per-row:
+    the full-rescan repair re-derives its base tile from the row count
+    and nb=156 measured SLOWER than nb=256 (0.52 vs 0.50 s/call
+    end-to-end on the headline) while nb=128 runs 0.44 — linear budgets
+    (the old max(128, Q/64)) bought margin the Poisson tail never
+    needed at an 18% headline cost."""
+    lam = rate * q_count * max(1.0, k / 100.0) ** 2
     nb = 128
     # Chernoff: P(Poisson(lam) >= n) <= exp((n - lam) - n*ln(n/lam)),
     # valid only past the mean — below it the tail is ~1, keep stepping
@@ -586,6 +598,41 @@ def _repair_budget(q_count: int, max_fallback: int | None,
             or nb - lam - nb * math.log(nb / max(lam, 1e-9)) > -20.7):
         nb += 128
     return min(nb, q_count)
+
+
+# measured per-query bin-flag (class A) failure rates with the SOUND
+# data-dependent eps (10k x 1M x 1536 k=100 normalized-gaussian
+# headline, v5e): 3.7% at 1 pass (eps ~ 0.0088 on tau ~ 1.81), 1.22% at
+# 2 passes (eps ~ 0.0054), collision-dominated <<1% at 3 passes — plus
+# ~35% headroom for denser real-world corpora. Keyed by MXU passes
+# because the flags are eps-band events, not bin-geometry events.
+_BIN_FLAG_RATE = {1: 0.05, 2: 0.02, 3: 0.004}
+
+# suspicious bins gathered per class-A repair row. Measured on the
+# headline: 365/370 failed queries had exactly ONE suspicious bin, the
+# rest two, none more (the flags are near-independent eps-band events);
+# queries with > REPAIR_BINS suspicious bins fall through to the
+# class-B full rescan.
+REPAIR_BINS = 2
+
+
+def _repair_budget(q_count: int, max_fallback: int | None,
+                   sub_width: int | None = None, k: int = 100) -> int:
+    """Class-B (full-rescan) certificate-repair row budget.
+
+    None -> statistical sizing via `_chernoff_budget` over the screen
+    tier's residual full-rescan rate. With the suspicious-bin repair
+    (class A) absorbing the eps-band bin flags, a full rescan is left
+    only merge-count overflows and > REPAIR_BINS multi-collisions
+    (measured ZERO of either on the headline at the planned m; the
+    0.65%/0.2% rates here keep clustered-corpus headroom). Overflow
+    beyond the budget means a lax.cond recomputes the whole tile
+    verified (a ~18x cliff), so this bounds a perf cliff, never
+    exactness."""
+    if max_fallback is not None:
+        return min(max_fallback, q_count)
+    p = 0.002 if sub_width == 56 else 0.0065
+    return _chernoff_budget(q_count, p, k)
 
 
 @partial(jax.jit, static_argnames=("k", "metric", "screen_precision",
@@ -602,17 +649,17 @@ def screened_knn_traced(query, base, n_valid, base_offset, k: int,
 
     `n_valid`/`base_offset` are traced scalars: rows >= n_valid are masked
     with +inf norms inside the kernel (static shard shape, dynamic fill).
-    Exactness: queries whose certificate fails are re-solved with the
-    verified engine — up to `max_fallback` rows via a static-size gather +
-    scatter (cost max_fallback/Q of a verified pass); if more fail (never
-    observed: measured rates are ~0.04%), a lax.cond recomputes the whole
-    tile verified. Either way the result is exact.
+    Exactness: certificate failures are repaired in two classes — bin
+    flags via an exact re-rank of the suspicious bins' members (class A,
+    ~99% of failures, provably sufficient when the count certificate
+    holds), everything else via a full-base verified rescan of up to
+    `max_fallback` rows (class B); if class B overflows its budget
+    (never observed), a lax.cond recomputes the whole tile verified.
+    Either way the result is exact.
 
-    `max_fallback=None` (the default) sizes the repair budget
-    statistically from the screen tier's measured failure rate and the
-    batch size, in 128-row quanta (see `_repair_budget`): 128 at the 10k
-    headline, stepping to 256+ before big batches get within Chernoff
-    reach (1e-9) of the whole-tile-recompute cliff."""
+    `max_fallback=None` (the default) sizes the class-B budget
+    statistically (see `_repair_budget`); the class-A budget follows
+    the tier's measured bin-flag rate (`_BIN_FLAG_RATE`)."""
     query = jnp.asarray(query, dtype=jnp.float32)
     base = jnp.asarray(base, dtype=jnp.float32)
     q_count, dim = query.shape
@@ -667,23 +714,125 @@ def screened_knn_traced(query, base, n_valid, base_offset, k: int,
         query, base, epilogue=_EPILOGUE_FOR_METRIC[metric],
         screen_precision=screen_precision, interpret=interpret,
         n_valid=n_valid, bn_row=bn_row, bhi=bhi, sub=sub_width)
-    dist, idx, ok = _screened_select(query, base, cand_d, cand_i, k, m,
-                                     metric, passes, block=block,
-                                     base_stats=base_stats)
+    dist, idx, ok, cert_merge, thresh = _screened_select(
+        query, base, cand_d, cand_i, k, m, metric, passes, block=block,
+        base_stats=base_stats)
 
-    # ---- in-trace repair of certificate failures ----
+    # ---- in-trace repair of certificate failures, two classes ----
+    #
+    # Class A — suspicious-bin repair (the overwhelming majority with the
+    # honestly-sized eps): the query failed ONLY because some lane bins
+    # could not prove their unkept members sit beyond tau (bin KEEP-th
+    # min < thresh). Given the merge count certificate held, the true
+    # top-k is PROVABLY contained in (returned top-k) U (every member of
+    # the suspicious bins): a true neighbor in a non-suspicious bin is
+    # either beyond thresh (bin certificate) or in the merge pool below
+    # thresh, hence selected (count certificate) and in the returned
+    # top-k (a true top-k member cannot rank past k within a subset of
+    # real rows). So an exact re-rank of S bins x sub*8 gathered rows
+    # per failed query replaces the full-base rescan — ~0.01s where the
+    # rescan cost 0.1-0.4s at the sound failure rates.
+    lanes = screen_kernel.LANES
+    keep = screen_kernel.KEEP
+    tb = screen_kernel.TB
+    mega_rows = tb * sub_width
+    bin_rows = sub_width * (tb // lanes)
     fail = jnp.logical_not(ok)
+    m_last = cand_d.reshape(q_count, -1, keep, lanes)[:, :, keep - 1, :]
+    sflat = (m_last < thresh[:, None, None]).reshape(q_count, -1)
+    n_susp = jnp.sum(sflat.astype(jnp.int32), axis=1)
+    binfix = jnp.logical_and(
+        fail, jnp.logical_and(cert_merge, n_susp <= REPAIR_BINS))
+    fullfix = jnp.logical_and(fail, jnp.logical_not(binfix))
+
+    na = _chernoff_budget(q_count, _BIN_FLAG_RATE[passes], k)
+    w = REPAIR_BINS * bin_rows
+    # blocked gather: bound the live (blk, w, dim) buffer at ~256MB like
+    # the select's re-rank; na is a 128-multiple or Q itself, so pad the
+    # map operands (never the scatter rows — duplicate scatter indices
+    # from padding would race the real write)
+    blk = min(128, max(8, (1 << 28) // max(1, w * dim * 4)))
+    blk = 1 << (blk.bit_length() - 1)
+    nap = round_up(na, blk)
+    _, rows_a = jax.lax.top_k(binfix.astype(jnp.int32), na)
+    take_a = binfix[rows_a]
+
+    def _bin_repair(di):
+        dist, idx = di
+        flags = sflat[rows_a]                          # (na, n_mega*128)
+        _, bins_a = jax.lax.top_k(flags.astype(jnp.int32), REPAIR_BINS)
+        mega_a = bins_a // lanes                       # (na, S)
+        lane_a = bins_a % lanes
+        p = jnp.arange(bin_rows, dtype=jnp.int32)
+        # bin member rows: invert the candidate-index decode of
+        # screen_kernel._screen_call (pos -> row within the mega)
+        rg = (mega_a[..., None] * mega_rows
+              + (p[None, None, :] // (tb // lanes)) * tb
+              + (p[None, None, :] % (tb // lanes)) * lanes
+              + lane_a[..., None]).reshape(na, w)
+        valid = rg < n_valid              # masks ragged-tail phantom rows
+        rgc = jnp.minimum(rg, n_base - 1)
+        qa = query[rows_a]
+
+        def block_d(args):
+            qb, rb, vb = args
+            d = _exact_pair_dists(qb, base[rb], metric)
+            # gathered corpus rows can be garbage (inf/NaN embeddings);
+            # NaN WINS lax.top_k, so sanitize like pairwise_distance
+            keep_d = jnp.logical_and(vb, jnp.logical_not(jnp.isnan(d)))
+            return jnp.where(keep_d, d, jnp.inf)
+
+        def padded(x):
+            return jnp.pad(x, ((0, nap - na),) + ((0, 0),) * (x.ndim - 1))
+
+        d_bin = jax.lax.map(
+            block_d, (padded(qa).reshape(-1, blk, dim),
+                      padded(rgc).reshape(-1, blk, w),
+                      padded(valid).reshape(-1, blk, w)),
+        ).reshape(nap, w)[:na]
+        # dedup: a returned-top-k entry living in a gathered bin has its
+        # exact distance in d_bin already — keeping both would fabricate
+        # a duplicate neighbor. Bin id of a row is cheap arithmetic
+        # (rows within a sub-tile slice sit 128 apart, so row % 128 is
+        # the lane and row // mega_rows the mega).
+        idx_a = idx[rows_a]
+        dist_a = dist[rows_a]
+        binid_k = (idx_a // mega_rows) * lanes + (idx_a % lanes)
+        dup = jnp.any(binid_k[:, :, None] == bins_a[:, None, :], axis=2)
+        dist_a = jnp.where(dup, jnp.inf, dist_a)
+        negd, sel = jax.lax.top_k(
+            -jnp.concatenate([dist_a, d_bin], axis=1), k)
+        i_new = jnp.take_along_axis(
+            jnp.concatenate([idx_a, rgc], axis=1), sel, axis=1)
+        ta = take_a[:, None]
+        dist = dist.at[rows_a].set(jnp.where(ta, -negd, dist[rows_a]))
+        idx = idx.at[rows_a].set(jnp.where(ta, i_new, idx[rows_a]))
+        return dist, idx
+
+    dist, idx = jax.lax.cond(jnp.any(binfix), _bin_repair,
+                             lambda di: di, (dist, idx))
+
+    # Class B — full-base rescan for whatever the bin repair cannot
+    # prove: merge-count overflows (band wider than m) and queries with
+    # more than REPAIR_BINS suspicious bins. Gated behind a cond: on
+    # clean batches (the common case) the 31-step rescan never runs.
     nb = _repair_budget(q_count, max_fallback, sub_width, k)
     # top_k over the 0/1 mask yields the first nb failed row ids (stable
     # lowest-index tie-break); non-failed fillers are masked via `take`
-    _, rows = jax.lax.top_k(fail.astype(jnp.int32), nb)
-    take = fail[rows][:, None]
-    d_f, i_f = _verified(query[rows], nb)
-    dist = dist.at[rows].set(jnp.where(take, d_f, dist[rows]))
-    idx = idx.at[rows].set(jnp.where(take, i_f, idx[rows]))
+    _, rows = jax.lax.top_k(fullfix.astype(jnp.int32), nb)
+    take = fullfix[rows][:, None]
 
+    def _full_repair(di):
+        dist, idx = di
+        d_f, i_f = _verified(query[rows], nb)
+        dist = dist.at[rows].set(jnp.where(take, d_f, dist[rows]))
+        idx = idx.at[rows].set(jnp.where(take, i_f, idx[rows]))
+        return dist, idx
+
+    dist, idx = jax.lax.cond(jnp.any(fullfix), _full_repair,
+                             lambda di: di, (dist, idx))
     dist, idx = jax.lax.cond(
-        jnp.sum(fail.astype(jnp.int32)) <= nb,
+        jnp.sum(fullfix.astype(jnp.int32)) <= nb,
         lambda _: (dist, idx),
         lambda _: _verified(query, q_count),
         None)

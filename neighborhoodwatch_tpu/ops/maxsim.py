@@ -244,12 +244,15 @@ def _maxsim_select(queries, q_mask, docs, d_mask, cand_neg, cand_doc,
         # 3-pass bound)
         eps = q_scale * dlo_max + rerank_acc \
             + (mk.maxsim_acc_rel(dim) + mk.PACK_EPS_REL) * q_scale * d_max
-        qhi = queries.astype(jnp.bfloat16).astype(jnp.float32)
+        # bf16_round, not astype: the astype round-trip folds to the
+        # identity under jit on TPU, zeroing qlo/qres and silently
+        # shrinking eps (screen_kernel.bf16_round doc)
+        qhi = mk.bf16_round(queries)
         qlo = queries - qhi                        # exact (Sterbenz)
         if passes == 1:
             qres = qlo                             # drops q_lo . d_hi whole
         else:
-            qres = qlo - qlo.astype(jnp.bfloat16).astype(jnp.float32)
+            qres = qlo - mk.bf16_round(qlo)
         qres_n = jnp.linalg.norm(qres, axis=2)
         qres_scale = jnp.sum(jnp.where(q_mask, qres_n, 0.0),
                              axis=1) * g_sum

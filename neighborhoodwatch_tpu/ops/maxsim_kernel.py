@@ -39,7 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from neighborhoodwatch_tpu.ops.screen_kernel import (
-    KEEP, LANES, POS_BITS, POS_MASK, PACK_EPS_REL, norm_guard,
+    KEEP, LANES, POS_BITS, POS_MASK, PACK_EPS_REL, bf16_round, norm_guard,
 )
 from neighborhoodwatch_tpu.utils.misc import round_up
 
@@ -87,7 +87,9 @@ def doc_cert_stats(docs, d_mask, dim: int, dhi=None, need_dlo: bool = True):
     if not need_dlo:
         return jnp.stack([d_max, jnp.zeros_like(d_max)])
     if dhi is None:
-        dhi = docs.astype(jnp.bfloat16)
+        # bf16_round, not astype: the astype round-trip folds to the
+        # identity under jit on TPU and `res` becomes zero (bf16_round doc)
+        dhi = bf16_round(docs).astype(jnp.bfloat16)
     res = docs - dhi.astype(jnp.float32)
     dlo_n = jnp.sqrt(jnp.sum(res * res, axis=2))
     dlo_max = jnp.max(jnp.where(d_mask, dlo_n, 0.0)) * g
@@ -334,9 +336,14 @@ def _screen_exec(queries, q_mask, docs, d_mask, *, Qp: int, Dp: int,
     # lo = x - bf16(x) is exact in fp32 (Sterbenz) but the bf16 cast of
     # lo rounds once more — that double-rounding term is budgeted in the
     # certificate eps (ops.maxsim._maxsim_select). Tiers below 3 passes
-    # skip the unused lo operand entirely.
-    qhi = queries.astype(jnp.bfloat16)
-    dhi = docs.astype(jnp.bfloat16)
+    # skip the unused lo operand entirely. The hi images come from
+    # bf16_round (integer RNE), NOT astype: under jit on TPU XLA folds
+    # an astype round-trip and the qlo/dlo operands below become ZERO —
+    # the 2/3-pass tiers silently degrade to 1-pass (bf16_round doc).
+    qhi_f = bf16_round(queries)
+    dhi_f = bf16_round(docs)
+    qhi = qhi_f.astype(jnp.bfloat16)
+    dhi = dhi_f.astype(jnp.bfloat16)
 
     # certificate doc stats fused here where the doc tensor and its bf16
     # image are already live: computing them in the select's own jit
@@ -352,10 +359,10 @@ def _screen_exec(queries, q_mask, docs, d_mask, *, Qp: int, Dp: int,
     dhi_t = jnp.swapaxes(dhi, 0, 1)                       # (td, Dp, dim)
     qlo_t = dlo_t = None
     if passes >= 2:
-        qlo = (queries - qhi.astype(jnp.float32)).astype(jnp.bfloat16)
+        qlo = (queries - qhi_f).astype(jnp.bfloat16)
         qlo_t = jnp.swapaxes(qlo, 0, 1)
     if passes >= 3:
-        dlo = (docs - dhi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dlo = (docs - dhi_f).astype(jnp.bfloat16)
         dlo_t = jnp.swapaxes(dlo, 0, 1)
 
     cand_neg, cand_doc = _maxsim_screen_call(qhi_t, qlo_t, dhi_t, dlo_t,

@@ -129,6 +129,37 @@ def norm_guard(dim: int) -> float:
     r3 review findings)."""
     return 1.0 + (dim + 8) * 2.0 ** -24 * 1.05
 
+
+def bf16_round(x):
+    """Round-to-nearest-even bf16 image of f32 `x`, RETURNED IN f32 and
+    computed with integer ops.
+
+    `x.astype(bfloat16).astype(float32)` is NOT safe for residual math
+    at the XLA level: XLA's excess-precision simplification (on by
+    default) folds the down/up convert pair away, so `x - bf16(x)`
+    silently evaluates to ZERO under jit on TPU — measured on v5e, where
+    every XLA-level bf16 residual (the certificate stats blo_max /
+    ratio_max / dlo_max, the per-query qres bounds, and the
+    pre-converted lo operands of the 3-pass screens) came back 0 while
+    the same expressions were correct eagerly, on CPU, and inside
+    Mosaic kernels. Integer rounding produces the bit-identical RNE
+    result (tests/test_screened_engine.py proves it against the real
+    conversion) and cannot be folded; downstream
+    `bf16_round(x).astype(bfloat16)` / `.astype(float32)` converts are
+    exact (the value is already representable), so XLA folding them is
+    harmless.
+
+    Non-finite edge: +/-inf map to themselves; NaNs stay NaN except
+    payloads confined to the low 16 mantissa bits, which round to inf —
+    irrelevant here because lo = x - bf16_round(x) is NaN for ANY
+    non-finite x either way, and NaN poisons the guarded max-stats into
+    a failed certificate (the sound direction)."""
+    bits = jax.lax.bitcast_convert_type(jnp.asarray(x, jnp.float32),
+                                        jnp.uint32)
+    lsb = jax.lax.shift_right_logical(bits, jnp.uint32(16)) & jnp.uint32(1)
+    rounded = (bits + jnp.uint32(0x7FFF) + lsb) & jnp.uint32(0xFFFF0000)
+    return jax.lax.bitcast_convert_type(rounded, jnp.float32)
+
 # default for the software-pipelined kernel variant (_kernel_pipelined):
 # epilogue of sub-tile i overlapped with the MXU steps of sub-tile i+1.
 # Measured on v5e (10k x 1M x 1536 headline, bit-identical outputs):
@@ -603,10 +634,18 @@ def screen_candidates(q, base, *, n_rows: int | None = None,
     # conversion itself is one cheap fused pass per call (hi = bf16(b);
     # lo = bf16(b - hi), exact by Sterbenz), bit-identical to the old
     # in-kernel rounding, and skipped entirely when the caller provides
-    # a prepared `bhi` (ops.knn.PreparedBase).
+    # a prepared `bhi` (ops.knn.PreparedBase). bf16_round (not astype):
+    # with an astype hi traced in the same jit, XLA folds the convert
+    # pair and the 3-pass blo operand below silently becomes ZERO on TPU
+    # (see bf16_round).
     if bhi is None:
-        bhi = base.astype(jnp.bfloat16)
-    blo = ((base - bhi.astype(jnp.float32)).astype(jnp.bfloat16)
+        bhi_f = bf16_round(base)             # f32 image, fold-proof
+        bhi = bhi_f.astype(jnp.bfloat16)
+    else:
+        # a caller-provided bhi is an opaque (materialized) bf16 input:
+        # widening it cannot be folded with anything, so astype is safe
+        bhi_f = bhi.astype(jnp.float32)
+    blo = ((base - bhi_f).astype(jnp.bfloat16)
            if passes >= 3 else None)
     cand_d, cand_i = _screen_call(q, bhi, blo, qn, bn, epilogue, passes,
                                   tq, sub, tb, dk_max, interpret,

@@ -84,8 +84,8 @@ def test_certificate_detects_planted_duplicates():
     cd, ci, _ = screen_kernel.screen_candidates(
         jnp.asarray(q), jnp.asarray(b), epilogue="l2",
         screen_precision="high", interpret=True)
-    _, _, ok = _screened_select(jnp.asarray(q), jnp.asarray(b), cd, ci,
-                                k, 256, "sqeuclidean", 3)
+    _, _, ok, _, _ = _screened_select(jnp.asarray(q), jnp.asarray(b),
+                                      cd, ci, k, 256, "sqeuclidean", 3)
     assert not bool(np.asarray(ok)[0]), \
         "certificate failed to flag a 5-way bin collision"
     # end-to-end result is still exact thanks to the fallback
@@ -462,3 +462,140 @@ def test_screened_garbage_base_rows_never_win():
             assert got == exp, (metric, r)
             assert not (got & set(bad)), (metric, r)
             assert not (exp & set(bad)), (metric, r)
+
+
+def test_bf16_round_matches_real_conversion_bitwise():
+    """screen_kernel.bf16_round (integer RNE, fold-proof) must equal the
+    hardware bf16 conversion BIT-EXACTLY on finite values and +/-inf —
+    it feeds every certificate residual, so a semantic drift would
+    desync the eps bounds from what the kernels actually drop. astype
+    itself is NOT usable there: XLA's excess-precision folding turns
+    `x - x.astype(bf16).astype(f32)` into zero under jit on TPU (the
+    round-3 soundness bug this helper fixed)."""
+    import jax
+    rng = np.random.default_rng(7)
+    vals = [rng.standard_normal(8192).astype(np.float32),
+            (rng.standard_normal(2048) *
+             np.exp(rng.uniform(-80, 80, 2048))).astype(np.float32)]
+    # crafted tie/carry patterns: low mantissa exactly 0x8000 (RNE to
+    # even), 0x7FFF (down), 0x8001 (up), across signs and exponents
+    exps = np.array([1, 63, 127, 200, 254], np.uint32)
+    m7 = np.array([0, 1, 0x7E, 0x7F], np.uint32)
+    low = np.array([0x0000, 0x0001, 0x7FFF, 0x8000, 0x8001, 0xFFFF],
+                   np.uint32)
+    bits = [(s << 31) | (e << 23) | (m << 16) | lo
+            for s in (0, 1) for e in exps for m in m7 for lo in low]
+    vals.append(np.array(bits, np.uint32).view(np.float32))
+    # zeros, subnormals, max finite, infinities
+    vals.append(np.array([0.0, -0.0, 1e-44, -1e-44, 1e-38, 3.4e38,
+                          -3.4e38, np.inf, -np.inf], np.float32))
+    x = np.concatenate(vals)
+    got = np.asarray(jax.jit(screen_kernel.bf16_round)(x))
+    want = np.asarray(jnp.asarray(x).astype(jnp.bfloat16)
+                      .astype(jnp.float32))
+    np.testing.assert_array_equal(got.view(np.uint32),
+                                  want.view(np.uint32))
+
+
+def test_certificate_residuals_survive_jit():
+    """The certificate's data-dependent stats and per-query error bounds
+    must be NONZERO under jit for data with real bf16 residuals. On TPU,
+    computing them with astype round-trips made them exactly zero (XLA
+    excess-precision folding) — an eps under-budget that silently
+    voided the exactness certificates; this test pins the fold-proof
+    computation on every backend that runs the suite."""
+    import jax
+    from neighborhoodwatch_tpu.ops.knn import (_prepare_arrays,
+                                               _screen_err_bounds)
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((512, 384)).astype(np.float32)
+    q = rng.standard_normal((64, 384)).astype(np.float32)
+    _, stats, bhi = jax.jit(_prepare_arrays)(jnp.asarray(base))
+    stats = np.asarray(stats)
+    assert stats[2] > 1e-6, f"blo_max collapsed to {stats[2]} under jit"
+    assert stats[3] > 1e-6, f"ratio_max collapsed to {stats[3]} under jit"
+    # the true residual norm is a lower bound on the guarded stat
+    blo_true = np.linalg.norm(
+        base - np.asarray(jnp.asarray(base).astype(jnp.bfloat16),
+                          np.float32), axis=1)
+    assert stats[2] >= blo_true.max() * 0.999
+
+    for passes in (1, 2):
+        d_err = np.asarray(jax.jit(
+            lambda qq, bb, p=passes: _screen_err_bounds(qq, bb, p)[0]
+        )(jnp.asarray(q), jnp.asarray(base)))
+        d_err_eager = np.asarray(
+            _screen_err_bounds(jnp.asarray(q), jnp.asarray(base),
+                               passes)[0])
+        np.testing.assert_allclose(d_err, d_err_eager, rtol=1e-5)
+        assert d_err.min() > 1e-6, \
+            f"{passes}-pass d_err collapsed under jit"
+
+
+def test_maxsim_doc_stats_survive_jit():
+    """Same fold-proofing for the MaxSim certificate's doc stats and the
+    3-pass lo operands (doc_cert_stats / the operand prep both computed
+    zero residuals under jit on TPU before bf16_round)."""
+    import jax
+    from neighborhoodwatch_tpu.ops.maxsim_kernel import doc_cert_stats
+    rng = np.random.default_rng(13)
+    docs = rng.standard_normal((32, 8, 128)).astype(np.float32)
+    dmask = np.ones((32, 8), bool)
+    stats = np.asarray(jax.jit(
+        lambda d, m: doc_cert_stats(d, m, 128, need_dlo=True)
+    )(jnp.asarray(docs), jnp.asarray(dmask)))
+    assert stats[1] > 1e-6, f"dlo_max collapsed to {stats[1]} under jit"
+
+
+def _traced_exact_check(q, b, k, metric="sqeuclidean", precision="default"):
+    """Run screened_knn_traced and compare the neighbor set to float64."""
+    import jax.numpy as jnp
+    from neighborhoodwatch_tpu.ops.knn import screened_knn_traced
+    d, i = screened_knn_traced(jnp.asarray(q), jnp.asarray(b), b.shape[0],
+                               0, k, metric, precision)
+    oracle = _oracle_sets(q, b, k, metric)
+    for r in range(q.shape[0]):
+        assert set(np.asarray(i)[r].tolist()) == set(oracle[r]), r
+
+
+def test_bin_targeted_repair_recovers_collisions():
+    """Class-A repair: 5 near-identical rows in ONE lane bin (the trio
+    keeps 3, the certificate flags the bin) — the suspicious-bin gather
+    must recover the 2 dropped true neighbors WITHOUT a full rescan
+    (it is the only repair that can fire here: cert_merge holds and
+    n_susp=1 <= REPAIR_BINS)."""
+    q, b = _data(4, MEGA, 32, seed=41)
+    target = q[0] + 1e-4 * np.arange(32, dtype=np.float32)
+    for j in range(5):
+        b[7 + j * 128] = target + 1e-6 * j      # one lane bin, stride 128
+    _traced_exact_check(q, b, k=5)
+
+
+def test_full_rescan_repair_when_bins_overflow():
+    """Class-B repair: collisions planted in MORE than REPAIR_BINS
+    distinct lane bins of one query force the full-rescan path — the
+    result must still be exact."""
+    from neighborhoodwatch_tpu.ops.knn import REPAIR_BINS
+    q, b = _data(3, MEGA, 32, seed=43)
+    k = 4 * (REPAIR_BINS + 1)
+    for bin_j in range(REPAIR_BINS + 1):
+        target = q[0] + 1e-4 * np.arange(32, dtype=np.float32) \
+            + 0.01 * bin_j
+        for j in range(5):                       # 5-way collision per bin
+            # 1e-3 spacing keeps the rows fp32-distinguishable (1e-6
+            # made the float64 oracle and the fp32 engine disagree on
+            # genuine sub-fp32 ties)
+            b[bin_j + 3 + j * 128] = target + 1e-3 * j
+    _traced_exact_check(q, b, k=k)
+
+
+def test_traced_repair_all_metrics_with_collisions():
+    """Planted bin collisions stay exact on every metric through the
+    traced path (the bin repair's distance math is the shared
+    _exact_pair_dists — this pins the metric branches)."""
+    for metric in ("sqeuclidean", "euclidean", "cosine", "dot"):
+        q, b = _data(3, MEGA, 32, seed=47, normalize=True)
+        target = q[1] / np.linalg.norm(q[1])
+        for j in range(5):
+            b[11 + j * 128] = (target + 1e-6 * j).astype(np.float32)
+        _traced_exact_check(q, b, k=5, metric=metric)
