@@ -381,12 +381,15 @@ def main():
                              "(BASELINE config 2 = --dim 1024 under both "
                              "sqeuclidean and dot)")
     parser.add_argument("--iters", type=int, default=5)
-    parser.add_argument("--screen-precision", type=str, default="default",
+    parser.add_argument("--screen-precision", type=str, default=None,
                         choices=["default", "medium", "high"],
                         help="screened engine's MXU-pass tier (every tier "
-                             "is exact via the certificates + repair; the "
-                             "bench runs the 1-pass tier — fastest, and "
-                             "its exactness is verified in-run)")
+                             "is exact via the certificates + repair). "
+                             "Mode-aware default: kNN benches run the "
+                             "1-pass tier (fastest; exactness verified "
+                             "in-run), --maxsim runs the 3-pass tier (the "
+                             "only one whose sound certificate holds on "
+                             "concentrated MaxSim scores)")
     parser.add_argument("--select-m", type=int, default=None,
                         help="screened engine merge-width override "
                              "(default: the passes-aware _screen_plan)")
@@ -436,6 +439,10 @@ def main():
                              "float64 CPU oracle (slow: pulls the base to "
                              "host; 0 disables)")
     args = parser.parse_args()
+
+    if args.screen_precision is None:
+        # mode-aware tier default (see the flag's help text)
+        args.screen_precision = "high" if args.maxsim else "default"
 
     if args.small:
         args.queries, args.base, args.dim, args.k = 256, 20_000, 384, 10

@@ -296,11 +296,14 @@ Some example commands:\n
                              "one exact TPU engine family)")
     parser.add_argument("--precision", type=str, default="highest",
                         choices=["default", "high", "highest"])
-    parser.add_argument("--screen-precision", type=str, default="medium",
+    parser.add_argument("--screen-precision", type=str, default=None,
                         choices=["default", "medium", "high"],
-                        help="screened MaxSim engine's MXU-pass tier (every "
-                             "tier is exact via the certificates + repair; "
-                             "see nw --screen-precision)")
+                        help="screened engine's MXU-pass tier (every tier "
+                             "is exact via the certificates + repair; see "
+                             "nw --screen-precision). Default: 'medium' for "
+                             "the flat token kNN, 'high' with --maxsim — "
+                             "the only tier whose sound certificate holds "
+                             "on concentrated MaxSim score distributions")
     parser.add_argument("--synthetic", action="store_true",
                         help="use synthetic source text (hermetic, no network)")
     parser.add_argument("--maxsim", action="store_true",
@@ -324,6 +327,10 @@ Some example commands:\n
     parser.add_argument("--yes", "-y", action="store_true",
                         help="skip the validation confirmation prompt")
     args = parser.parse_args(argv)
+
+    if args.screen_precision is None:
+        # mode-aware tier default (see the flag's help text)
+        args.screen_precision = "high" if args.maxsim else "medium"
 
     assert args.model_name == EmbeddingModelName.COLBERT_V2.value, \
         "`ck` program is reserved for the ColBERT model"

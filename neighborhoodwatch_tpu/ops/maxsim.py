@@ -107,7 +107,7 @@ def _maxsim_engine(engine: str, n_docs: int, tq: int, dim: int) -> str:
 
 def maxsim_topk(queries, q_mask, docs, d_mask, k: int,
                 precision: str = "highest", tile_docs: int = 128,
-                engine: str = "exact", screen_precision: str = "medium"):
+                engine: str = "exact", screen_precision: str = "high"):
     """Top-k documents per query by MaxSim score.
 
     Returns (scores desc, doc indices), exact. engine="auto" uses the
@@ -278,12 +278,16 @@ def maxsim_screen_plan(n_docs: int, k: int, td: int, dim: int,
     XLA path.
 
     `passes` is the screen-precision tier knob (cf. ops.knn._screen_plan).
-    Measured on the 1k x 200k bench (k=100): certificate PASSES are
-    999/1000 at BOTH m=256 and m=384 for every tier (the single failure
-    is a bin collision, m-independent) — so unlike the kNN plan all
-    tiers share one width; the parameter exists so a corpus that does
-    show tier-dependent count failures can split the policy without
-    touching callers."""
+    Measured on the 1k x 200k bench (k=100) with the SOUND fold-proofed
+    certificate eps (screen_kernel.bf16_round): the 3-pass tier
+    certifies 1000/1000 at m=256, but the 1/2-pass tiers certify 0/1000
+    and 28/1000 (6/1000 unnormalized) — MaxSim scores concentrate (a sum
+    of tq per-token maxima), so the eps band around tau (~0.8% of tau,
+    the same RELATIVE width that works for the kNN screen) covers
+    thousands of docs and no merge width can hold it. The width is
+    therefore tier-independent; sub-high tiers stay available for
+    corpora with wider score gaps and ESCALATE failed queries to the
+    3-pass screen (maxsim_topk_screened), never silently."""
     from neighborhoodwatch_tpu.ops import maxsim_kernel as mk
 
     n_mega = -(-n_docs // mk.MEGA_DOCS)
@@ -305,14 +309,19 @@ def maxsim_screen_plan(n_docs: int, k: int, td: int, dim: int,
 
 def maxsim_topk_screened(queries, q_mask, docs, d_mask, k: int,
                          m: int | None = None,
-                         screen_precision: str = "medium"):
+                         screen_precision: str = "high"):
     """Exact top-k documents by MaxSim via the fused Pallas screen kernel
-    (ops/maxsim_kernel.py) + certified fp32 re-rank; queries whose
-    certificate fails are recomputed with the exact XLA path. ~20x the
-    XLA path's throughput on TPU for large doc sets. `screen_precision`
-    trades MXU passes against certificate margin (high/medium/default =
-    3/2/1, cf. screen_maxsim); every tier is exact via the certificates
-    + repair."""
+    (ops/maxsim_kernel.py) + certified fp32 re-rank. ~20x the XLA path's
+    throughput on TPU for large doc sets. `screen_precision` trades MXU
+    passes against certificate margin (high/medium/default = 3/2/1, cf.
+    screen_maxsim); every tier is exact via the certificates + repair.
+
+    "high" is the default because with the SOUND eps only the 3-pass
+    certificate holds on concentrated MaxSim score distributions
+    (maxsim_screen_plan's measurement record). Failed queries at a
+    sub-high tier escalate to the 3-pass screen (~4x cheaper than the
+    exact XLA path); 3-pass failures (bin collisions) fall back to the
+    exact XLA path."""
     from neighborhoodwatch_tpu.ops import maxsim_kernel as mk
     from neighborhoodwatch_tpu.ops.screen_kernel import PASSES
     passes = PASSES[screen_precision]
@@ -345,9 +354,16 @@ def maxsim_topk_screened(queries, q_mask, docs, d_mask, k: int,
         n_bad = len(bad)
         bucket = max(8, int(2 ** np.ceil(np.log2(n_bad))))
         sel_rows = np.pad(bad, (0, bucket - n_bad), mode="edge")
-        s_f, i_f = maxsim_topk(queries[jnp.asarray(sel_rows)],
-                               q_mask[jnp.asarray(sel_rows)],
-                               docs, d_mask, k=k, tile_docs=2048)
+        if screen_precision != "high":
+            # escalate to the 3-pass screen: ~4x cheaper than the exact
+            # XLA path, and exact itself (certificate + XLA fallback)
+            s_f, i_f = maxsim_topk_screened(
+                queries[jnp.asarray(sel_rows)], q_mask[jnp.asarray(sel_rows)],
+                docs, d_mask, k=k, m=m, screen_precision="high")
+        else:
+            s_f, i_f = maxsim_topk(queries[jnp.asarray(sel_rows)],
+                                   q_mask[jnp.asarray(sel_rows)],
+                                   docs, d_mask, k=k, tile_docs=2048)
         scores = np.array(scores)
         idx = np.array(idx)
         scores[bad] = np.asarray(s_f)[:n_bad]
@@ -364,7 +380,7 @@ class StreamingMaxSim:
     pipeline to stream a corpus that never fits in HBM at once."""
 
     def __init__(self, queries, q_mask, k: int, precision: str = "highest",
-                 engine: str = "auto", screen_precision: str = "medium"):
+                 engine: str = "auto", screen_precision: str = "high"):
         self.queries = jnp.asarray(queries, dtype=jnp.float32)
         self.q_mask = jnp.asarray(q_mask, dtype=bool)
         self.k = k

@@ -43,7 +43,7 @@ from neighborhoodwatch_tpu.parallel.mesh import DP_AXIS, MP_AXIS
 def _sharded_maxsim_tile(queries, q_mask, tile, tmask, offset, n_valid,
                          k: int, engine: str, precision: str, mesh,
                          m: int, block: int,
-                         screen_precision: str = "medium"):
+                         screen_precision: str = "high"):
     """One sharded tile: returns dp-sharded per-tile (scores desc, global
     doc ids, cert_failed) lists. Per-shard selection width is the STATIC
     kk = min(k, shard_docs); m >= kk is guaranteed by the caller's
@@ -124,7 +124,7 @@ class ShardedStreamingMaxSim:
 
     def __init__(self, queries, q_mask, k: int, mesh,
                  precision: str = "highest", engine: str = "auto",
-                 screen_precision: str = "medium"):
+                 screen_precision: str = "high"):
         self.mesh = mesh
         self.k = k
         self.precision = precision

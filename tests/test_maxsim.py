@@ -597,3 +597,52 @@ def test_maxsim_garbage_docs_never_win():
     dense = np.asarray(maxsim_scores(q, qm, d, dm))
     assert np.isfinite(dense).all()
     assert (dense[:, bad] <= -1e29).all()
+
+def test_maxsim_subhigh_failures_escalate_to_high_screen(monkeypatch):
+    """Sub-high screen tiers whose certificate fails must escalate the
+    failed queries to the 3-pass screened engine (~4x cheaper than the
+    exact XLA path) and only reach the XLA path if the 3-pass
+    certificate fails too — the sound fold-proofed eps fails nearly
+    every query at 1/2 passes on concentrated MaxSim scores (measured
+    0/1000 and 28/1000 on the 1k x 200k bench), so this route is the
+    difference between a 0.5s and a 2.1s production call."""
+    import jax.numpy as jnp
+    from neighborhoodwatch_tpu.ops import maxsim as ms
+
+    rng = np.random.default_rng(77)
+    dim, k = 32, 5
+    q, qm = pad_token_lists(
+        [rng.standard_normal((6, dim)).astype(np.float32)
+         for _ in range(9)], dim)
+    d, dm = pad_token_lists(
+        [rng.standard_normal((8, dim)).astype(np.float32)
+         for _ in range(300)], dim)
+
+    tiers_seen = []
+    real_select = ms._maxsim_select
+
+    def spy_select(*a, **kw):
+        tiers_seen.append(kw.get("passes", 3))
+        s, doc_k, ok = real_select(*a, **kw)
+        if len(tiers_seen) == 1:          # force the sub-high cert to fail
+            ok = jnp.zeros_like(ok)
+        return s, doc_k, ok
+
+    xla_calls = []
+    real_topk = ms.maxsim_topk
+
+    def spy_topk(*a, **kw):
+        xla_calls.append(kw.get("engine", "exact"))
+        return real_topk(*a, **kw)
+
+    monkeypatch.setattr(ms, "_maxsim_select", spy_select)
+    monkeypatch.setattr(ms, "maxsim_topk", spy_topk)
+    scores, idx = ms.maxsim_topk_screened(q, qm, d, dm, k=k,
+                                          screen_precision="default")
+    assert tiers_seen[0] == 1, "first screen must run the requested tier"
+    assert 3 in tiers_seen, "failures must escalate to the 3-pass screen"
+    # the 3-pass certificate is clean here, so the XLA path never runs
+    assert not xla_calls, "escalation must not fall through to XLA"
+    exp_scores, exp_idx = maxsim_oracle(q, qm, d, dm, k=k)
+    np.testing.assert_array_equal(np.asarray(idx), exp_idx)
+    np.testing.assert_allclose(np.asarray(scores), exp_scores, atol=1e-3)
