@@ -187,15 +187,19 @@ def run_maxsim(args):
     tier = args.screen_precision
     log(f"screen precision tier: {tier}")
 
+    # scalar sync (see the kNN headline's note: fetch 4 bytes of a real
+    # compute output, never the full array — a degraded tunnel bills the
+    # link, not the engine)
+    sync = jax.jit(jnp.sum)
     s, i = maxsim_topk_screened(q, qm, d, dm, k=k, screen_precision=tier)
-    _ = np.asarray(s)[0, 0]
+    _ = float(sync(s))
     log("compile + first run done")
     times = []
     for _i in range(args.iters):
         t0 = time.perf_counter()
         s, i = maxsim_topk_screened(q, qm, d, dm, k=k,
                                     screen_precision=tier)
-        _ = np.asarray(s)[0, 0]
+        _ = float(sync(s))
         times.append(time.perf_counter() - t0)
     elapsed = float(np.median(times))
 
@@ -508,19 +512,27 @@ def main():
                    screen_precision=args.screen_precision,
                    select_m=args.select_m)
 
-    # warmup/compile; the final host read forces full completion (the axon
-    # tunnel's block_until_ready does not reliably block)
+    # Sync primitive for every timed region: fetch a 4-byte device-computed
+    # reduction of the output instead of the (Q, k) array. A real compute
+    # output is the only reliable backpressure on the axon tunnel (its
+    # block_until_ready can return early), and the 4 MB array fetch would
+    # bill the LINK, not the engine — the tunnel degrades to KB/s for
+    # 10-25 min after tens of GB of transfers (verify-skill measurement),
+    # which once inflated this headline 0.55 -> 0.86 s/call.
+    sync = jax.jit(jnp.sum)
+
+    # warmup/compile (engine + sync program)
     dist, idx = run()
-    _ = np.asarray(dist)[0, 0]
+    _ = float(sync(dist))
     log("compile + first run done")
 
-    # per-call latency: dispatch + full sync each iteration (each sync
+    # per-call latency: dispatch + scalar sync each iteration (each sync
     # pays one tunnel roundtrip on a remote-attached device)
     times = []
     for _i in range(args.iters):
         t0 = time.perf_counter()
         dist, idx = run()
-        _ = np.asarray(dist)[0, 0]
+        _ = float(sync(dist))
         times.append(time.perf_counter() - t0)
     latency = float(np.median(times))
     log(f"latency: {args.iters} iters, median {latency:.3f}s "
@@ -535,7 +547,7 @@ def main():
     # host<->device roundtrip.
     t0 = time.perf_counter()
     outs = [run() for _ in range(args.iters)]
-    _ = np.asarray(outs[-1][0])[0, 0]
+    _ = float(sync(outs[-1][0]))
     elapsed = (time.perf_counter() - t0) / args.iters
     log(f"pipelined: {args.iters} back-to-back dispatches, "
         f"{elapsed:.3f}s/call")
