@@ -599,3 +599,29 @@ def test_traced_repair_all_metrics_with_collisions():
         for j in range(5):
             b[11 + j * 128] = (target + 1e-6 * j).astype(np.float32)
         _traced_exact_check(q, b, k=5, metric=metric)
+
+
+def test_class_b_budget_overflow_recomputes_whole_tile():
+    """When MORE queries need a class-B full rescan than the budget rows
+    (max_fallback), the engine must take the whole-tile verified cond —
+    the ~18x perf cliff documented in _repair_budget — and stay exact.
+    Forced here with max_fallback=1 and multi-bin collisions planted on
+    TWO queries (each exceeds REPAIR_BINS suspicious bins, so neither is
+    class-A repairable)."""
+    import jax.numpy as jnp
+    from neighborhoodwatch_tpu.ops.knn import (REPAIR_BINS,
+                                               screened_knn_traced)
+    q, b = _data(3, MEGA, 32, seed=53)
+    k = 4 * (REPAIR_BINS + 1)
+    for qi in (0, 2):
+        for bin_j in range(REPAIR_BINS + 1):
+            target = q[qi] + 1e-4 * np.arange(32, dtype=np.float32) \
+                + 0.01 * bin_j
+            for j in range(5):
+                b[qi + bin_j * 7 + 3 + j * 128] = target + 1e-3 * j
+    d, i = screened_knn_traced(jnp.asarray(q), jnp.asarray(b), b.shape[0],
+                               0, k, "sqeuclidean", "default",
+                               max_fallback=1)
+    oracle = _oracle_sets(q, b, k, "sqeuclidean")
+    for r in range(q.shape[0]):
+        assert set(np.asarray(i)[r].tolist()) == set(oracle[r]), r
