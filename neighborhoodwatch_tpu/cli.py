@@ -38,6 +38,20 @@ def _duration(section_time, start_time):
           f"{time.time() - start_time:.2f} s total)")
 
 
+def _confirm(prompt: str) -> bool:
+    """y/n confirmation that survives non-interactive runs: a closed or
+    non-tty stdin (nohup/cron) answers no instead of crashing with
+    EOFError after an expensive generation run, and 'Y'/'YES' count
+    (case/whitespace-insensitive)."""
+    try:
+        answer = input(prompt)
+    except EOFError:
+        print("  (stdin closed — skipping; pass --yes to confirm "
+              "non-interactively)")
+        return False
+    return answer.strip().lower() in ("y", "yes")
+
+
 def nw_main(argv=None):
     from neighborhoodwatch_tpu.core.merge import merge_indices_and_distances
     from neighborhoodwatch_tpu.core.pipeline import compute_knn, compute_knn_ds
@@ -222,11 +236,9 @@ Some example commands:\n
     _duration(section_time, start_time)
 
     if args.post_validation:
-        proceed = args.yes
-        if not proceed:
-            answer = input("Dataset validation may take a long time. "
-                           "Continue? (y/n/yes/no): ")
-            proceed = answer in ("y", "yes")
+        proceed = args.yes or _confirm(
+            "Dataset validation may take a long time. "
+            "Continue? (y/n/yes/no): ")
         if proceed:
             _section("Validating ivec's and fvec's")
             section_time = time.time()
@@ -472,11 +484,9 @@ Some example commands:\n
     _duration(section_time, start_time)
 
     if args.post_validation:
-        proceed = args.yes
-        if not proceed:
-            answer = input("Dataset validation may take a long time. "
-                           "Continue? (y/n/yes/no): ")
-            proceed = answer in ("y", "yes")
+        proceed = args.yes or _confirm(
+            "Dataset validation may take a long time. "
+            "Continue? (y/n/yes/no): ")
         if proceed:
             _section("Validating ivec's and fvec's")
             section_time = time.time()

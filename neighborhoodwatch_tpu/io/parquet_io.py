@@ -89,16 +89,36 @@ class ParquetStreamer:
         self.writer.write_table(table)
 
     def close(self) -> None:
-        if self.writer:
+        """Finalize and atomically publish. Idempotent (a second close is
+        a no-op, not a crash on the already-renamed tmp)."""
+        if self.writer is not None:
             self.writer.close()
+            self.writer = None
             os.replace(self._tmp, self.filename)
             print(f"Finished streaming to {self.filename}")
+
+    def abort(self) -> None:
+        """Discard the in-progress file WITHOUT publishing: a partial
+        stream must never reach the final path, where its valid footer
+        would make the resume guards reuse it as complete."""
+        if self.writer is not None:
+            self.writer.close()
+            self.writer = None
+            if os.path.exists(self._tmp):
+                os.remove(self._tmp)
+            print(f"Aborted streaming to {self.filename} "
+                  f"(partial output discarded)")
 
     def __enter__(self):
         return self
 
-    def __exit__(self, *exc):
-        self.close()
+    def __exit__(self, exc_type, *exc):
+        # publishing on exception would hand the resume guards a
+        # truncated-but-footered parquet they'd silently reuse (r3 review)
+        if exc_type is None:
+            self.close()
+        else:
+            self.abort()
 
 
 def embedding_column_names(table_or_schema) -> list[str]:

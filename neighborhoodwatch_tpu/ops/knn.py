@@ -402,8 +402,12 @@ def _screened_select(query, base, cand_d, cand_i, k: int, m: int,
     ).reshape(q_pad, m)[:q_count]
     # +inf screen values are masked bins (ragged-tail padding), not real
     # candidates — their idx slot is 0 and re-ranking them would fabricate
-    # a duplicate of base row 0
-    d_exact = jnp.where(jnp.isinf(scr), jnp.inf, d_exact)
+    # a duplicate of base row 0. NaN exact distances are garbage corpus
+    # rows (inf/NaN embeddings the screen's own sanitize excludes, kept
+    # here as defense in depth — NaN WINS lax.top_k and one such row
+    # would poison tau and every certificate downstream of it).
+    drop = jnp.logical_or(jnp.isinf(scr), jnp.isnan(d_exact))
+    d_exact = jnp.where(drop, jnp.inf, d_exact)
 
     negk, selk = jax.lax.top_k(-d_exact, k)
     dist = -negk
@@ -743,7 +747,6 @@ def screened_knn_traced(query, base, n_valid, base_offset, k: int,
     n_susp = jnp.sum(sflat.astype(jnp.int32), axis=1)
     binfix = jnp.logical_and(
         fail, jnp.logical_and(cert_merge, n_susp <= REPAIR_BINS))
-    fullfix = jnp.logical_and(fail, jnp.logical_not(binfix))
 
     na = _chernoff_budget(q_count, _BIN_FLAG_RATE[passes], k)
     w = REPAIR_BINS * bin_rows
@@ -756,6 +759,16 @@ def screened_knn_traced(query, base, n_valid, base_offset, k: int,
     nap = round_up(na, blk)
     _, rows_a = jax.lax.top_k(binfix.astype(jnp.int32), na)
     take_a = binfix[rows_a]
+    # Class-A overflow guard: rows_a holds only the FIRST na flagged
+    # queries, so any binfix query past the budget never reaches the bin
+    # repair — it MUST fall through to class B instead of silently
+    # keeping its uncertified screened result (r3 review). repaired_a
+    # scatters take_a back to query space (top_k rows are distinct, so
+    # the scatter is race-free); class B then owns everything failed and
+    # not A-repaired, and its own overflow cond escalates to the
+    # whole-tile verified recompute.
+    repaired_a = jnp.zeros((q_count,), bool).at[rows_a].set(take_a)
+    fullfix = jnp.logical_and(fail, jnp.logical_not(repaired_a))
 
     def _bin_repair(di):
         dist, idx = di

@@ -149,16 +149,22 @@ def bf16_round(x):
     exact (the value is already representable), so XLA folding them is
     harmless.
 
-    Non-finite edge: +/-inf map to themselves; NaNs stay NaN except
-    payloads confined to the low 16 mantissa bits, which round to inf —
-    irrelevant here because lo = x - bf16_round(x) is NaN for ANY
-    non-finite x either way, and NaN poisons the guarded max-stats into
-    a failed certificate (the sound direction)."""
-    bits = jax.lax.bitcast_convert_type(jnp.asarray(x, jnp.float32),
-                                        jnp.uint32)
+    Non-finite edge: +/-inf map to themselves through the integer path
+    (the +0x7FFF carry cannot cross exp=0xFF with a zero mantissa); NaNs
+    are passed through UNCHANGED by an explicit guard — the raw integer
+    rounding would carry a high-payload NaN's mantissa into the exponent
+    and wrap it to a FINITE value (measured: 0x7FFFFFFF -> -0.0,
+    0xFFFFFFFF -> +0.0, an all-ones garbage pattern), which would let a
+    garbage base row enter the screen as a finite bhi operand instead of
+    poisoning it. With the guard, lo = x - bf16_round(x) is NaN for any
+    non-finite x and the kernels' isnan(d) sanitize excludes the row
+    (the sound direction)."""
+    xf = jnp.asarray(x, jnp.float32)
+    bits = jax.lax.bitcast_convert_type(xf, jnp.uint32)
     lsb = jax.lax.shift_right_logical(bits, jnp.uint32(16)) & jnp.uint32(1)
     rounded = (bits + jnp.uint32(0x7FFF) + lsb) & jnp.uint32(0xFFFF0000)
-    return jax.lax.bitcast_convert_type(rounded, jnp.float32)
+    return jnp.where(jnp.isnan(xf), xf,
+                     jax.lax.bitcast_convert_type(rounded, jnp.float32))
 
 # default for the software-pipelined kernel variant (_kernel_pipelined):
 # epilogue of sub-tile i overlapped with the MXU steps of sub-tile i+1.

@@ -38,3 +38,21 @@ def test_engine_choices():
     args = _nw_parser_args(["10", "100", "-m", "intfloat/e5-small-v2",
                             "--engine", "screened", "--metric", "cosine"])
     assert args["engine"] == "screened" and args["metric"] == "cosine"
+
+
+def test_confirm_survives_noninteractive_and_case(monkeypatch):
+    """The post-validation prompt must not crash with EOFError on a
+    closed stdin (nohup/scripted runs after an expensive generation) and
+    must accept 'Y'/'YES ' (r3 review)."""
+    from neighborhoodwatch_tpu.cli import _confirm
+
+    def eof(prompt):
+        raise EOFError
+
+    monkeypatch.setattr("builtins.input", eof)
+    assert _confirm("go? ") is False            # skip, don't crash
+
+    for answer, want in [("Y", True), (" yes ", True), ("YES", True),
+                         ("n", False), ("No", False), ("", False)]:
+        monkeypatch.setattr("builtins.input", lambda p, a=answer: a)
+        assert _confirm("go? ") is want, answer

@@ -154,6 +154,41 @@ def test_parquet_streamer_atomic_rename(tmp_path, rng):
     np.testing.assert_allclose(mat, emb, rtol=0)
 
 
+def test_parquet_streamer_exception_discards_partial(tmp_path, rng):
+    """An exception inside the with-block must NOT publish the partial
+    stream: a truncated-but-footered parquet at the final path would make
+    the resume guards silently reuse 10% of a dataset as complete
+    (r3 review). close() must also be idempotent (explicit close inside a
+    with-block used to crash the second os.replace)."""
+    from neighborhoodwatch_tpu.data.sources import _valid_parquet
+    emb = rng.standard_normal((5, 3)).astype(np.float32)
+    path = str(tmp_path / "x.parquet")
+    with pytest.raises(RuntimeError):
+        with ParquetStreamer(path, ["title"]) as ps:
+            ps.stream_to_parquet([["t"]] * 5, emb)
+            raise RuntimeError("embedding loop died")
+    assert not os.path.exists(path)              # partial never published
+    assert not os.path.exists(path + ".inprogress")   # and not leaked
+    assert not _valid_parquet(path)
+
+    # explicit close inside a with-block: second close is a no-op
+    with ParquetStreamer(path, ["title"]) as ps:
+        ps.stream_to_parquet([["t"]] * 5, emb)
+        ps.close()
+        ps.close()
+    assert _valid_parquet(path)
+    mat = read_embeddings(str(tmp_path), "x.parquet")
+    np.testing.assert_allclose(mat, emb, rtol=0)
+
+    # exception AFTER an explicit close must not unpublish the file
+    with pytest.raises(RuntimeError):
+        with ParquetStreamer(str(tmp_path / "y.parquet"), ["title"]) as ps:
+            ps.stream_to_parquet([["t"]] * 5, emb)
+            ps.close()
+            raise RuntimeError("post-close failure")
+    assert _valid_parquet(str(tmp_path / "y.parquet"))
+
+
 def test_parquet_token_streamer(tmp_path, rng):
     emb = rng.standard_normal((9, 4)).astype(np.float32)
     cols = [f"token_embedding_{i}" for i in range(4)]

@@ -625,3 +625,76 @@ def test_class_b_budget_overflow_recomputes_whole_tile():
     oracle = _oracle_sets(q, b, k, "sqeuclidean")
     for r in range(q.shape[0]):
         assert set(np.asarray(i)[r].tolist()) == set(oracle[r]), r
+
+
+def test_bf16_round_nan_patterns_stay_nan():
+    """The raw integer RNE add would carry a high-payload NaN's mantissa
+    through the exponent and WRAP it to a finite +/-0.0 (measured:
+    0x7FFFFFFF -> -0.0, 0xFFFFFFFF -> +0.0 — the all-ones garbage
+    pattern), handing the screen a finite bhi operand for a garbage row
+    (r3 review). bf16_round must pass every NaN through unchanged so the
+    residual stays NaN and the kernels' isnan sanitize excludes the row."""
+    import jax
+    bits = np.array([0x7FFFFFFF, 0xFFFFFFFF,   # carry wraps to +/-0.0 raw
+                     0x7FC00000, 0xFFC00000,   # canonical quiet NaNs
+                     0x7F800001, 0xFF800001,   # signaling, low payload
+                     0x7FBFFFFF],              # mantissa carry, no exp wrap
+                    np.uint32)
+    x = bits.view(np.float32)
+    for fn in (screen_kernel.bf16_round, jax.jit(screen_kernel.bf16_round)):
+        got = np.asarray(fn(x))
+        assert np.all(np.isnan(got)), got.view(np.uint32)
+        # pass-through, not canonicalization: payload bits preserved
+        np.testing.assert_array_equal(got.view(np.uint32), bits)
+
+
+def test_screened_all_ones_garbage_rows_dot_metric():
+    """An all-ones-bits base row (0xFFFFFFFF garbage memory: a NaN whose
+    mantissa carry used to WRAP bf16_round to a finite 0.0) must lose on
+    metric='dot' through the traced screened path: the pre-fix chain gave
+    the row screen value -q·0 = 0, the unsanitized re-rank turned it into
+    NaN distances, and the NaN threshold misclassified the query with
+    vacuously-true certificates (r3 review). Exact and screened engines
+    must agree and exclude the garbage rows."""
+    import jax.numpy as jnp
+    from neighborhoodwatch_tpu.ops.knn import screened_knn_traced
+    rng = np.random.default_rng(83)
+    q = rng.standard_normal((5, 32)).astype(np.float32)
+    b = rng.standard_normal((MEGA + 300, 32)).astype(np.float32)
+    bad = rng.choice(len(b), 48, replace=False)
+    b[bad[:24]] = np.array([0xFFFFFFFF], np.uint32).view(np.float32)[0]
+    b[bad[24:]] = np.nan
+    k = 7
+    d_e, i_e = knn(q, b, k, metric="dot", engine="exact")
+    d_s, i_s = screened_knn_traced(jnp.asarray(q), jnp.asarray(b),
+                                   b.shape[0], 0, k, "dot", "default")
+    for r in range(len(q)):
+        got, exp = set(np.asarray(i_s)[r]), set(np.asarray(i_e)[r])
+        assert got == exp, r
+        assert not (got & set(bad.tolist())), r
+    assert not np.isnan(np.asarray(d_s)).any()
+
+
+def test_class_a_budget_overflow_falls_through_to_class_b():
+    """When MORE queries flag class-A (suspicious-bin) repairs than the
+    Chernoff budget na, the excess never reaches the bin repair — it must
+    fall through to the class-B full rescan instead of silently keeping
+    its uncertified screened result (r3 review). Forced here with 160
+    queries ALL given a 5-way single-bin collision at k=5: na floors at
+    128, so 32 queries overflow the class-A budget."""
+    import jax.numpy as jnp
+    from neighborhoodwatch_tpu.ops.knn import screened_knn_traced
+    nq = 160
+    q, b = _data(nq, MEGA, 32, seed=59)
+    for qi in range(nq):
+        lane = qi % 128
+        start = (qi // 128) * 1024 + lane
+        target = q[qi] + 1e-4 * np.arange(32, dtype=np.float32)
+        for j in range(5):                    # one lane bin, stride 128
+            b[start + j * 128] = target + 1e-3 * j
+    d, i = screened_knn_traced(jnp.asarray(q), jnp.asarray(b), b.shape[0],
+                               0, 5, "sqeuclidean", "default")
+    oracle = _oracle_sets(q, b, 5, "sqeuclidean")
+    wrong = [r for r in range(nq)
+             if set(np.asarray(i)[r].tolist()) != set(oracle[r])]
+    assert not wrong, f"{len(wrong)} queries inexact: {wrong[:8]}"
