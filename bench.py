@@ -37,6 +37,37 @@ def log(msg):
     print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
+def tunnel_gate(sync, probe, where="", max_wait_s=1500, healthy_s=2.0):
+    """Wait out a degraded remote-device tunnel before a timed region.
+
+    The axon transport degrades to KB/s for 10-25 min after tens of GB of
+    transfers (verify-skill measurement); a single scalar sync landing in
+    such a window adds 20-60s to the timed region and records a number
+    that measures the LINK, not the engine — e.g. a driver-run bench
+    right after a large streamed workload. The gate fetches a 4-byte
+    device-computed reduction and requires the roundtrip under
+    `healthy_s` (healthy: ~0.4s through the tunnel, ~1ms on a local
+    TPU-VM), sleeping 60s between probes up to `max_wait_s`, then
+    proceeding with a loud warning so a permanently-slow link never
+    deadlocks the bench. Returns the last measured roundtrip seconds."""
+    waited = 0
+    while True:
+        t0 = time.perf_counter()
+        _ = float(sync(probe))
+        rt = time.perf_counter() - t0
+        if rt <= healthy_s:
+            return rt
+        if waited >= max_wait_s:
+            log(f"tunnel STILL degraded after {waited}s waiting (scalar "
+                f"roundtrip {rt:.1f}s) {where} — proceeding; timings may "
+                f"be link-inflated")
+            return rt
+        log(f"tunnel degraded (scalar roundtrip {rt:.1f}s) {where}; "
+            f"waiting 60s")
+        time.sleep(60)
+        waited += 60
+
+
 def _ensure_streamed_data(data_dir: str, q_n: int, b_n: int, d: int):
     """Generate (once, resumable) the synthetic normalized query/base
     parquet files for the streamed workload. Returns (query_file, base_file)
@@ -111,25 +142,34 @@ def run_encode(args):
     log(f"encode bench: {model} (pretrained={gen.pretrained}), "
         f"batch={batch} x seq={seqlen}")
 
+    sync = jax.jit(jnp.sum)
     out = gen._forward(gen.params, ids, mask)
-    _ = np.asarray(out[0, 0])
+    _ = float(sync(out))
     log("compile + first run done")
+    tunnel_gate(sync, out, "before the encode latency loop")
     times = []
     for _i in range(args.iters):
         t0 = time.perf_counter()
         out = gen._forward(gen.params, ids, mask)
-        _ = np.asarray(out[0, 0])
+        _ = float(sync(out))
         times.append(time.perf_counter() - t0)
     latency = float(np.median(times))
     # steady-state: back-to-back async dispatches, one sync — how the
     # pipelined encode path actually runs (and the same timing discipline
-    # as the kNN headline); the blocking latency above includes one
-    # host<->device roundtrip per call
+    # as the kNN headline, incl. the degraded-tunnel retry)
     n_pipe = max(3, args.iters)
-    t0 = time.perf_counter()
-    outs = [gen._forward(gen.params, ids, mask) for _ in range(n_pipe)]
-    _ = np.asarray(outs[-1][0, 0])
-    elapsed = (time.perf_counter() - t0) / n_pipe
+    for _attempt in range(3):
+        tunnel_gate(sync, out, "before the pipelined encode measurement")
+        t0 = time.perf_counter()
+        outs = [gen._forward(gen.params, ids, mask) for _ in range(n_pipe)]
+        _ = float(sync(outs[-1]))
+        elapsed = (time.perf_counter() - t0) / n_pipe
+        t0 = time.perf_counter()
+        _ = float(sync(out))
+        if time.perf_counter() - t0 <= 2.0:
+            break
+        log(f"pipelined encode ({elapsed:.4f}s/call) closed on a degraded "
+            f"tunnel; re-measuring")
     log(f"latency {latency:.4f}s/call, pipelined {elapsed:.4f}s/call")
     tokens_per_s = batch * seqlen / elapsed
 
@@ -194,14 +234,22 @@ def run_maxsim(args):
     s, i = maxsim_topk_screened(q, qm, d, dm, k=k, screen_precision=tier)
     _ = float(sync(s))
     log("compile + first run done")
-    times = []
-    for _i in range(args.iters):
+    for _attempt in range(3):
+        tunnel_gate(sync, s, "before the maxsim loop")
+        times = []
+        for _i in range(args.iters):
+            t0 = time.perf_counter()
+            s, i = maxsim_topk_screened(q, qm, d, dm, k=k,
+                                        screen_precision=tier)
+            _ = float(sync(s))
+            times.append(time.perf_counter() - t0)
+        elapsed = float(np.median(times))
         t0 = time.perf_counter()
-        s, i = maxsim_topk_screened(q, qm, d, dm, k=k,
-                                    screen_precision=tier)
         _ = float(sync(s))
-        times.append(time.perf_counter() - t0)
-    elapsed = float(np.median(times))
+        if time.perf_counter() - t0 <= 2.0:
+            break
+        log(f"maxsim loop (median {elapsed:.3f}s) closed on a degraded "
+            f"tunnel; re-measuring")
 
     recall = None
     if args.verify_queries:
@@ -528,6 +576,7 @@ def main():
 
     # per-call latency: dispatch + scalar sync each iteration (each sync
     # pays one tunnel roundtrip on a remote-attached device)
+    tunnel_gate(sync, dist, "before the latency loop")
     times = []
     for _i in range(args.iters):
         t0 = time.perf_counter()
@@ -544,11 +593,21 @@ def main():
     # how the engine runs in production (the streaming pipeline keeps the
     # dispatch queue full); on a local TPU-VM the two timings coincide,
     # through the remote tunnel only this one excludes the per-call
-    # host<->device roundtrip.
-    t0 = time.perf_counter()
-    outs = [run() for _ in range(args.iters)]
-    _ = float(sync(outs[-1][0]))
-    elapsed = (time.perf_counter() - t0) / args.iters
+    # host<->device roundtrip. The measurement retries if its closing
+    # sync landed in a degraded-tunnel window (the single roundtrip is
+    # then 20-60s and bills the link, not the engine).
+    for _attempt in range(3):
+        tunnel_gate(sync, dist, "before the pipelined measurement")
+        t0 = time.perf_counter()
+        outs = [run() for _ in range(args.iters)]
+        _ = float(sync(outs[-1][0]))
+        elapsed = (time.perf_counter() - t0) / args.iters
+        t0 = time.perf_counter()
+        _ = float(sync(dist))
+        if time.perf_counter() - t0 <= 2.0:
+            break
+        log(f"pipelined measurement ({elapsed:.3f}s/call) closed on a "
+            f"degraded tunnel; re-measuring")
     log(f"pipelined: {args.iters} back-to-back dispatches, "
         f"{elapsed:.3f}s/call")
     idx = np.asarray(idx)
