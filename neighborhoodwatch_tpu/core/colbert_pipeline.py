@@ -14,6 +14,7 @@ import pyarrow.parquet as pq
 
 from neighborhoodwatch_tpu.core.pipeline import compute_knn_ds
 from neighborhoodwatch_tpu.data.sources import split_into_sentences
+from neighborhoodwatch_tpu.io.parquet_io import table_to_matrix
 from neighborhoodwatch_tpu.utils.misc import round_up
 
 
@@ -122,9 +123,7 @@ def _read_doc_tokens(filename: str):
         f"{filename} lacks a doc_id column — regenerate with --maxsim"
     doc_ids = table.column("doc_id").to_numpy()
     embed_cols = [n for n in table.schema.names if n != "doc_id"]
-    mat = np.stack([table.column(n).to_numpy(zero_copy_only=False)
-                    for n in embed_cols], axis=1).astype(np.float32)
-    return mat, doc_ids
+    return table_to_matrix(table, embed_cols), doc_ids
 
 
 def compute_maxsim_knn(data_dir, query_filename, base_filename, k,
@@ -192,13 +191,18 @@ def compute_maxsim_knn(data_dir, query_filename, base_filename, k,
     # f_qpad: mesh runs pad query rows to the dp axis, so a checkpoint is
     # only resumable by a run with the same padded state shape
     st = os.stat(base_filename)
+    stq = os.stat(query_filename)
     fingerprint = {"f_mode": "maxsim", "f_k": k, "f_base": base_filename,
                    "f_q": len(q_docs), "f_dims": dim,
                    "f_qpad": engine.state[0].shape[0],
                    # content identity (r3 review: same-name regenerated
-                   # bases must invalidate, cf. compute_knn_ds)
+                   # bases — and query files, whose stale per-query state
+                   # would otherwise fold new-base tiles into old-query
+                   # scores — must invalidate, cf. compute_knn_ds)
                    "f_bsize": st.st_size,
-                   "f_bmtime": round(st.st_mtime, 3)}
+                   "f_bmtime": round(st.st_mtime, 3),
+                   "f_qsize": stq.st_size,
+                   "f_qmtime": round(stq.st_mtime, 3)}
     done_docs = 0
     if checkpoint_every:
         saved = _load_stream_ckpt(ckpt_path, fingerprint)
@@ -228,7 +232,20 @@ def compute_maxsim_knn(data_dir, query_filename, base_filename, k,
         return docs
 
     with timer.stage("stream_base"):
+        # BACKPRESSURE (CLAUDE.md streaming discipline, cf. pipeline.py's
+        # knn stream): engine.update is pure async dispatch; force 4 bytes
+        # of the PREVIOUS batch's running-state compute each iteration so
+        # the host can never queue unbounded device_puts ahead of the
+        # device (remote transports short-circuit block_until_ready from
+        # the local send buffer; only a real compute output blocks).
+        prev_state = None
         for b, batch in enumerate(pf.iter_batches(batch_size=batch_rows)):
+            if batch.num_rows == 0:
+                # an empty row group must not reach the leftover handling
+                # below: its empty id array looks like "a new doc started"
+                # and would flush the open trailing doc prematurely,
+                # splitting it in two and shifting every later doc id
+                continue
             id_col = batch.schema.get_field_index("doc_id")
             # get_field_index returns -1 (silently the LAST embedding
             # column via column(-1)) for a non-doc-tracked file — a base
@@ -238,12 +255,11 @@ def compute_maxsim_knn(data_dir, query_filename, base_filename, k,
                 f"{base_filename} has no doc_id column — regenerate the "
                 f"base token parquet with --maxsim (doc-tracked rows)")
             ids = batch.column(id_col).to_numpy()
-            if done_docs and len(ids) and ids[-1] < done_docs:
+            if done_docs and ids[-1] < done_docs:
                 continue                  # fully covered by the checkpoint
             cols = [n for n in batch.schema.names if n != "doc_id"]
-            mat = np.stack([batch.column(n).to_numpy(zero_copy_only=False)
-                            for n in cols], axis=1).astype(np.float32)
-            if done_docs and len(ids) and ids[0] < done_docs:
+            mat = table_to_matrix(batch, cols)
+            if done_docs and ids[0] < done_docs:
                 # partial overlap: docs are emitted whole, so drop every
                 # token row of already-counted docs (ids are ascending)
                 start = np.searchsorted(ids, done_docs, side="left")
@@ -262,6 +278,9 @@ def compute_maxsim_knn(data_dir, query_filename, base_filename, k,
                 leftover, leftover_id = docs[-1], ids[-1]
                 pending_docs.extend(docs[:-1])
             pending_docs = emit_tiles(pending_docs)
+            if prev_state is not None and prev_state is not engine.state[0]:
+                _ = np.asarray(prev_state[0, 0])   # force batch b-1's chain
+            prev_state = engine.state[0]
             if checkpoint_every and (b + 1) % checkpoint_every == 0 \
                     and engine.docs_seen > done_docs:
                 # docs still pending/leftover are simply re-read on resume

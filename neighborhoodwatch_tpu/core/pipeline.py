@@ -255,15 +255,18 @@ def compute_knn_ds(data_dir: str,
                                       screen_precision=screen_precision)
         ckpt_path = _stream_ckpt_path(data_dir)
         st = os.stat(get_full_filename(data_dir, base_filename))
+        stq = os.stat(get_full_filename(data_dir, query_filename))
         fingerprint = {"f_k": k, "f_metric": metric, "f_dims": dimensions,
                        "f_base": base_filename, "f_nbase": n_base,
                        "f_q": query.shape[0],
-                       # content identity: a regenerated base with the
-                       # same name/counts must invalidate the checkpoint,
-                       # not silently resume over different embeddings
-                       # (r3 review)
+                       # content identity: a regenerated base OR query file
+                       # with the same name/counts must invalidate the
+                       # checkpoint, not silently resume state computed
+                       # from different embeddings (r3 review, both sides)
                        "f_bsize": st.st_size,
                        "f_bmtime": round(st.st_mtime, 3),
+                       "f_qsize": stq.st_size,
+                       "f_qmtime": round(stq.st_mtime, 3),
                        # mesh runs pad the state's query rows to the dp
                        # axis: only a same-shape run can restore (cf.
                        # compute_maxsim_knn's f_qpad — r3 review)

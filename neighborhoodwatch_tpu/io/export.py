@@ -10,7 +10,9 @@ files. Writing is vectorized (io/fvec.py) instead of per-row struct packing.
 import os
 
 from neighborhoodwatch_tpu.io import fvec
-from neighborhoodwatch_tpu.io.hdf5_io import write_hdf5, write_hdf5_slab
+from neighborhoodwatch_tpu.io.hdf5_io import (
+    hdf5_group_exists, write_hdf5, write_hdf5_slab,
+)
 from neighborhoodwatch_tpu.io.parquet_io import (
     iter_embedding_batches, read_and_extract, read_parquet_to_dataframe,
 )
@@ -29,16 +31,30 @@ def is_empty_file(filename: str) -> bool:
     return not os.path.exists(filename) or os.path.getsize(filename) == 0
 
 
+def _needs(data_dir, out_file, output_hdf5, hdf5_file, group):
+    """(need_fvec, need_hdf5) — probed BEFORE reading the input parquet:
+    on an idempotent rerun with both artifacts complete, the exporters
+    must not decode a multi-GB parquet just to print 'already exists'
+    (r3 review)."""
+    need_fvec = is_empty_file(out_file)
+    if not need_fvec:
+        print(f"File {out_file} already exists")
+    need_h5 = output_hdf5 and not hdf5_group_exists(data_dir, hdf5_file, group)
+    return need_fvec, need_h5
+
+
 def generate_query_vectors_fvec(data_dir, model_name, input_parquet, query_count,
                                 dimensions, query_vectors_fvec_file,
                                 output_hdf5=True, column_names=None, hdf5_file=None,
                                 output_dtype=None):
+    need_fvec, need_h5 = _needs(data_dir, query_vectors_fvec_file,
+                                output_hdf5, hdf5_file, "test")
+    if not (need_fvec or need_h5):
+        return
     df = read_and_extract(data_dir, input_parquet, query_count, dimensions, column_names)
-    if is_empty_file(query_vectors_fvec_file):
+    if need_fvec:
         fvec.write_ivec_fvec_from_dataframe(
             data_dir, model_name, query_vectors_fvec_file, df, "f", dimensions)
-    else:
-        print(f"File {query_vectors_fvec_file} already exists")
     if output_hdf5:
         write_hdf5(data_dir, model_name, df, hdf5_file, "test", output_dtype)
 
@@ -49,21 +65,26 @@ def generate_base_vectors_fvec(data_dir, model_name, input_parquet, base_count,
                                output_dtype=None):
     if base_count > STREAMING_ROWS:
         return _generate_base_vectors_streaming(
-            data_dir, model_name, input_parquet, base_count,
-            base_vectors_fvec_file, output_hdf5, hdf5_file, output_dtype)
+            data_dir, model_name, input_parquet, base_count, dimensions,
+            base_vectors_fvec_file, output_hdf5, column_names, hdf5_file,
+            output_dtype)
+    need_fvec, need_h5 = _needs(data_dir, base_vectors_fvec_file,
+                                output_hdf5, hdf5_file, "train")
+    if not (need_fvec or need_h5):
+        return
     df = read_and_extract(data_dir, input_parquet, base_count, dimensions, column_names)
-    if is_empty_file(base_vectors_fvec_file):
+    if need_fvec:
         fvec.write_ivec_fvec_from_dataframe(
             data_dir, model_name, base_vectors_fvec_file, df, "f", dimensions)
-    else:
-        print(f"File {base_vectors_fvec_file} already exists")
     if output_hdf5:
         write_hdf5(data_dir, model_name, df, hdf5_file, "train", output_dtype)
 
 
 def _generate_base_vectors_streaming(data_dir, model_name, input_parquet,
-                                     base_count, base_vectors_fvec_file,
-                                     output_hdf5, hdf5_file, output_dtype,
+                                     base_count, dimensions,
+                                     base_vectors_fvec_file,
+                                     output_hdf5, column_names, hdf5_file,
+                                     output_dtype,
                                      batch_rows: int = 131_072):
     """Out-of-core base export: parquet batches append to the fvec file
     and fill a preallocated hdf5 dataset slab by slab."""
@@ -81,7 +102,15 @@ def _generate_base_vectors_streaming(data_dir, model_name, input_parquet,
     hdf5_live = output_hdf5
     for offset, mat in iter_embedding_batches(data_dir, input_parquet,
                                               batch_size=batch_rows,
-                                              count=base_count):
+                                              count=base_count,
+                                              columns=column_names):
+        # the non-streaming path enforces this through
+        # write_ivec_fvec_from_dataframe's dimension validity check; a
+        # width mismatch here would silently export files contradicting
+        # the `_<dims>_` in their own names (r3 review)
+        assert mat.shape[1] == dimensions, \
+            (f"{input_parquet} embedding width {mat.shape[1]} != configured "
+             f"dimensions {dimensions}")
         if need_fvec:
             if offset == 0:
                 fvec.write_vectors(tmp_fvec, mat, "f")
@@ -99,24 +128,28 @@ def _generate_base_vectors_streaming(data_dir, model_name, input_parquet,
 
 def generate_indices_ivec(data_dir, model_name, input_parquet, k,
                           indices_ivec_file, output_hdf5=True, hdf5_file=None):
+    need_fvec, need_h5 = _needs(data_dir, indices_ivec_file,
+                                output_hdf5, hdf5_file, "neighbors")
+    if not (need_fvec or need_h5):
+        return
     df = read_parquet_to_dataframe(data_dir, input_parquet)
-    if is_empty_file(indices_ivec_file):
+    if need_fvec:
         fvec.write_ivec_fvec_from_dataframe(
             data_dir, model_name, indices_ivec_file, df, "i", k)
-    else:
-        print(f"File {indices_ivec_file} already exists")
     if output_hdf5:
         write_hdf5(data_dir, model_name, df, hdf5_file, "neighbors")
 
 
 def generate_distances_fvec(data_dir, model_name, input_parquet, k,
                             distances_fvec_file, output_hdf5=True, hdf5_file=None):
+    need_fvec, need_h5 = _needs(data_dir, distances_fvec_file,
+                                output_hdf5, hdf5_file, "distances")
+    if not (need_fvec or need_h5):
+        return
     df = read_parquet_to_dataframe(data_dir, input_parquet)
-    if is_empty_file(distances_fvec_file):
+    if need_fvec:
         fvec.write_ivec_fvec_from_dataframe(
             data_dir, model_name, distances_fvec_file, df, "f", k)
-    else:
-        print(f"File {distances_fvec_file} already exists")
     if output_hdf5:
         write_hdf5(data_dir, model_name, df, hdf5_file, "distances")
 

@@ -6,6 +6,8 @@ one file holding datasets `train` (base vectors), `test` (query vectors),
 resume, plus the Voyage output_dtype mapping and `encoding` attrs.
 """
 
+import os
+
 import numpy as np
 import h5py
 
@@ -95,6 +97,22 @@ def write_hdf5_slab(data_dir, model_name, batch, filename, group,
         if offset + len(batch) >= total_rows:
             del ds.attrs["_streaming"]     # complete: future runs no-op
     return True
+
+
+def hdf5_group_exists(data_dir, filename, group) -> bool:
+    """Non-mutating probe for write_hdf5's group-level no-op: lets export
+    callers skip a whole-parquet read when both the fvec and the hdf5
+    group already exist (a COMPLETE group only — a mid-stream slab still
+    carrying write_hdf5_slab's "_streaming" crash marker must be
+    re-driven, so it does not count)."""
+    full_filename = get_full_filename(data_dir, filename)
+    if not os.path.exists(full_filename):
+        return False
+    try:
+        with h5py.File(full_filename, "r") as f:
+            return group in f and "_streaming" not in f[group].attrs
+    except OSError:
+        return False
 
 
 def read_hdf5_group(data_dir, filename, group) -> np.ndarray:

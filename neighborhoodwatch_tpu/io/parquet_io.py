@@ -226,20 +226,23 @@ def read_embeddings(data_dir: str, filename: str, count: int | None = None,
 
 
 def iter_embedding_batches(data_dir: str, filename: str, batch_size: int,
-                           count: int | None = None, layout: str = "row"):
+                           count: int | None = None, layout: str = "row",
+                           columns: list[str] | None = None):
     """Stream (offset, matrix) batches out-of-core via pyarrow.dataset —
     the reference's cu_knn_ds streaming path (cu_knn_ds.py:181-239).
 
     layout="row" yields (n, d); layout="col" yields the TRANSPOSED (d, n)
     matrix built with sequential writes only (see table_to_colmajor) for
-    callers that relayout on device."""
+    callers that relayout on device. `columns` overrides the embedding_{i}
+    regex inference (e.g. ColBERT token_embedding_{i} exports)."""
     assert layout in ("row", "col")
     to_mat = table_to_matrix if layout == "row" else table_to_colmajor
     rows_of = (lambda m: m.shape[0]) if layout == "row" \
         else (lambda m: m.shape[1])
     full = get_full_filename(data_dir, filename)
-    schema = pq.read_schema(full)
-    columns = embedding_column_names(schema)
+    if columns is None:
+        schema = pq.read_schema(full)
+        columns = embedding_column_names(schema)
     ds = pads.dataset(full, format="parquet")
     offset = 0
     pending = []

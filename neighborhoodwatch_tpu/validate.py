@@ -270,6 +270,12 @@ def validate_maxsim_files(data_dir, query_vector_fvec, base_vector_fvec,
         assert len(b_tokens) == n_b_tokens, \
             f"base doc map covers {n_b_tokens} rows, fvec has {len(b_tokens)}"
         doc_of = lambda p: b_tokens[b_ranges[p, 0]:b_ranges[p, 1]]
+        # hoisted out of the per-query loop: the float64 image of the
+        # whole base and its per-doc views — re-converting the full token
+        # matrix per sampled query cost up to 256 redundant 8x-sized
+        # conversions (r3 review)
+        b64 = b_tokens.astype(np.float64)
+        b_docs64 = [b64[s:e] for s, e in b_ranges]
     else:
         # gather only the listed neighbors' token rows: one sequential scan
         need = np.unique(indices[q_sel])
@@ -295,8 +301,7 @@ def validate_maxsim_files(data_dir, query_vector_fvec, base_vector_fvec,
                   f"distance {distances[qi, j]:.6f}")
         total_mismatch += int(bad.sum())
         if exhaustive:
-            all_scores = _maxsim_scores_f64(
-                qt, [b_tokens[s:e] for s, e in b_ranges])
+            all_scores = _maxsim_scores_f64(qt, b_docs64)
             kth = -distances[qi, k - 1]          # written k-th best score
             unlisted = np.ones(n_b_docs, dtype=bool)
             unlisted[indices[qi]] = False

@@ -303,9 +303,9 @@ def test_streaming_base_export_matches_direct(tmp_path):
     generate_base_vectors_fvec(data_dir, "m", "b.parquet", 517, 12,
                                "direct.fvec", output_hdf5=True,
                                hdf5_file="direct.hdf5")
-    _generate_base_vectors_streaming(data_dir, "m", "b.parquet", 517,
-                                     "streamed.fvec", True, "streamed.hdf5",
-                                     None, batch_rows=100)
+    _generate_base_vectors_streaming(data_dir, "m", "b.parquet", 517, 12,
+                                     "streamed.fvec", True, None,
+                                     "streamed.hdf5", None, batch_rows=100)
 
     a = open(f"{data_dir}/direct.fvec", "rb").read()
     b = open(f"{data_dir}/streamed.fvec", "rb").read()
@@ -317,9 +317,9 @@ def test_streaming_base_export_matches_direct(tmp_path):
         assert "_streaming" not in f2["train"].attrs
 
     # resume: a second streamed run is a no-op (files unchanged)
-    _generate_base_vectors_streaming(data_dir, "m", "b.parquet", 517,
-                                     "streamed.fvec", True, "streamed.hdf5",
-                                     None, batch_rows=100)
+    _generate_base_vectors_streaming(data_dir, "m", "b.parquet", 517, 12,
+                                     "streamed.fvec", True, None,
+                                     "streamed.hdf5", None, batch_rows=100)
     assert open(f"{data_dir}/streamed.fvec", "rb").read() == b
 
 
@@ -350,16 +350,16 @@ def test_streaming_fvec_export_crash_leaves_no_final_file(tmp_path,
     monkeypatch.setattr(fvec, "append_vectors", crashing_append)
     with pytest.raises(RuntimeError):
         _generate_base_vectors_streaming(data_dir, "m", "b.parquet", 300,
-                                         "base.fvec", False, None, None,
-                                         batch_rows=100)
+                                         5, "base.fvec", False, None, None,
+                                         None, batch_rows=100)
     import os
     assert not os.path.exists(f"{data_dir}/base.fvec")   # nothing final
     assert os.path.exists(f"{data_dir}/base.fvec.streaming")
 
     # rerun completes and is byte-identical to a clean streamed export
     monkeypatch.setattr(fvec, "append_vectors", real_append)
-    _generate_base_vectors_streaming(data_dir, "m", "b.parquet", 300,
-                                     "base.fvec", False, None, None,
+    _generate_base_vectors_streaming(data_dir, "m", "b.parquet", 300, 5,
+                                     "base.fvec", False, None, None, None,
                                      batch_rows=100)
     got = open(f"{data_dir}/base.fvec", "rb").read()
     fvec.write_vectors(f"{data_dir}/ref.fvec", mat, "f")
@@ -421,3 +421,60 @@ def test_hdf5_slab_crashed_stream_restarts(tmp_path):
                                "x.hdf5", "train", total_rows=200, offset=0)
     with h5py.File(f"{data_dir}/x.hdf5") as f:
         np.testing.assert_array_equal(np.asarray(f["train"]), full)
+
+
+def test_export_rerun_skips_parquet_reads(tmp_path, monkeypatch):
+    """On an idempotent rerun with the fvec AND hdf5 group complete, the
+    exporters must not decode the input parquet at all (r3 review: a
+    262k x 1536 query table costs minutes on a weak host just to print
+    'already exists')."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from neighborhoodwatch_tpu.io import export as E
+
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((40, 6)).astype(np.float32)
+    data_dir = str(tmp_path)
+    pq.write_table(pa.table({f"embedding_{i}": mat[:, i] for i in range(6)}),
+                   f"{data_dir}/q.parquet")
+    idx = rng.integers(0, 40, (9, 4)).astype(np.int32)
+    pq.write_table(pa.table({f"c{i}": idx[:, i] for i in range(4)}),
+                   f"{data_dir}/i.parquet")
+
+    E.generate_query_vectors_fvec(data_dir, "m", "q.parquet", 40, 6,
+                                  f"{data_dir}/q.fvec", True, None, "g.hdf5")
+    E.generate_indices_ivec(data_dir, "m", "i.parquet", 4, f"{data_dir}/i.ivec",
+                            True, "g.hdf5")
+
+    def boom(*a, **k):
+        raise AssertionError("rerun must not read the input parquet")
+
+    monkeypatch.setattr(E, "read_and_extract", boom)
+    monkeypatch.setattr(E, "read_parquet_to_dataframe", boom)
+    E.generate_query_vectors_fvec(data_dir, "m", "q.parquet", 40, 6,
+                                  f"{data_dir}/q.fvec", True, None, "g.hdf5")
+    E.generate_indices_ivec(data_dir, "m", "i.parquet", 4, f"{data_dir}/i.ivec",
+                            True, "g.hdf5")
+    # with hdf5 disabled, a complete fvec alone must also skip the read
+    E.generate_query_vectors_fvec(data_dir, "m", "q.parquet", 40, 6,
+                                  f"{data_dir}/q.fvec", False, None, None)
+
+
+def test_streaming_export_rejects_width_mismatch(tmp_path):
+    """The streamed base export must enforce the configured dimensions
+    like the non-streaming path does (r3 review: a 6-wide parquet exported
+    under dimensions=12 silently contradicted the `_12_` in every
+    filename)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from neighborhoodwatch_tpu.io.export import _generate_base_vectors_streaming
+
+    rng = np.random.default_rng(13)
+    mat = rng.standard_normal((50, 6)).astype(np.float32)
+    data_dir = str(tmp_path)
+    pq.write_table(pa.table({f"embedding_{i}": mat[:, i] for i in range(6)}),
+                   f"{data_dir}/b.parquet")
+    with pytest.raises(AssertionError, match="embedding width"):
+        _generate_base_vectors_streaming(data_dir, "m", "b.parquet", 50, 12,
+                                         "b.fvec", False, None, None, None,
+                                         batch_rows=20)

@@ -148,9 +148,12 @@ def test_streaming_checkpoint_resume(dataset_dir, normalized_vectors,
     # state-shape keys included — a hand-rolled subset would make the
     # resume below silently degrade to a fresh run)
     st = os.stat(naming.get_full_filename(data_dir, bfile))
+    stq = os.stat(naming.get_full_filename(data_dir, qfile))
     fingerprint = {"f_k": K, "f_metric": "sqeuclidean", "f_dims": DIMENSIONS,
                    "f_base": bfile, "f_nbase": BASE_COUNT, "f_q": QUERY_COUNT,
                    "f_bsize": st.st_size, "f_bmtime": round(st.st_mtime, 3),
+                   "f_qsize": stq.st_size,
+                   "f_qmtime": round(stq.st_mtime, 3),
                    "f_qpad": QUERY_COUNT}
     acc = StreamingKNN(q, k=K)
     acc.update(b[:400], 0)
@@ -161,6 +164,10 @@ def test_streaming_checkpoint_resume(dataset_dir, normalized_vectors,
     # a regenerated base (same name/counts, different stat) must NOT resume
     assert _load_stream_ckpt(
         ckpt, {**fingerprint, "f_bmtime": fingerprint["f_bmtime"] + 1}) is None
+    # ... nor a regenerated QUERY file: its checkpointed per-query state
+    # was computed from the OLD embeddings (r3 review — both sides)
+    assert _load_stream_ckpt(
+        ckpt, {**fingerprint, "f_qmtime": fingerprint["f_qmtime"] + 1}) is None
 
     capsys.readouterr()
     compute_knn_ds(data_dir, DIMENSIONS, qfile, QUERY_COUNT, bfile,
