@@ -112,17 +112,18 @@ def get_batch_embeddings_from_generator(text_list, generator, dataset_type=None)
     if isinstance(generator, CohereEmbeddingV3Generator):
         kwargs["input_type"] = ("search_query" if dataset_type == "query"
                                 else "search_document")
-    embeddings = generator.generate_embedding(text_list, **kwargs)
-    zero_cnt = sum(1 for e in embeddings if is_zero_embedding(e))
-    return embeddings, zero_cnt
+    return generator.generate_embedding(text_list, **kwargs)
 
 
 def get_embeddings_from_map(text_map, generator, dataset_type=None):
     """Embed a [(key, [sentences])] map preserving grouping
-    (reference: generate_dataset.py:94-98)."""
+    (reference: generate_dataset.py:94-98). Zero-embedding (API-failure)
+    accounting happens once, downstream in process_dataset's flush — a
+    second count here would be dead weight and a double-count trap
+    (r3 review)."""
     flattened = [s for _, sentences in text_map for s in sentences]
-    embeddings, _ = get_batch_embeddings_from_generator(flattened, generator,
-                                                        dataset_type)
+    embeddings = get_batch_embeddings_from_generator(flattened, generator,
+                                                     dataset_type)
     it = iter(embeddings)
     return [(key, [next(it) for _ in sentences]) for key, sentences in text_map]
 
@@ -276,13 +277,16 @@ def generate_query_dataset(data_dir, model_name, row_count,
         print(f"file {filename} already exists")
         return filename
     dataset = source if source is not None else load_query_source()
-    streamer = ParquetStreamer(filename, dataset.column_names)
-    processed, skipped = process_dataset("query", streamer, dataset, row_count,
-                                         "question", model_name,
-                                         output_dimension, output_dtype,
-                                         generator=generator)
-    streamer.close()
-    assert processed == row_count, f"Expected {row_count} rows, got {processed} rows."
+    # the with-block publishes ONLY on success: asserting after close()
+    # used to leave a complete-but-undersized parquet at the final path,
+    # which the _valid_parquet resume guard would then reuse (r3 review)
+    with ParquetStreamer(filename, dataset.column_names) as streamer:
+        processed, skipped = process_dataset("query", streamer, dataset,
+                                             row_count, "question", model_name,
+                                             output_dimension, output_dtype,
+                                             generator=generator)
+        assert processed == row_count, \
+            f"Expected {row_count} rows, got {processed} rows."
     print(f"   processed {processed} non-zero embeddings, skipped {skipped} zero embeddings")
     return filename
 
@@ -326,6 +330,33 @@ def _filter_dataset_by_title(dataset, query_titles, keep_in: bool):
     return dataset.select(idx)
 
 
+def _split_dataset_by_title(dataset, query_titles):
+    """(title-in-set view, title-not-in-set view) with ONE normalize +
+    set-lookup pass over the corpus — the two-phase base selection's most
+    expensive host-side scan; running _filter_dataset_by_title twice
+    rebuilt the identical mask inverted (r3 review). Plain iterables fall
+    back to two .filter passes (synthetic sources are test-sized)."""
+    try:
+        title_col = dataset.data.column("title")
+        indices = getattr(dataset, "_indices", None)
+        if indices is not None:
+            import pyarrow.compute as _pc
+            title_col = _pc.take(title_col, indices.column(0))
+    except AttributeError:
+        return (_filter_dataset_by_title(dataset, query_titles, keep_in=True),
+                _filter_dataset_by_title(dataset, query_titles, keep_in=False))
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    norm = pc.replace_substring(pc.cast(title_col, pa.string()), "_", " ")
+    mask = pc.is_in(norm, options=pc.SetLookupOptions(
+        value_set=pa.array(sorted(query_titles), type=pa.string()),
+        skip_nulls=True)).to_numpy(zero_copy_only=False)
+    # select() keeps both views lazy (index mappings, not copies)
+    return (dataset.select(np.nonzero(mask)[0]),
+            dataset.select(np.nonzero(~mask)[0]))
+
+
 def generate_base_dataset(data_dir, model_name, query_vector_filename,
                           row_count, output_dimension=None, output_dtype=None,
                           source=None, generator=None):
@@ -347,31 +378,31 @@ def generate_base_dataset(data_dir, model_name, query_vector_filename,
     query_titles = set(pc.unique(query_table.column("title")).to_pylist())
 
     dataset = source if source is not None else load_base_source()
-    streamer = ParquetStreamer(filename, dataset.column_names)
+    print("-- filtering base dataset (single title-set pass, both phases)")
+    in_set, out_set = _split_dataset_by_title(dataset, query_titles)
 
-    processed = 0
-    skipped = 0
-    print("-- filtering base dataset 1 (title in query set)")
-    in_set = _filter_dataset_by_title(dataset, query_titles, keep_in=True)
-    if len(in_set) > 0:
-        processed, skipped = process_dataset("document", streamer, in_set,
-                                             row_count, "text", model_name,
-                                             output_dimension, output_dtype,
-                                             generator=generator)
-        assert processed <= row_count
+    # publish only on success (cf. generate_query_dataset)
+    with ParquetStreamer(filename, dataset.column_names) as streamer:
+        processed = 0
+        skipped = 0
+        print("-- base dataset phase 1 (title in query set)")
+        if len(in_set) > 0:
+            processed, skipped = process_dataset("document", streamer, in_set,
+                                                 row_count, "text", model_name,
+                                                 output_dimension, output_dtype,
+                                                 generator=generator)
+            assert processed <= row_count
 
-    if row_count > processed:
-        print("-- filtering base dataset 2 (title not in query set)")
-        out_set = _filter_dataset_by_title(dataset, query_titles,
-                                           keep_in=False)
-        p2, s2 = process_dataset("document", streamer, out_set,
-                                 row_count - processed, "text", model_name,
-                                 output_dimension, output_dtype,
-                                 generator=generator)
-        processed += p2
-        skipped += s2
-        assert processed == row_count, f"Expected {row_count} rows, got {processed} rows."
+        if row_count > processed:
+            print("-- base dataset phase 2 (title not in query set)")
+            p2, s2 = process_dataset("document", streamer, out_set,
+                                     row_count - processed, "text", model_name,
+                                     output_dimension, output_dtype,
+                                     generator=generator)
+            processed += p2
+            skipped += s2
+            assert processed == row_count, \
+                f"Expected {row_count} rows, got {processed} rows."
 
-    streamer.close()
     print(f"   processed {processed} non-zero embeddings, skipped {skipped} zero embeddings")
     return filename

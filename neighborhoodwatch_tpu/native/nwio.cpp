@@ -108,13 +108,20 @@ int nwio_fvec_probe(const char* path, int64_t* n_out, int32_t* dim_out) {
 }
 
 // Bulk read rows [row_start, row_start + n_rows) into `out`
-// (n_rows * dim * 4 bytes, dense, no headers). Multithreaded across
-// row spans. Returns rows read or negative error.
+// (n_rows * expected_dim * 4 bytes, dense, no headers). Multithreaded
+// across row spans. Returns rows read or negative error. expected_dim
+// is the caller's buffer width and MUST match the file: the function
+// re-probes the file itself, so without the check a file regenerated
+// with a wider dim between the caller's probe() and this read would
+// write past the caller's buffer (heap corruption), and a narrower one
+// would silently return uninitialized tail columns. -7 on mismatch.
 int64_t nwio_fvec_read_rows(const char* path, int64_t row_start,
-                            int64_t n_rows, void* out, int n_threads) {
+                            int64_t n_rows, void* out, int n_threads,
+                            int32_t expected_dim) {
   FileInfo fi;
   int rc = probe_file(path, &fi);
   if (rc != 0) return rc;
+  if (fi.dim != expected_dim) return -7;
   if (row_start < 0 || row_start + n_rows > fi.n_rows) return -6;
   if (n_rows == 0) return 0;
   int fd = ::open(path, O_RDONLY);

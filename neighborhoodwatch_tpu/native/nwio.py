@@ -36,7 +36,7 @@ def _load():
     lib.nwio_fvec_read_rows.restype = ctypes.c_int64
     lib.nwio_fvec_read_rows.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_void_p, ctypes.c_int]
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int32]
     lib.nwio_fvec_write_rows.restype = ctypes.c_int64
     lib.nwio_fvec_write_rows.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_void_p,
@@ -77,9 +77,16 @@ def read_rows(path: str, row_start: int, n_rows: int, dim: int,
     if n_threads is None:
         n_threads = min(8, os.cpu_count() or 1)
     out = np.empty((n_rows, dim), dtype=payload_dtype)
+    # dim rides the ABI so the native side can reject a file whose actual
+    # width differs from this buffer's — without the check a regenerated
+    # wider file corrupted the heap, a narrower one returned uninitialized
+    # tail columns (r3 review)
     got = lib.nwio_fvec_read_rows(path.encode(), row_start, n_rows,
                                   out.ctypes.data_as(ctypes.c_void_p),
-                                  n_threads)
+                                  n_threads, dim)
+    if got == -7:
+        raise IOError(f"nwio_fvec_read_rows({path}): file dim != {dim} "
+                      f"(file changed since probe?)")
     if got != n_rows:
         raise IOError(f"nwio_fvec_read_rows({path}) -> {got}, wanted {n_rows}")
     return out
@@ -129,8 +136,14 @@ class FvecStream:
             raise IOError(f"nwio_stream_open({path}) failed")
 
     def __iter__(self):
-        if self._handle is None:     # empty file: nothing to stream
+        if self.n_rows == 0:         # empty file: nothing to stream
             return
+        if self._handle is None:
+            # exhausted or closed: silently yielding nothing would make a
+            # two-pass consumer (or a retry loop) process 0 rows without
+            # any signal (r3 review) — the stream is single-pass
+            raise IOError("FvecStream already consumed/closed — construct "
+                          "a new stream for another pass")
         offset = 0
         try:
             while True:

@@ -129,9 +129,15 @@ def split_embedding_column(src: str, dst: str, column: str = "embedding",
             assert column in names, \
                 f"{src} has no column {column!r} (columns: {names})"
             emb = batch.column(column)
-            mat = np.asarray(emb.to_pylist(), dtype=np.float32)
-            assert mat.ndim == 2, \
+            # vectorized list flatten: to_pylist() creates batch*dim Python
+            # float objects per batch (~19B allocations over a 10M-row file
+            # on the 1-vCPU host — r3 review); flatten() is one C++ pass
+            import pyarrow.compute as pc
+            lens = pc.list_value_length(emb).to_numpy(zero_copy_only=False)
+            assert len(lens) and lens.min() == lens.max(), \
                 f"column {column!r} rows are not fixed-length lists"
+            mat = np.asarray(emb.flatten().to_numpy(zero_copy_only=False),
+                             dtype=np.float32).reshape(len(emb), int(lens[0]))
             arrays, fields = [], []
             for name in names:
                 if name == column:
@@ -150,6 +156,15 @@ def split_embedding_column(src: str, dst: str, column: str = "embedding",
                                           use_dictionary=False)
             writer.write_table(table)
             rows += batch.num_rows
+        if writer is None:
+            # zero-row source: still produce a valid dst (the embedding
+            # width is unknowable without data, so the schema is the
+            # source's minus the list column) instead of silently writing
+            # nothing and handing the next stage a FileNotFoundError
+            # (r3 review)
+            schema = pa.schema([f for f in pf.schema_arrow
+                                if f.name != column])
+            pq.write_table(schema.empty_table(), dst)
     finally:
         if writer is not None:
             writer.close()
@@ -182,7 +197,9 @@ def sort_parquet(src: str, dst: str, keys: list[str],
             table = pa.Table.from_batches([batch])
             table = table.sort_by([(k, "ascending") for k in keys])
             path = os.path.join(run_dir, f"run{len(runs)}.parquet")
-            pq.write_table(table, path)
+            # PLAIN: spills are decoded right back (and the single-run
+            # path os.replace's one straight to dst)
+            pq.write_table(table, path, use_dictionary=False)
             runs.append(path)
 
         if not runs:
@@ -205,6 +222,34 @@ def sort_parquet(src: str, dst: str, keys: list[str],
                 pass
 
 
+def _sort_key_arrays(batch_or_table, keys) -> list[np.ndarray]:
+    """Expand each key column into a (null_class int8, value) array pair
+    forming a TOTAL lexicographic order even with NaN/null keys: floats'
+    NaN (and nulls, which to_numpy surfaces as NaN) and strings' None get
+    class 1 with a neutral value, so they sort last — matching arrow's
+    sort_by placement — and the vectorized comparisons never see a NaN or
+    None (r3 review, reproduced: a single NaN float key made the merge's
+    `arr < nan` all-False and the bound loop spin FOREVER; a None string
+    key raised TypeError against str)."""
+    out: list[np.ndarray] = []
+    for k in keys:
+        a = batch_or_table.column(k).to_numpy(zero_copy_only=False)
+        if a.dtype.kind == "f":
+            bad = np.isnan(a)
+            out.append(bad.astype(np.int8))
+            out.append(np.where(bad, 0.0, a))
+        elif a.dtype == object:
+            bad = np.array([x is None for x in a], dtype=bool)
+            vals = a.copy()
+            vals[bad] = ""
+            out.append(bad.astype(np.int8))
+            out.append(vals)
+        else:
+            out.append(np.zeros(len(a), np.int8))
+            out.append(a)
+    return out
+
+
 class _RunCursor:
     """Batched reader over one sorted run, exposing whole-prefix cuts.
 
@@ -212,7 +257,8 @@ class _RunCursor:
     key <= a bound in one vectorized comparison over the batch's key
     columns (the reference delegates the same job to duckdb's native
     external sorter, sort_with_duckdb_streaming.py:20-59; a per-row
-    `.as_py()` heap merge measured ~100x slower at splice scale)."""
+    `.as_py()` heap merge measured ~100x slower at splice scale).
+    Key comparisons run on `_sort_key_arrays`' total-order expansion."""
 
     def __init__(self, path: str, keys: list[str], batch_size: int):
         import pyarrow.parquet as pq
@@ -228,9 +274,7 @@ class _RunCursor:
             self._advance_batch()
             return
         if self._batch is not None:
-            self._karrs = [
-                self._batch.column(k).to_numpy(zero_copy_only=False)
-                for k in self._keys]
+            self._karrs = _sort_key_arrays(self._batch, self._keys)
 
     @property
     def exhausted(self) -> bool:
@@ -314,7 +358,11 @@ def _merge_runs(runs: list[str], dst: str, keys: list[str],
     def write(batch_or_table):
         nonlocal writer, rows
         if writer is None:
-            writer = pq.ParquetWriter(dst, batch_or_table.schema)
+            # PLAIN like ParquetStreamer/split: the primary inputs are
+            # embedding parquets, where dictionary pages cost +50% size
+            # and 5-10x slower decode (CLAUDE.md rule; r3 review)
+            writer = pq.ParquetWriter(dst, batch_or_table.schema,
+                                      use_dictionary=False)
         if isinstance(batch_or_table, pa.RecordBatch):
             writer.write_batch(batch_or_table)
         else:
@@ -335,8 +383,7 @@ def _merge_runs(runs: list[str], dst: str, keys: list[str],
                         parts.append(part)
             if parts:
                 table = pa.Table.from_batches(parts)
-                karrs = [table.column(k).to_numpy(zero_copy_only=False)
-                         for k in keys]
+                karrs = _sort_key_arrays(table, keys)
                 order = np.lexsort(tuple(reversed(karrs)))
                 if not np.array_equal(order, np.arange(len(order))):
                     table = table.take(order)
@@ -424,22 +471,18 @@ def knn_over_fvec(query_file: str, base_file: str, k: int,
     The operator path for corpora that already live in fvec form —
     the reference can only search vectors it generated itself."""
     from neighborhoodwatch_tpu.io import fvec as fv
-    from neighborhoodwatch_tpu.native import nwio
     from neighborhoodwatch_tpu.ops.knn import StreamingKNN
 
     out = out or sys.stdout
     queries = fv.read_vectors(query_file)
     acc = StreamingKNN(queries, k=k, metric=metric, engine=engine)
 
-    if nwio.available():
-        stream = nwio.FvecStream(base_file, batch_rows, np.dtype("<f4"))
-        n_base = stream.n_rows
-    else:
-        mat = fv.read_vectors(base_file)
-        n_base = len(mat)
-        stream = ((s, mat[s:s + batch_rows])
-                  for s in range(0, n_base, batch_rows))
-    for offset, batch in stream:
+    # iter_vector_batches already dispatches native-vs-fallback and keeps
+    # BOTH paths out-of-core; the old non-native branch read_vectors'd the
+    # whole base (~61 GB at 10M x 1536 — an OOM kill, r3 review)
+    n_base = fv.count_vectors(os.path.dirname(base_file) or ".",
+                              os.path.basename(base_file))
+    for offset, batch in fv.iter_vector_batches(base_file, batch_rows):
         acc.update(batch, offset)
     dist, idx = acc.finalize()
 

@@ -205,3 +205,58 @@ def test_title_filter_honors_dataset_views():
     assert [r["text"] for r in kept] == [f"body {i}" for i in want]
     dropped = _filter_dataset_by_title(view, qset, keep_in=False)
     assert len(kept) + len(dropped) == 70
+
+
+def test_undersized_source_fails_without_publishing(tmp_path):
+    """When the source exhausts before row_count embeddings, the run must
+    FAIL and must NOT leave a complete-looking parquet at the final path:
+    publishing before the count assert poisoned resume — the next run's
+    _valid_parquet probe reused the undersized dataset silently
+    (r3 review)."""
+    import os
+    import pytest
+    from neighborhoodwatch_tpu.data.sources import _valid_parquet
+
+    g = _DetGenerator()
+    data_dir = str(tmp_path)
+    qsrc = synthetic_dataset("query", 5)   # far fewer than requested
+    with pytest.raises(AssertionError, match="Expected 500 rows"):
+        generate_query_dataset(data_dir, "intfloat/e5-small-v2", 500,
+                               output_dimension=384, source=qsrc,
+                               generator=g)
+    leftovers = [f for f in os.listdir(data_dir) if f.endswith(".parquet")]
+    assert not leftovers, leftovers
+    # a rerun with a sufficient source must regenerate, not "already exist"
+    qfile = generate_query_dataset(data_dir, "intfloat/e5-small-v2", 8,
+                                   output_dimension=384,
+                                   source=synthetic_dataset("query", 40),
+                                   generator=g)
+    assert _valid_parquet(qfile)
+
+
+def test_split_dataset_by_title_single_pass():
+    """_split_dataset_by_title must produce exactly the two
+    _filter_dataset_by_title views from ONE normalize+lookup pass
+    (r3 review: the base selection ran the full-corpus scan twice)."""
+    import pyarrow as pa
+    from neighborhoodwatch_tpu.data.sources import (
+        _filter_dataset_by_title, _split_dataset_by_title,
+    )
+
+    class _ArrowDS:
+        def __init__(self, titles):
+            self.data = pa.table({"title": titles})
+            self.column_names = ["title"]
+        def select(self, idx):
+            return [self.data.column("title")[int(i)].as_py() for i in idx]
+        def filter(self, fn):
+            raise AssertionError("per-row .filter() used")
+
+    titles = [f"t_{i}" if i % 3 else f"q_{i}" for i in range(30)]
+    ds = _ArrowDS(titles)
+    qset = {f"q {i}" for i in range(0, 30, 3)}   # matches after _ -> ' '
+    in_one = _filter_dataset_by_title(ds, qset, keep_in=True)
+    out_one = _filter_dataset_by_title(ds, qset, keep_in=False)
+    in_two, out_two = _split_dataset_by_title(ds, qset)
+    assert in_two == in_one and out_two == out_one
+    assert len(in_two) + len(out_two) == 30 and len(in_two) == 10

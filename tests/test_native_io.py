@@ -149,3 +149,41 @@ def test_native_stream_context_manager_and_gc(tmp_path):
     np.testing.assert_array_equal(got, mat)
     s2 = nwio.FvecStream(f, 8, np.float32)
     del s2                                  # __del__ closes; no hang
+
+
+def test_read_rows_rejects_dim_mismatch(tmp_path):
+    """read_rows re-probes the file natively, so the caller's buffer dim
+    must ride the ABI: a file regenerated WIDER between probe() and
+    read_rows() would otherwise write past the numpy buffer (heap
+    corruption); NARROWER would return uninitialized tail columns
+    (r3 review)."""
+    if not nwio.available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(5)
+    path = str(tmp_path / "a.fvec")
+    fvec.write_vectors(path, rng.standard_normal((10, 8)).astype(np.float32), "f")
+    ok = nwio.read_rows(path, 0, 10, 8, np.dtype("<f4"))
+    assert ok.shape == (10, 8)
+    for wrong in (4, 16):
+        with pytest.raises(IOError, match="dim"):
+            nwio.read_rows(path, 0, 10, wrong, np.dtype("<f4"))
+
+
+def test_stream_second_pass_raises(tmp_path):
+    """A consumed FvecStream must raise on re-iteration, not silently
+    yield nothing (r3 review: a two-pass consumer would process 0 rows
+    with no signal). Empty files still iterate-empty any number of times
+    (the Python-fallback A/B invariant)."""
+    if not nwio.available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(6)
+    path = str(tmp_path / "b.fvec")
+    fvec.write_vectors(path, rng.standard_normal((7, 4)).astype(np.float32), "f")
+    s = nwio.FvecStream(path, 3, np.dtype("<f4"))
+    assert sum(b.shape[0] for _, b in s) == 7
+    with pytest.raises(IOError, match="consumed/closed"):
+        list(s)
+    empty = str(tmp_path / "e.fvec")
+    open(empty, "wb").close()
+    se = nwio.FvecStream(empty, 3, np.dtype("<f4"))
+    assert list(se) == [] and list(se) == []

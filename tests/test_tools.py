@@ -215,3 +215,56 @@ def test_sort_low_cardinality_keys_stream_stably(tmp_path):
                                   keys[perm][idx])
     np.testing.assert_array_equal(out.column("val").to_numpy(),
                                   vals[perm][idx])
+
+
+def test_sort_nan_and_null_keys_terminate(tmp_path):
+    """A NaN float key used to make the merge's vectorized bound
+    comparisons all-False and spin FOREVER, and a null string key raised
+    TypeError (r3 review, both reproduced). The total-order key expansion
+    must sort them last (arrow sort_by convention) and terminate."""
+    src, dst = str(tmp_path / "s.parquet"), str(tmp_path / "d.parquet")
+    vals = np.array([3.0, np.nan, 1.0, 2.0, np.nan, 0.5], np.float64)
+    pq.write_table(pa.table({"score": vals, "row": np.arange(6)}), src)
+    n = tools.sort_parquet(src, dst, ["score"], batch_size=2)
+    assert n == 6
+    got = pq.read_table(dst).column("score").to_numpy(zero_copy_only=False)
+    assert np.array_equal(got[:4], np.array([0.5, 1.0, 2.0, 3.0]))
+    assert np.all(np.isnan(got[4:]))
+
+    src2, dst2 = str(tmp_path / "s2.parquet"), str(tmp_path / "d2.parquet")
+    pq.write_table(pa.table({"name": ["b", None, "a", None, "c"]}), src2)
+    assert tools.sort_parquet(src2, dst2, ["name"], batch_size=2) == 5
+    got2 = pq.read_table(dst2).column("name").to_pylist()
+    assert got2[:3] == ["a", "b", "c"] and got2[3:] == [None, None]
+
+
+def test_split_empty_source_writes_valid_dst(tmp_path):
+    """A zero-row source must still produce a readable dst parquet, not
+    silently no file at all (r3 review)."""
+    src, dst = str(tmp_path / "e.parquet"), str(tmp_path / "o.parquet")
+    pq.write_table(pa.table({"id": pa.array([], pa.int64()),
+                             "embedding": pa.array([], pa.list_(pa.float32()))}),
+                   src)
+    assert tools.split_embedding_column(src, dst) == 0
+    t = pq.read_table(dst)
+    assert t.num_rows == 0 and t.schema.names == ["id"]
+
+
+def test_sort_and_split_write_plain_encoding(tmp_path):
+    """Embedding parquets must be PLAIN (CLAUDE.md rule): dictionary pages
+    cost +50% size and 5-10x slower decode on all-distinct floats."""
+    rng = np.random.default_rng(3)
+    src = str(tmp_path / "s.parquet")
+    n = 512
+    pq.write_table(pa.table({"key": rng.integers(0, 9, n),
+                             "embedding_0": rng.standard_normal(n)
+                             .astype(np.float32)}), src)
+    dst = str(tmp_path / "sorted.parquet")
+    tools.sort_parquet(src, dst, ["key"], batch_size=100)
+    meta = pq.ParquetFile(dst).metadata
+    for rg in range(meta.num_row_groups):
+        for c in range(meta.num_columns):
+            col = meta.row_group(rg).column(c)
+            assert "PLAIN_DICTIONARY" not in str(col.encodings) and \
+                "RLE_DICTIONARY" not in str(col.encodings), \
+                (col.path_in_schema, col.encodings)
