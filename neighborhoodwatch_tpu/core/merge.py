@@ -72,6 +72,10 @@ def merge_indices_and_distances(data_dir: str, k: int = 100,
         return
 
     n_rows = pq.ParquetFile(get_partial_indices_filename(data_dir, 0)).metadata.num_rows
+    assert n_rows > 0, \
+        (f"partial file 0 ({get_partial_indices_filename(data_dir, 0)}) is "
+         f"empty — a crashed producer left a zero-row partial; delete the "
+         f"partial directory and rerun the kNN phase")
     batch_size = min(row_batch_size, n_rows)
     batch_count = math.ceil(n_rows / batch_size)
 
@@ -83,6 +87,18 @@ def merge_indices_and_distances(data_dir: str, k: int = 100,
                  for i in range(file_count)]
     dist_files = [pq.ParquetFile(get_partial_distances_filename(data_dir, i))
                   for i in range(file_count)]
+    # every partial must cover the same query rows as file 0 UP FRONT: a
+    # stale larger file from a prior bigger-Q run whose extras align to
+    # whole batch_size chunks would pass the per-batch shape assert and
+    # its tail rows would be silently dropped; a shorter one would surface
+    # as an opaque StopIteration (r3 review)
+    for i, (fi, fd) in enumerate(zip(idx_files, dist_files)):
+        assert fi.metadata.num_rows == n_rows and \
+            fd.metadata.num_rows == n_rows, \
+            (f"partial file {i} has {fi.metadata.num_rows} index / "
+             f"{fd.metadata.num_rows} distance rows, expected {n_rows} "
+             f"(stale partials from a different run? clean the partial "
+             f"directory and rerun)")
     idx_writer = None
     dist_writer = None
     try:

@@ -121,6 +121,11 @@ def iter_vector_batches(filename: str, batch_rows: int, count: int | None = None
         dim = struct.unpack("<i", f.read(4))[0]
         f.seek(0)
         row_words = dim + 1
+        assert size % (4 * row_words) == 0, \
+            (f"{filename}: size {size} is not a whole number of "
+             f"{dim}-dim rows — truncated trailing row (killed export?); "
+             f"read_vectors would reject this file and the stream must "
+             f"too, not silently drop the tail (r3 review)")
         n = size // (4 * row_words)
         if count is not None:
             n = min(n, count)
@@ -164,7 +169,13 @@ def read_selected(filename: str, row_ids) -> np.ndarray:
             count = min(chunk_rows, n - start)
             raw = np.fromfile(f, dtype=np.dtype("<i4"),
                               count=count * (dim + 1)).reshape(count, dim + 1)
-            out[lo:hi] = raw[uniq[lo:hi] - start, 1:].view(payload_dtype)
+            sel = raw[uniq[lo:hi] - start]
+            # validate the selected rows' dim headers: a heterogeneous or
+            # corrupt file would otherwise return garbage payload bytes
+            # silently (r3 review)
+            assert (sel[:, 0] == dim).all(), \
+                f"{filename}: inconsistent per-row dims in selected rows"
+            out[lo:hi] = sel[:, 1:].view(payload_dtype)
             got += hi - lo
             if got == uniq.size:
                 break

@@ -22,8 +22,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-NEG_INF = -jnp.inf
-
 
 def smallest_k(distances, k: int):
     """Per-row k smallest values of a (Q, N) matrix -> ((Q, k) dist, (Q, k) idx).

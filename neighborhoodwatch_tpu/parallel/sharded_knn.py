@@ -28,7 +28,6 @@ except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
 from neighborhoodwatch_tpu.ops.distance import pairwise_distance
-from neighborhoodwatch_tpu.ops.knn import knn as _local_knn
 from neighborhoodwatch_tpu.ops.topk import smallest_k, merge_topk, merge_topk_many
 from neighborhoodwatch_tpu.parallel.mesh import DP_AXIS, MP_AXIS
 
@@ -37,15 +36,16 @@ def _trace_safe_engine(engine: str) -> str:
     """Resolve the engine for shard_map-traced paths. "screened" runs
     fully traced via ops.knn.screened_knn_traced (in-trace certificate
     repair); "auto" picks screened on TPU — per-shard folds still fall back
-    to verified/exact when the shard is too small for the kernel."""
+    to verified/exact when the shard is too small for the kernel. Unknown
+    names raise: silently coercing a typo ("screen", "verfied") to auto
+    would benchmark a different engine than the caller believes
+    (r3 review)."""
     if engine in ("exact", "verified", "screened"):
         return engine
+    if engine != "auto":
+        raise ValueError(f"unknown engine {engine!r}; expected one of "
+                         f"auto/exact/verified/screened")
     return "screened" if jax.default_backend() == "tpu" else "exact"
-
-
-def _screen_mega() -> int:
-    from neighborhoodwatch_tpu.ops import screen_kernel
-    return screen_kernel.MEGA
 
 
 def _small_shard_engine(engine: str) -> str:
@@ -58,18 +58,29 @@ def _small_shard_engine(engine: str) -> str:
 
 def sharded_knn(query, base, k: int, mesh, metric: str = "sqeuclidean",
                 precision: str = "highest", tile_size: int = 2048,
-                engine: str = "auto"):
+                engine: str = "auto", n_valid: int | None = None,
+                screen_precision: str = "medium"):
     """Exact kNN over a (dp, mp) mesh. `query` rows must divide the dp axis
-    size and `base` rows the mp axis size (pad beforehand if needed).
+    size and `base` rows the mp axis size; pad the base beforehand if
+    needed AND pass `n_valid` = the real row count — pad rows are masked
+    out per shard (a zero pad row's sqeuclidean distance is ||q||², which
+    BEATS true neighbors beyond 1.0 on normalized embeddings — r3 review).
 
     Returns (distances, indices) with global base indices, sharded over dp.
-    """
+
+    Delegates to `_sharded_fold` (one fold against an +inf running state):
+    one proven masked/engine-dispatched code path, and one cached jit —
+    the old per-call shard_map closure retraced and recompiled on every
+    invocation."""
     engine = _trace_safe_engine(engine)
     query = jnp.asarray(query, dtype=jnp.float32)
     base = jnp.asarray(base, dtype=jnp.float32)
     n_base = base.shape[0]
     mp = mesh.shape[MP_AXIS]
     dp = mesh.shape[DP_AXIS]
+    if n_valid is None:
+        n_valid = n_base
+    assert 0 < n_valid <= n_base
     assert query.shape[0] % dp == 0, \
         f"query rows {query.shape[0]} not divisible by dp={dp}"
     assert n_base % mp == 0, \
@@ -77,34 +88,14 @@ def sharded_knn(query, base, k: int, mesh, metric: str = "sqeuclidean",
     shard_rows = n_base // mp
     assert k <= shard_rows, \
         f"k={k} exceeds per-shard base rows {shard_rows}; lower mp or pad base"
+    assert k <= n_valid, f"k={k} exceeds valid base rows {n_valid}"
 
-    def _shard_fn(q_local, b_local):
-        my_shard = jax.lax.axis_index(MP_AXIS)
-        offset = my_shard * shard_rows
-        if engine == "screened" and shard_rows >= _screen_mega():
-            from neighborhoodwatch_tpu.ops.knn import screened_knn_traced
-            d, i = screened_knn_traced(q_local, b_local,
-                                       jnp.int32(shard_rows), 0, k, metric)
-        else:
-            d, i = _local_knn(q_local, b_local, k=k, metric=metric,
-                              precision=precision,
-                              tile_size=min(tile_size, shard_rows),
-                              base_offset=0,
-                              engine=_small_shard_engine(engine))
-        i = i + offset  # global base indices (reference cu_knn.py:273 analog)
-        # gather per-shard top-k lists over ICI and merge on every chip
-        all_d = jax.lax.all_gather(d, MP_AXIS)  # (mp, q_local, k)
-        all_i = jax.lax.all_gather(i, MP_AXIS)
-        md, mi = merge_topk_many(all_d, all_i, k)
-        return md, mi
-
-    fn = shard_map(
-        _shard_fn, mesh=mesh,
-        in_specs=(P(DP_AXIS, None), P(MP_AXIS, None)),
-        out_specs=(P(DP_AXIS, None), P(DP_AXIS, None)),
-        check_vma=False,
-    )
-    return jax.jit(fn)(query, base)
+    q_rows = query.shape[0]
+    run_d = jnp.full((q_rows, k), jnp.inf, dtype=jnp.float32)
+    run_i = jnp.zeros((q_rows, k), dtype=jnp.int32)
+    return _sharded_fold(run_d, run_i, query, base, jnp.int32(0),
+                         jnp.int32(n_valid), k, metric, precision, engine,
+                         tile_size, mesh, screen_precision)
 
 
 @partial(jax.jit, static_argnames=("k", "metric", "precision", "engine",
@@ -207,16 +198,29 @@ class ShardedStreamingKNN:
         assert offset == self._seen, \
             "batches must arrive in ascending contiguous offset order"
         n = base_batch.shape[0]
-        base_batch = jnp.asarray(base_batch, dtype=jnp.float32)
         if self._batch_rows is None or n > self._batch_rows:
             # pad batches to the widest seen so ragged tails (and trimmed
             # resume chunks) reuse the widest batch's compiled fold
             self._batch_rows = -(-n // self.mp) * self.mp
         pad = self._batch_rows - n
-        if pad:
-            base_batch = jnp.pad(base_batch, ((0, pad), (0, 0)))
         bsh = NamedSharding(self.mesh, P(MP_AXIS, None))
-        base_batch = jax.device_put(base_batch, bsh)
+        if isinstance(base_batch, jax.Array):
+            # already on device (device-fed benches/tests): jnp ops are fine
+            base_batch = jnp.asarray(base_batch, dtype=jnp.float32)
+            if pad:
+                base_batch = jnp.pad(base_batch, ((0, pad), (0, 0)))
+            base_batch = jax.device_put(base_batch, bsh)
+        else:
+            # host batch (the streaming pipeline): pad on the HOST and ship
+            # the numpy array straight to the MP sharding — jnp.asarray +
+            # jnp.pad first materialized the batch (twice) on the default
+            # device, an ~2x-batch HBM spike on chip 0 that defeats the
+            # "per-chip HBM only holds batch/mp rows" contract (r3 review)
+            import numpy as np
+            base_batch = np.asarray(base_batch, dtype=np.float32)
+            if pad:
+                base_batch = np.pad(base_batch, ((0, pad), (0, 0)))
+            base_batch = jax.device_put(base_batch, bsh)
         run_d, run_i = self.state
         self.state = _sharded_fold(
             run_d, run_i, self.query, base_batch,
@@ -260,12 +264,86 @@ class ShardedStreamingKNN:
                 np.asarray(idx)[: self._q_rows])
 
 
+@partial(jax.jit, static_argnames=("k", "metric", "precision", "mesh"))
+def _ring_knn_jit(query, base, n_valid, k: int, metric: str, precision: str,
+                  mesh=None):
+    mp = mesh.shape[MP_AXIS]
+    shard_rows = base.shape[0] // mp
+
+    def _shard_fn(q_local, b_local, n_valid):
+        my_id = jax.lax.axis_index(MP_AXIS)
+        perm = [(i, (i + 1) % mp) for i in range(mp)]
+
+        def fold(carry, step):
+            run_d, run_i, shard = carry
+            # rotate FIRST (communication overlaps this step's compute
+            # under XLA async collectives), compute against the shard we
+            # held entering the step. Rotating after the fold wasted a
+            # whole shard-sized ICI transfer on the last step — mp
+            # rotations where mp-1 suffice (r3 review; collectives in a
+            # scan body are not DCE'd).
+            nxt = jax.lax.ppermute(shard, MP_AXIS, perm)
+            # shard held at step s originated at (my_id - s) % mp
+            src = jnp.mod(my_id - step, mp)
+            offset = src * shard_rows
+            d = pairwise_distance(q_local, shard, metric=metric,
+                                  precision=precision)
+            # mask pad rows (beyond n_valid): a zero pad row's distance is
+            # ||q||^2 and would beat true neighbors (r3 review)
+            col_valid = jnp.arange(shard_rows) + offset < n_valid
+            d = jnp.where(col_valid[None, :], d, jnp.inf)
+            td, ti = smallest_k(d, k)
+            # lexicographic (distance, index) merge: order-independent, so
+            # every chip keeps the same canonical tied set (see docstring)
+            cd = jnp.concatenate([run_d, td], axis=1)
+            ci = jnp.concatenate(
+                [run_i, (ti + offset).astype(jnp.int32)], axis=1)
+            sd, si = jax.lax.sort((cd, ci), dimension=1, num_keys=2)
+            return (sd[:, :k], si[:, :k], nxt), None
+
+        def fold_last(carry):
+            run_d, run_i, shard = carry
+            src = jnp.mod(my_id - (mp - 1), mp)
+            offset = src * shard_rows
+            d = pairwise_distance(q_local, shard, metric=metric,
+                                  precision=precision)
+            col_valid = jnp.arange(shard_rows) + offset < n_valid
+            d = jnp.where(col_valid[None, :], d, jnp.inf)
+            td, ti = smallest_k(d, k)
+            cd = jnp.concatenate([run_d, td], axis=1)
+            ci = jnp.concatenate(
+                [run_i, (ti + offset).astype(jnp.int32)], axis=1)
+            sd, si = jax.lax.sort((cd, ci), dimension=1, num_keys=2)
+            return sd[:, :k], si[:, :k]
+
+        q_rows = q_local.shape[0]
+        init = (jnp.full((q_rows, k), jnp.inf, dtype=jnp.float32),
+                jnp.zeros((q_rows, k), dtype=jnp.int32),
+                b_local)
+        if mp > 1:
+            init, _ = jax.lax.scan(fold, init,
+                                   jnp.arange(mp - 1, dtype=jnp.int32))
+        return fold_last(init)
+
+    return shard_map(
+        _shard_fn, mesh=mesh,
+        in_specs=(P(DP_AXIS, None), P(MP_AXIS, None), P()),
+        out_specs=(P(DP_AXIS, None), P(DP_AXIS, None)),
+        check_vma=False,
+    )(query, base, n_valid)
+
+
 def ring_knn(query, base, k: int, mesh, metric: str = "sqeuclidean",
-             precision: str = "highest"):
+             precision: str = "highest", n_valid: int | None = None):
     """Ring-rotation variant: each chip starts with its own base shard and
     passes it around the "mp" ring with ppermute, folding each visiting
     shard into a running top-k. Communication (shard-sized) overlaps the
-    next shard's distance computation under XLA's async collectives.
+    next shard's distance computation under XLA's async collectives; the
+    held shard folds BEFORE its replacement is needed, and the final step
+    skips the rotation entirely (mp-1 transfers, not mp).
+
+    Pad the base to mp-divisibility if needed and pass `n_valid` = the
+    real row count — pad rows are masked at the distance level.
 
     Exactness and tie-order match `sharded_knn`: every fold merges
     lexicographically on (distance, global index) — a distance-only merge
@@ -279,44 +357,12 @@ def ring_knn(query, base, k: int, mesh, metric: str = "sqeuclidean",
     mp = mesh.shape[MP_AXIS]
     dp = mesh.shape[DP_AXIS]
     n_base = base.shape[0]
+    if n_valid is None:
+        n_valid = n_base
+    assert 0 < n_valid <= n_base
     assert query.shape[0] % dp == 0 and n_base % mp == 0
     shard_rows = n_base // mp
-    assert k <= shard_rows
+    assert k <= shard_rows and k <= n_valid
 
-    def _shard_fn(q_local, b_local):
-        my_id = jax.lax.axis_index(MP_AXIS)
-        perm = [(i, (i + 1) % mp) for i in range(mp)]
-
-        def fold(carry, step):
-            run_d, run_i, shard = carry
-            # shard currently held originated at (my_id - step) % mp
-            src = jnp.mod(my_id - step, mp)
-            offset = src * shard_rows
-            d = pairwise_distance(q_local, shard, metric=metric,
-                                  precision=precision)
-            td, ti = smallest_k(d, k)
-            # lexicographic (distance, index) merge: order-independent, so
-            # every chip keeps the same canonical tied set (see docstring)
-            cd = jnp.concatenate([run_d, td], axis=1)
-            ci = jnp.concatenate(
-                [run_i, (ti + offset).astype(jnp.int32)], axis=1)
-            sd, si = jax.lax.sort((cd, ci), dimension=1, num_keys=2)
-            run_d, run_i = sd[:, :k], si[:, :k]
-            shard = jax.lax.ppermute(shard, MP_AXIS, perm)
-            return (run_d, run_i, shard), None
-
-        q_rows = q_local.shape[0]
-        init = (jnp.full((q_rows, k), jnp.inf, dtype=jnp.float32),
-                jnp.zeros((q_rows, k), dtype=jnp.int32),
-                b_local)
-        (run_d, run_i, _), _ = jax.lax.scan(fold, init,
-                                            jnp.arange(mp, dtype=jnp.int32))
-        return run_d, run_i
-
-    fn = shard_map(
-        _shard_fn, mesh=mesh,
-        in_specs=(P(DP_AXIS, None), P(MP_AXIS, None)),
-        out_specs=(P(DP_AXIS, None), P(DP_AXIS, None)),
-        check_vma=False,
-    )
-    return jax.jit(fn)(query, base)
+    return _ring_knn_jit(query, base, jnp.int32(n_valid), k, metric,
+                         precision, mesh)

@@ -478,3 +478,18 @@ def test_streaming_export_rejects_width_mismatch(tmp_path):
         _generate_base_vectors_streaming(data_dir, "m", "b.parquet", 50, 12,
                                          "b.fvec", False, None, None, None,
                                          batch_rows=20)
+
+
+def test_iter_vector_batches_rejects_truncated_file(tmp_path, monkeypatch):
+    """The streaming reader's fallback must reject a truncated trailing
+    row like read_vectors does — floor-dividing the size silently dropped
+    the partial row, so streaming and whole-file consumers disagreed on
+    the corpus (r3 review)."""
+    monkeypatch.setenv("NW_TPU_NATIVE", "0")
+    rng = np.random.default_rng(9)
+    path = str(tmp_path / "t.fvec")
+    fvec.write_vectors(path, rng.standard_normal((6, 5)).astype(np.float32), "f")
+    with open(path, "ab") as f:
+        f.write(b"\x05\x00\x00\x00" + b"\x00" * 8)   # header + 2 of 5 words
+    with pytest.raises(AssertionError, match="truncated"):
+        list(fvec.iter_vector_batches(path, 4))

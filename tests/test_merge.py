@@ -1,6 +1,8 @@
 """Device k-way merge of partial top-k parquet files (model of reference
 tests/test_03_merge.py, with a working signature)."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -70,3 +72,48 @@ def test_merge_strips_rownum(tmp_path, rng):
         get_partial_distances_filename(str(tmp_path), -1)).to_pandas()
     assert "RowNum" not in final_d.columns
     assert final_d.shape == (8, k)
+
+
+def test_merge_rejects_mismatched_partial_row_counts(tmp_path):
+    """A stale partial file with MORE rows than file 0 (leftover from a
+    prior larger-Q run) used to pass the per-batch shape assert whenever
+    its extras aligned to whole batches, silently dropping candidates;
+    a SHORTER one died with a bare StopIteration (r3 review). Both must
+    now fail loudly up front."""
+    import pytest
+    from neighborhoodwatch_tpu.utils.naming import (
+        get_partial_distances_filename, get_partial_indices_filename,
+    )
+
+    data_dir = str(tmp_path)
+    os.makedirs(f"{data_dir}/partial")
+    rng = np.random.default_rng(0)
+
+    def write(i, rows):
+        d = np.sort(rng.random((rows, 4)).astype(np.float32), axis=1)
+        ix = rng.integers(0, 100, (rows, 4)).astype(np.int32)
+        pq.write_table(pa.table({str(j): ix[:, j] for j in range(4)}),
+                       get_partial_indices_filename(data_dir, i))
+        pq.write_table(pa.table({str(j): d[:, j] for j in range(4)}),
+                       get_partial_distances_filename(data_dir, i))
+
+    write(0, 100)
+    write(1, 150)     # aligned surplus: 100-row batch would mask it
+    with pytest.raises(AssertionError, match="expected 100"):
+        merge_indices_and_distances(data_dir, k=4, row_batch_size=100)
+
+
+def test_merge_rejects_empty_partial(tmp_path):
+    """A zero-row partial file 0 must be a diagnostic, not a
+    ZeroDivisionError (r3 review)."""
+    import pytest
+    from neighborhoodwatch_tpu.utils.naming import (
+        get_partial_distances_filename, get_partial_indices_filename,
+    )
+    data_dir = str(tmp_path)
+    os.makedirs(f"{data_dir}/partial")
+    empty = pa.table({"0": pa.array([], pa.int32())})
+    pq.write_table(empty, get_partial_indices_filename(data_dir, 0))
+    pq.write_table(empty, get_partial_distances_filename(data_dir, 0))
+    with pytest.raises(AssertionError, match="empty"):
+        merge_indices_and_distances(data_dir, k=4)

@@ -315,3 +315,30 @@ def test_ring_knn_tie_break_with_duplicates(mesh8):
     # shard-local vs full-base fp32 reductions differ by ~2e-6 on the
     # zero-distance duplicates; the INDEX set above is the exact contract
     np.testing.assert_allclose(np.asarray(d), np.asarray(ref_d), atol=1e-5)
+
+
+def test_sharded_and_ring_mask_padded_base_rows(mesh8, normalized_vectors):
+    """Zero-padding the base to mp-divisibility must not corrupt results:
+    a zero pad row's sqeuclidean distance is ||q||^2 = 1.0 on normalized
+    queries, which BEATS every true neighbor with distance > 1 (r3
+    review — the docstring told callers to pad but nothing masked). With
+    n_valid passed, results must match the unpadded oracle exactly."""
+    q, b = normalized_vectors
+    n_valid = 950                       # not divisible by 8
+    bp = np.zeros((960, b.shape[1]), np.float32)
+    bp[:n_valid] = b[:n_valid]
+    ref_d, ref_i = knn(q, b[:n_valid], k=10)
+    for fn in (sharded_knn, ring_knn):
+        d, i = fn(q, bp, k=10, mesh=mesh8, n_valid=n_valid)
+        assert int(np.asarray(i).max()) < n_valid, fn.__name__
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+        np.testing.assert_allclose(np.asarray(d), np.asarray(ref_d),
+                                   atol=1e-6)
+
+
+def test_unknown_engine_raises(mesh8, normalized_vectors):
+    """A typo'd engine name must raise, not silently benchmark a
+    different engine (r3 review)."""
+    q, b = normalized_vectors
+    with pytest.raises(ValueError, match="unknown engine"):
+        sharded_knn(q, b[:960], k=10, mesh=mesh8, engine="screen")
