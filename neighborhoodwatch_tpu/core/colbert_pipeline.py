@@ -278,9 +278,9 @@ def compute_maxsim_knn(data_dir, query_filename, base_filename, k,
                 leftover, leftover_id = docs[-1], ids[-1]
                 pending_docs.extend(docs[:-1])
             pending_docs = emit_tiles(pending_docs)
-            if prev_state is not None and prev_state is not engine.state[0]:
-                _ = np.asarray(prev_state[0, 0])   # force batch b-1's chain
-            prev_state = engine.state[0]
+            if prev_state is not None and prev_state is not engine.state:
+                engine.force_state(prev_state)     # force batch b-1's chain
+            prev_state = engine.state
             if checkpoint_every and (b + 1) % checkpoint_every == 0 \
                     and engine.docs_seen > done_docs:
                 # docs still pending/leftover are simply re-read on resume

@@ -43,14 +43,24 @@ from neighborhoodwatch_tpu.utils.profiling import StageTimer
 def _prefetch(iterator, depth: int = 2):
     """Run `iterator` in a background thread with a bounded queue so host
     parquet decode overlaps device compute (the PP analog in SURVEY.md §2's
-    parallelism table)."""
+    parallelism table).
+
+    Cleanup is exception-safe: if the CONSUMER raises (device OOM, tunnel
+    drop) mid-stream, the finally block stops the worker, drains the
+    queue (unblocking a worker parked on q.put) and joins it — without
+    this, every failed attempt stranded a thread pinning depth+1 decoded
+    multi-GB batches of host RAM, so a caller's retry loop OOM'd the
+    1-vCPU host instead of recovering (r3 review)."""
     q: queue.Queue = queue.Queue(maxsize=depth)
     sentinel = object()
     err: list[BaseException] = []
+    stop = threading.Event()
 
     def worker():
         try:
             for item in iterator:
+                if stop.is_set():
+                    break
                 q.put(item)
         except BaseException as e:  # surfaced on the consumer side
             err.append(e)
@@ -59,14 +69,22 @@ def _prefetch(iterator, depth: int = 2):
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            break
-        yield item
-    t.join()
-    if err:
-        raise err[0]
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        if err:
+            raise err[0]
+    finally:
+        stop.set()
+        while t.is_alive():
+            try:                    # unblock a q.put on the full queue
+                q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=0.1)
 
 
 _dev_transpose = None
@@ -233,7 +251,10 @@ def compute_knn_ds(data_dir: str,
     n_base = min(base_count, parquet_row_count(data_dir, base_filename))
     assert k <= n_base, f"k={k} exceeds base row count {n_base}"
     threshold = max_memory_threshold if mem_tune else 0.5
-    n_chips = 1 if mesh is None else mesh.devices.size
+    # batches shard over the mp axis only — scaling by devices.size
+    # (dp*mp) over-filled each chip by dp (r3 review)
+    from neighborhoodwatch_tpu.parallel.mesh import MP_AXIS
+    n_chips = 1 if mesh is None else mesh.shape[MP_AXIS]
     plan = plan_knn(query.shape[0], query.shape[1], k, base_count=n_base,
                     max_memory_threshold=threshold,
                     initial_batch_size=initial_batch_size * n_chips)
@@ -280,10 +301,15 @@ def compute_knn_ds(data_dir: str,
 
         import jax
         dev_t = _device_transpose()      # (d, n) host batch -> (n, d) device
+        done = acc.rows_seen
+        # resume: skip already-covered parquet row groups at the READER —
+        # scanning from row 0 re-decoded (and col-major-converted) every
+        # covered batch on the weak host before the skip below fired
+        # (r3 review; the trim below still handles a row group that
+        # straddles `done`)
         batches = iter_embedding_batches(data_dir, base_filename,
                                          batch_size=batch_size, count=n_base,
-                                         layout="col")
-        done = acc.rows_seen
+                                         layout="col", start_row=done)
         # BACKPRESSURE: device_put + update are async dispatches; without a
         # bound, a host that decodes faster than it can ship to the device
         # accumulates every multi-GB batch in RAM (observed: 100+ GB RES and
@@ -305,11 +331,19 @@ def compute_knn_ds(data_dir: str,
                 chunk_t = chunk_t[:, done - offset:]
                 offset = done
             n_batch = chunk_t.shape[1]
-            acc.update(dev_t(jax.device_put(chunk_t)), offset)
+            if mesh is None:
+                acc.update(dev_t(jax.device_put(chunk_t)), offset)
+            else:
+                # ship each chip only its row shard of the col-major host
+                # buffer (device_put of the whole batch + default-device
+                # transpose materialized ~2x the batch on chip 0 before
+                # the re-shard — r3 review)
+                acc.update_colmajor(chunk_t, offset)
             t_f = _time.time()
             if prev_state is not None:
-                _ = np.asarray(prev_state[0, 0])   # force batch b-1's chain
-            prev_state = acc.state[0]
+                # force batch b-1's chain (dp-aware: one probe per group)
+                acc.force_state(prev_state)
+            prev_state = acc.state
             # per-batch progress (reference: tqdm on every hot loop)
             print(f"  knn stream: {offset + n_batch}/{n_base} rows "
                   f"({_time.time() - t_start:.0f}s, force "

@@ -80,6 +80,20 @@ def plan_knn(query_count: int, dimensions: int, k: int,
     est = (query_bytes + 2 * state_bytes
            + 2 * batch_size * dimensions * 4
            + 2 * query_count * tile_size * 4)
+    # the floors above (64 MB remaining, 1024-row tile) can push est past
+    # the budget the caller asked for — say so instead of letting the run
+    # discover it as an opaque XLA OOM (r3 review: est_bytes recorded the
+    # overshoot but nothing surfaced it)
+    if est > bytes_limit:
+        print(f"   [warn] plan_knn: minimal plan needs ~{est / 2**30:.1f} "
+              f"GiB vs device limit {bytes_limit / 2**30:.1f} GiB — the "
+              f"resident query/state set does not fit; split the query set "
+              f"or lower k")
+    elif est > budget:
+        print(f"   [warn] plan_knn: plan uses ~{est / 2**30:.1f} GiB, above "
+              f"the {max_memory_threshold:.0%} HBM threshold "
+              f"({budget / 2**30:.1f} GiB) — floor sizes exceed the "
+              f"requested budget")
     return KnnPlan(batch_size=batch_size, tile_size=tile_size,
                    query_block=query_count, bytes_limit=bytes_limit,
                    est_bytes=est)

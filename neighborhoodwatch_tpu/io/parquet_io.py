@@ -227,14 +227,17 @@ def read_embeddings(data_dir: str, filename: str, count: int | None = None,
 
 def iter_embedding_batches(data_dir: str, filename: str, batch_size: int,
                            count: int | None = None, layout: str = "row",
-                           columns: list[str] | None = None):
+                           columns: list[str] | None = None,
+                           start_row: int = 0):
     """Stream (offset, matrix) batches out-of-core via pyarrow.dataset —
     the reference's cu_knn_ds streaming path (cu_knn_ds.py:181-239).
 
     layout="row" yields (n, d); layout="col" yields the TRANSPOSED (d, n)
     matrix built with sequential writes only (see table_to_colmajor) for
     callers that relayout on device. `columns` overrides the embedding_{i}
-    regex inference (e.g. ColBERT token_embedding_{i} exports)."""
+    regex inference (e.g. ColBERT token_embedding_{i} exports).
+    `start_row` skips whole row groups below it (resume; the first yield
+    may still start earlier when a row group straddles the boundary)."""
     assert layout in ("row", "col")
     to_mat = table_to_matrix if layout == "row" else table_to_colmajor
     rows_of = (lambda m: m.shape[0]) if layout == "row" \
@@ -243,7 +246,6 @@ def iter_embedding_batches(data_dir: str, filename: str, batch_size: int,
     if columns is None:
         schema = pq.read_schema(full)
         columns = embedding_column_names(schema)
-    ds = pads.dataset(full, format="parquet")
     offset = 0
     pending = []
     pending_rows = 0
@@ -253,8 +255,30 @@ def iter_embedding_batches(data_dir: str, filename: str, batch_size: int,
     # at 1M x 1536) in RAM before the first yield. Keep scanner batches
     # small; `pending` below aggregates them to the caller's batch_size.
     scan_rows = min(batch_size, 65536)
-    for rb in ds.to_batches(columns=columns, batch_size=scan_rows,
-                            batch_readahead=2, fragment_readahead=1):
+    if start_row > 0:
+        # resume path: skip whole row groups below start_row at the READER
+        # (scanning from row 0 re-decoded every covered batch on the weak
+        # host just to discard it — r3 review). Yields may still begin
+        # before start_row (a straddling row group); callers trim.
+        pf = pq.ParquetFile(full)
+        md = pf.metadata
+        sel, acc_rows = [], 0
+        for g in range(md.num_row_groups):
+            rows = md.row_group(g).num_rows
+            if acc_rows + rows > start_row:
+                if not sel:
+                    offset = acc_rows
+                sel.append(g)
+            acc_rows += rows
+        if not sel:
+            return
+        rb_iter = pf.iter_batches(batch_size=scan_rows, columns=columns,
+                                  row_groups=sel)
+    else:
+        ds = pads.dataset(full, format="parquet")
+        rb_iter = ds.to_batches(columns=columns, batch_size=scan_rows,
+                                batch_readahead=2, fragment_readahead=1)
+    for rb in rb_iter:
         pending.append(rb)
         pending_rows += rb.num_rows
         while pending_rows >= batch_size:

@@ -950,6 +950,12 @@ class StreamingKNN:
     def rows_seen(self) -> int:
         return self._seen
 
+    def force_state(self, state) -> None:
+        """Backpressure sync: fetch 4 bytes of a running-state compute
+        output (the only reliable bound on queued transfers — see
+        core/pipeline.py's BACKPRESSURE note)."""
+        _ = np.asarray(state[0][0, 0])
+
     def state_arrays(self):
         """(dist, idx, seen) as host arrays — the streaming checkpoint."""
         return np.asarray(self.state[0]), np.asarray(self.state[1]), self._seen

@@ -433,6 +433,10 @@ class StreamingMaxSim:
     def docs_seen(self) -> int:
         return self._seen
 
+    def force_state(self, state) -> None:
+        """Backpressure sync (see ops.knn.StreamingKNN.force_state)."""
+        _ = np.asarray(state[0][0, 0])
+
     def state_arrays(self):
         """(scores, idx, seen) as host arrays — the streaming checkpoint
         (mirrors ops.knn.StreamingKNN.state_arrays)."""

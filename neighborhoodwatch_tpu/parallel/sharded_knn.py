@@ -99,23 +99,32 @@ def sharded_knn(query, base, k: int, mesh, metric: str = "sqeuclidean",
 
 
 @partial(jax.jit, static_argnames=("k", "metric", "precision", "engine",
-                                   "tile_size", "mesh", "screen_precision"))
+                                   "tile_size", "mesh", "screen_precision",
+                                   "colmajor"))
 def _sharded_fold(run_d, run_i, query, batch, offset, n_valid, k: int,
                   metric: str, precision: str, engine: str, tile_size: int,
-                  mesh=None, screen_precision: str = "medium"):
+                  mesh=None, screen_precision: str = "medium",
+                  colmajor: bool = False):
     """One sharded streaming step: fold an mp-sharded base batch into the
     dp-sharded running top-k. `offset` (global row id of batch row 0) and
     `n_valid` (real rows in the padded batch) are traced scalars so every
-    batch reuses one compiled program."""
+    batch reuses one compiled program.
+
+    `colmajor`: the batch arrives TRANSPOSED, (d, rows), sharded over its
+    row axis (axis 1) — the host streams column-major buffers (weak-host
+    rule: no host-side transposes) and each chip relayouts only its own
+    shard on device."""
     from neighborhoodwatch_tpu.ops import screen_kernel
     from neighborhoodwatch_tpu.ops.knn import (
         _knn_scan, _knn_full, screened_knn_traced,
     )
 
     mp = mesh.shape[MP_AXIS]
-    shard_rows = batch.shape[0] // mp
+    shard_rows = (batch.shape[1] if colmajor else batch.shape[0]) // mp
 
     def _shard_fn(run_d, run_i, q_local, b_local, offset, n_valid):
+        if colmajor:
+            b_local = jnp.transpose(b_local)   # per-shard on-device relayout
         my_shard = jax.lax.axis_index(MP_AXIS)
         shard_off = offset + my_shard * shard_rows
         local_valid = jnp.clip(n_valid - my_shard * shard_rows,
@@ -139,10 +148,11 @@ def _sharded_fold(run_d, run_i, query, batch, offset, n_valid, k: int,
         md, mi = merge_topk_many(all_d, all_i, min(k, mp * d.shape[1]))
         return merge_topk(run_d, run_i, md, mi, k)
 
+    batch_spec = P(None, MP_AXIS) if colmajor else P(MP_AXIS, None)
     return shard_map(
         _shard_fn, mesh=mesh,
         in_specs=(P(DP_AXIS, None), P(DP_AXIS, None),
-                  P(DP_AXIS, None), P(MP_AXIS, None), P(), P()),
+                  P(DP_AXIS, None), batch_spec, P(), P()),
         out_specs=(P(DP_AXIS, None), P(DP_AXIS, None)),
         check_vma=False,
     )(run_d, run_i, query, batch, offset, n_valid)
@@ -229,9 +239,52 @@ class ShardedStreamingKNN:
             self.screen_precision)
         self._seen += n
 
+    def update_colmajor(self, batch_t, offset: int | None = None) -> None:
+        """Fold a host COLUMN-MAJOR (d, rows) batch: ships each chip only
+        its row shard (sharded over axis 1) and relayouts on device inside
+        the fold — the mesh feed for the streaming pipeline's col-major
+        host buffers. Routing them through update() required a host or
+        default-device transpose: the former violates the weak-host rule,
+        the latter materialized the whole batch (twice) on chip 0
+        (r3 review)."""
+        import numpy as np
+        from jax.sharding import NamedSharding
+
+        if offset is None:
+            offset = self._seen
+        assert offset == self._seen, \
+            "batches must arrive in ascending contiguous offset order"
+        n = batch_t.shape[1]
+        if self._batch_rows is None or n > self._batch_rows:
+            self._batch_rows = -(-n // self.mp) * self.mp
+        pad = self._batch_rows - n
+        batch_t = np.asarray(batch_t, dtype=np.float32)
+        if pad:
+            batch_t = np.pad(batch_t, ((0, 0), (0, pad)))
+        bsh = NamedSharding(self.mesh, P(None, MP_AXIS))
+        batch_t = jax.device_put(batch_t, bsh)
+        run_d, run_i = self.state
+        self.state = _sharded_fold(
+            run_d, run_i, self.query, batch_t,
+            jnp.int32(offset), jnp.int32(n), self.k, self.metric,
+            self.precision, self.engine, self.tile_size, self.mesh,
+            self.screen_precision, colmajor=True)
+        self._seen += n
+
     @property
     def rows_seen(self) -> int:
         return self._seen
+
+    def force_state(self, state) -> None:
+        """Backpressure sync: fetch one 4-byte element from EVERY dp
+        group's shard of `state` — a single [0, 0] probe only proves dp
+        group 0's chain executed, letting the other groups' transfers
+        queue unboundedly (r3 review)."""
+        import numpy as np
+        rows = state[0].shape[0]
+        per = rows // self.dp
+        for g in range(self.dp):
+            _ = np.asarray(state[0][g * per, 0])
 
     def state_arrays(self):
         """(dist, idx, seen) as host arrays — the streaming checkpoint

@@ -129,6 +129,10 @@ class ShardedStreamingMaxSim:
         self.k = k
         self.precision = precision
         self.screen_precision = screen_precision
+        assert engine in ("auto", "exact", "screened"), \
+            (f"unknown engine {engine!r}; expected auto/exact/screened "
+             f"(a typo silently coerced to the auto heuristic would "
+             f"benchmark a different engine — r3 review)")
         self._engine_req = engine
         self.dp = mesh.shape[DP_AXIS]
         self.mp = mesh.shape[MP_AXIS]
@@ -155,7 +159,8 @@ class ShardedStreamingMaxSim:
         self._seen = 0
         self._tile_docs = None
 
-    def _engine(self, shard_docs: int, tq: int, plan_ok: bool) -> str:
+    def _engine(self, shard_docs: int, tq: int, plan_ok: bool,
+                dim: int) -> str:
         """plan_ok gates even an explicit 'screened' request: when the
         shard's bin capacity cannot represent k (or the re-rank gather is
         unaffordable) the screened path would be structurally wrong, so
@@ -165,8 +170,13 @@ class ShardedStreamingMaxSim:
             return "exact"
         if self._engine_req == "screened":
             return "screened"
+        # auto mirrors ops.maxsim._maxsim_engine's gates INCLUDING the
+        # kernel's lane-layout dim constraint — without it a 192-dim
+        # corpus selected 'screened' and died on the kernel's assert
+        # mid-stream where single-device auto fell back (r3 review)
         if (jax.default_backend() == "tpu"
-                and shard_docs >= mk.MEGA_DOCS and tq <= 32):
+                and shard_docs >= mk.MEGA_DOCS and tq <= 32
+                and (dim <= mk.LANES or dim % mk.LANES == 0)):
             return "screened"
         return "exact"
 
@@ -205,7 +215,8 @@ class ShardedStreamingMaxSim:
         m, block, plan_ok = maxsim_screen_plan(
             shard_docs, kk_shard, td, dim,
             passes=PASSES[self.screen_precision])
-        engine = self._engine(shard_docs, self.queries.shape[1], plan_ok)
+        engine = self._engine(shard_docs, self.queries.shape[1], plan_ok,
+                              dim)
 
         tsh = NamedSharding(self.mesh, P(MP_AXIS, None, None))
         msh = NamedSharding(self.mesh, P(MP_AXIS, None))
@@ -257,6 +268,15 @@ class ShardedStreamingMaxSim:
     @property
     def docs_seen(self) -> int:
         return self._seen
+
+    def force_state(self, state) -> None:
+        """Backpressure sync: one 4-byte element per dp group — a single
+        [0, 0] probe only proves dp group 0's chain executed
+        (r3 review; cf. ShardedStreamingKNN.force_state)."""
+        rows = state[0].shape[0]
+        per = rows // self.dp
+        for g in range(self.dp):
+            _ = np.asarray(state[0][g * per, 0])
 
     def state_arrays(self):
         """(scores, idx, seen) as host arrays — the streaming checkpoint

@@ -493,3 +493,42 @@ def test_iter_vector_batches_rejects_truncated_file(tmp_path, monkeypatch):
         f.write(b"\x05\x00\x00\x00" + b"\x00" * 8)   # header + 2 of 5 words
     with pytest.raises(AssertionError, match="truncated"):
         list(fvec.iter_vector_batches(path, 4))
+
+
+def test_iter_embedding_batches_start_row_skips_row_groups(tmp_path, rng):
+    """Resume must skip covered parquet row groups at the reader — the old
+    scan decoded every covered batch from row 0 just to discard it
+    (r3 review). Yields may begin before start_row (straddling row
+    group) but never a whole group below it, and the surviving rows must
+    be identical to the full scan's."""
+    from neighborhoodwatch_tpu.io.parquet_io import (
+        iter_embedding_batches, write_matrix_to_parquet,
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    mat = rng.standard_normal((1000, 4)).astype(np.float32)
+    path = str(tmp_path / "m.parquet")
+    w = pq.ParquetWriter(path, pa.table(
+        {f"embedding_{i}": mat[:100, i] for i in range(4)}).schema)
+    for s in range(0, 1000, 100):                  # 10 row groups of 100
+        w.write_table(pa.table(
+            {f"embedding_{i}": mat[s:s + 100, i] for i in range(4)}))
+    w.close()
+
+    full = {off: m.copy() for off, m in iter_embedding_batches(
+        str(tmp_path), "m.parquet", batch_size=100)}
+    got = list(iter_embedding_batches(str(tmp_path), "m.parquet",
+                                      batch_size=100, start_row=450))
+    offsets = [off for off, _ in got]
+    assert min(offsets) == 400, offsets        # straddling group included
+    assert sum(m.shape[0] for _, m in got) == 600
+    for off, m in got:
+        np.testing.assert_array_equal(m, full[off])
+    # exact group boundary: starts at the group itself
+    got2 = list(iter_embedding_batches(str(tmp_path), "m.parquet",
+                                       batch_size=100, start_row=500))
+    assert min(o for o, _ in got2) == 500
+    # past the end: nothing
+    assert list(iter_embedding_batches(str(tmp_path), "m.parquet",
+                                       batch_size=100, start_row=1000)) == []

@@ -258,7 +258,9 @@ def test_compute_knn_ds_mesh_kill_and_resume(tmp_path, normalized_vectors,
         batch_size=200, tile_size=128, query_block=q.shape[0],
         bytes_limit=1 << 24, est_bytes=1 << 22))
 
-    real_update = SK.ShardedStreamingKNN.update
+    # the mesh path feeds col-major host batches via update_colmajor
+    # (each chip receives only its row shard — r3 review)
+    real_update = SK.ShardedStreamingKNN.update_colmajor
     calls = {"n": 0}
 
     def dying_update(self, batch, offset=None):
@@ -267,7 +269,8 @@ def test_compute_knn_ds_mesh_kill_and_resume(tmp_path, normalized_vectors,
             raise RuntimeError("simulated mid-stream crash")
         return real_update(self, batch, offset)
 
-    monkeypatch.setattr(SK.ShardedStreamingKNN, "update", dying_update)
+    monkeypatch.setattr(SK.ShardedStreamingKNN, "update_colmajor",
+                        dying_update)
     with pytest.raises(RuntimeError, match="simulated"):
         compute_knn_ds(*args, **kwargs)
     ckpt = _stream_ckpt_path(data_dir)
@@ -279,7 +282,8 @@ def test_compute_knn_ds_mesh_kill_and_resume(tmp_path, normalized_vectors,
         offsets.append(offset)
         return real_update(self, batch, offset)
 
-    monkeypatch.setattr(SK.ShardedStreamingKNN, "update", spy_update)
+    monkeypatch.setattr(SK.ShardedStreamingKNN, "update_colmajor",
+                        spy_update)
     compute_knn_ds(*args, **kwargs)
     out = capsys.readouterr().out
     assert "resuming kNN stream from checkpoint" in out
@@ -342,3 +346,55 @@ def test_unknown_engine_raises(mesh8, normalized_vectors):
     q, b = normalized_vectors
     with pytest.raises(ValueError, match="unknown engine"):
         sharded_knn(q, b[:960], k=10, mesh=mesh8, engine="screen")
+
+
+def test_update_colmajor_matches_rowmajor(mesh8, normalized_vectors):
+    """The mesh streaming feed ships col-major (d, rows) host buffers with
+    a per-shard on-device transpose (r3 review: the row-major feed
+    materialized ~2x the batch on chip 0). Results must be identical to
+    the row-major update path."""
+    from neighborhoodwatch_tpu.parallel import sharded_knn as SK
+    q, b = normalized_vectors
+    k = 10
+    a1 = SK.ShardedStreamingKNN(q, k=k, mesh=mesh8)
+    a2 = SK.ShardedStreamingKNN(q, k=k, mesh=mesh8)
+    for s in range(0, 1000, 250):
+        chunk = b[s:s + 250]
+        a1.update(chunk, s)
+        a2.update_colmajor(np.ascontiguousarray(chunk.T), s)
+        a2.force_state(a2.state)        # dp-aware backpressure probe runs
+    d1, i1 = a1.finalize()
+    d2, i2 = a2.finalize()
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_array_equal(d1, d2)
+
+
+def test_prefetch_consumer_exception_joins_worker(tmp_path):
+    """A consumer raising mid-stream must stop and join the prefetch
+    worker (r3 review: the stranded thread pinned depth+1 decoded
+    multi-GB batches across bench retries)."""
+    import threading
+    from neighborhoodwatch_tpu.core.pipeline import _prefetch
+
+    before = threading.active_count()
+    produced = {"n": 0}
+
+    def slow_source():
+        for i in range(100):
+            produced["n"] += 1
+            yield i
+
+    gen = _prefetch(slow_source(), depth=2)
+    with pytest.raises(RuntimeError, match="consumer died"):
+        for item in gen:
+            raise RuntimeError("consumer died")
+    # a for loop does not close its generator on exception; the frame
+    # teardown/GC does — make it explicit here
+    gen.close()
+    deadline = 50
+    while threading.active_count() > before and deadline:
+        import time
+        time.sleep(0.1)
+        deadline -= 1
+    assert threading.active_count() <= before, "prefetch worker leaked"
+    assert produced["n"] < 100, "worker consumed the whole source anyway"

@@ -180,3 +180,31 @@ def test_sharded_maxsim_forced_repair_is_exact(monkeypatch):
     ref_s, ref_i = maxsim_topk(q, qm, docs, dm, k=k, tile_docs=2048)
     np.testing.assert_array_equal(i, np.asarray(ref_i))
     np.testing.assert_allclose(s, np.asarray(ref_s), rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_maxsim_auto_engine_dim_gate(monkeypatch):
+    """'auto' must mirror ops.maxsim._maxsim_engine's kernel dim gate:
+    a 192-dim corpus used to select 'screened' on TPU and die on the
+    kernel's lane-layout assert mid-stream (r3 review). Unknown engine
+    names must raise, not coerce to the auto heuristic."""
+    import jax
+    from neighborhoodwatch_tpu.ops import maxsim_kernel as mk
+    from neighborhoodwatch_tpu.parallel.mesh import make_mesh
+    from neighborhoodwatch_tpu.parallel.sharded_maxsim import (
+        ShardedStreamingMaxSim,
+    )
+
+    mesh = make_mesh(8)
+    q = np.random.default_rng(0).standard_normal((4, 8, 128)) \
+        .astype(np.float32)
+    qm = np.ones((4, 8), bool)
+    eng = ShardedStreamingMaxSim(q, qm, k=2, mesh=mesh)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert eng._engine(mk.MEGA_DOCS, 32, True, 128) == "screened"
+    assert eng._engine(mk.MEGA_DOCS, 32, True, 256) == "screened"
+    assert eng._engine(mk.MEGA_DOCS, 32, True, 192) == "exact"   # the gate
+    assert eng._engine(mk.MEGA_DOCS, 32, True, 200) == "exact"
+    assert eng._engine(mk.MEGA_DOCS, 48, True, 128) == "exact"   # tq gate
+
+    with pytest.raises(AssertionError, match="unknown engine"):
+        ShardedStreamingMaxSim(q, qm, k=2, mesh=mesh, engine="screend")
