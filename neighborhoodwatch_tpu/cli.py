@@ -165,8 +165,13 @@ Some example commands:\n
   model weights:       {local_weight_status(args.model_name)}""")
 
     model_prefix = naming.get_model_prefix(args.model_name)
+    # synthetic smoke runs get their own artifact tree: the resume-by-
+    # artifact guards key on filenames only, so a later REAL run in the
+    # same tree would silently reuse synthetic-text embeddings as
+    # published ground truth (r3 review)
+    tree_name = args.model_name + ("_synthetic" if args.synthetic else "")
     data_dir = naming.setup_model_output_folder(
-        args.data_dir, args.model_name, args.query_count, args.base_count, args.k)
+        args.data_dir, tree_name, args.query_count, args.base_count, args.k)
     output_dimension = get_effective_embedding_size(args.model_name,
                                                     args.output_dimension_size)
     output_dtype = None
@@ -353,8 +358,16 @@ Some example commands:\n
         sys.exit(1)
 
     model_prefix = naming.get_model_prefix(args.model_name)
+    # distinct artifact trees per mode: the flat and --maxsim exports share
+    # every ivec/fvec/hdf5 filename, so the idempotent already-exists
+    # skips would silently publish the OTHER mode's neighbors/distances
+    # under maxsim semantics attrs (and vice versa); synthetic smoke runs
+    # likewise must never be resumable as real ground truth (r3 review)
+    tree_name = (args.model_name
+                 + ("_maxsim" if args.maxsim else "")
+                 + ("_synthetic" if args.synthetic else ""))
     data_dir = naming.setup_model_output_folder(
-        args.data_dir, args.model_name, args.query_token_count,
+        args.data_dir, tree_name, args.query_token_count,
         args.base_token_count, args.k)
     input_dimensions = get_effective_embedding_size(args.model_name)
 

@@ -55,9 +55,18 @@ def load_colbert_hf_weights(model_name: str = COLBERT_HF_REPO,
         sd = None
         path = _hub.try_to_load_from_cache(model_name, "model.safetensors")
         if isinstance(path, str):
-            from safetensors.numpy import load_file
-            sd = load_file(path)
-        else:
+            try:
+                from safetensors.numpy import load_file
+                sd = load_file(path)
+            except Exception as e:
+                # fall THROUGH to the .bin checkpoint: bailing out here
+                # left a loadable pytorch_model.bin unused while
+                # registry.local_weight_status (which probes both files)
+                # still claimed "pretrained" — a random head behind a
+                # pretrained banner (r3 review)
+                print(f"   [warn] cached safetensors unreadable ({e}); "
+                      f"trying pytorch_model.bin")
+        if sd is None:
             path = _hub.try_to_load_from_cache(model_name, "pytorch_model.bin")
             if isinstance(path, str):
                 import torch

@@ -67,6 +67,13 @@ class EmbeddingGenerator(ABC):
         for chunk in self._iter_chunks(text_list):
             try:
                 out.extend(self._call_model_api(chunk, *args, **kwargs))
+            except AssertionError:
+                # contract violations are caller bugs, not transient API
+                # failures: swallowing one (e.g. Cohere's input_type
+                # requirement) emitted zero vectors for EVERY chunk and an
+                # expensive run completed with an empty dataset and no
+                # error exit (r3 review)
+                raise
             except Exception as exc:
                 print(f"   !! embedding chunk failed ({exc}); "
                       f"emitting zero vectors for {len(chunk)} rows")
@@ -113,8 +120,8 @@ class OpenAIEmbeddingGenerator(EmbeddingGenerator):
     def _call_model_api(self, text_list, *args, **kwargs):
         payload = {"input": text_list, "model": self.model_name}
         if self.model_name != EmbeddingModelName.OPENAI_ADA_002.value:
-            payload["dimensions"] = get_effective_embedding_size(
-                self.model_name, self.output_dimension)
+            # already resolved by the ABC __init__ (r3 review)
+            payload["dimensions"] = self.output_dimension
         transport = self._transport or (lambda u, p, h: _default_transport(
             u, p, {**h, "Authorization": f"Bearer {self._api_key}"}))
         data = transport(self.API_URL, payload, {"Content-Type": "application/json"})
@@ -194,6 +201,18 @@ class CohereEmbeddingV3Generator(EmbeddingGenerator):
         # strip the leading "cohere/" for the API payload
         self.api_model_name = model_name.split("/")[1]
 
+    def generate_embedding(self, text_list, *args, **kwargs):
+        # validated HERE, outside the per-chunk zero-fallback try: a
+        # missing input_type is a caller bug, and swallowing it per chunk
+        # completed expensive runs with all-zero datasets (r3 review);
+        # an explicit raise also survives python -O, unlike the backstop
+        # assert below
+        if kwargs.get("input_type") not in self.VALID_INPUT_TYPES:
+            raise ValueError(
+                "input_type is required for Cohere embeddings and must be "
+                "one of: " + ", ".join(self.VALID_INPUT_TYPES))
+        return super().generate_embedding(text_list, *args, **kwargs)
+
     def _call_model_api(self, text_list, *args, **kwargs):
         input_type = kwargs.get("input_type")
         assert input_type in self.VALID_INPUT_TYPES, \
@@ -241,8 +260,9 @@ class VoyageAIEmbeddingGenerator(EmbeddingGenerator):
     def _call_model_api(self, text_list, *args, **kwargs):
         payload = {"input": text_list, "model": self.model_name,
                    "input_type": self.input_type,
-                   "output_dimension": get_effective_embedding_size(
-                       self.model_name, self.output_dimension),
+                   # already resolved by the ABC __init__ (the per-chunk
+                   # re-derivation was redundant — r3 review)
+                   "output_dimension": self.output_dimension,
                    "output_dtype": self.output_dtype}
         transport = self._transport or (lambda u, p, h: _default_transport(
             u, p, {**h, "Authorization": f"Bearer {self._api_key}"}))

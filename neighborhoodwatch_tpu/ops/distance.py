@@ -69,11 +69,14 @@ def pairwise_distance(query, base, metric: str = "sqeuclidean",
     else:
         raise ValueError(f"unknown metric {metric!r}; must be one of "
                          f"{METRICS}")
-    # a NaN distance (rows with inf/NaN values: inf - inf in the l2
-    # epilogue, inf/inf in cosine) is never meaningful, and NaN WINS
-    # lax.top_k — sanitize to "infinitely far" so garbage rows lose in
-    # every engine, matching the screen kernel's bin masking (r3 review)
-    return jnp.where(jnp.isnan(d), jnp.inf, d)
+    # a non-finite distance is never meaningful: NaN (inf - inf in the l2
+    # epilogue, inf/inf in cosine) WINS lax.top_k, and -inf (a +inf base
+    # row under `dot`, where d = 1 - inf) would beat every real neighbor —
+    # the NaN-only sanitize let that row win the exact/verified engines
+    # while the screen kernel's isinf(bn) mask excluded it, so the engines
+    # disagreed on the same corpus (r3 review). Sanitize all of them to
+    # "infinitely far" so garbage rows lose in every engine.
+    return jnp.where(jnp.isfinite(d), d, jnp.inf)
 
 
 def similarity_from_distance(distance, metric: str):

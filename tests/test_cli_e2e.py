@@ -45,7 +45,8 @@ def test_nw_end_to_end_synthetic(tmp_path, capsys, metric):
              "--yes", "--post-validation", "--metric", metric,
              "--data-dir", str(tmp_path)])
     out = capsys.readouterr().out
-    data_dir = naming.get_model_data_homedir(str(tmp_path), MODEL, q, b, k)
+    data_dir = naming.get_model_data_homedir(str(tmp_path),
+                                             MODEL + "_synthetic", q, b, k)
     _assert_exports(data_dir, MODEL, DIM, q, b, k)
     # the validator must accept its own files under the generation metric
     # (ADVICE r1: v0 used to hardcode the raft sqeuclidean convention)
@@ -62,7 +63,8 @@ def test_nw_mesh_end_to_end(tmp_path, capsys):
              "--yes", "--post-validation", "--mesh", "8",
              "--data-dir", str(tmp_path)])
     out = capsys.readouterr().out
-    data_dir = naming.get_model_data_homedir(str(tmp_path), MODEL, q, b, k)
+    data_dir = naming.get_model_data_homedir(str(tmp_path),
+                                             MODEL + "_synthetic", q, b, k)
     _assert_exports(data_dir, MODEL, DIM, q, b, k)
     assert "Total mismatch count: 0" in out
 
@@ -85,7 +87,8 @@ def test_nw_resume_is_idempotent(tmp_path, capsys):
     args = ["15", "120", "-k", "4", "-m", MODEL, "--synthetic", "--yes",
             "--data-dir", str(tmp_path)]
     nw_main(args)
-    data_dir = naming.get_model_data_homedir(str(tmp_path), MODEL, 15, 120, 4)
+    data_dir = naming.get_model_data_homedir(str(tmp_path),
+                                             MODEL + "_synthetic", 15, 120, 4)
     files = _assert_exports(data_dir, MODEL, DIM, 15, 120, 4)
     before = {f: os.path.getmtime(f) for f in files[:2]}
     capsys.readouterr()
@@ -100,8 +103,8 @@ def test_ck_flat_token_end_to_end(tmp_path):
     qt, bt, k = 150, 800, 8
     ck_main([str(qt), str(bt), "-k", str(k), "--synthetic", "-es", "small",
              "--data-dir", str(tmp_path)])
-    data_dir = naming.get_model_data_homedir(str(tmp_path), "colbertv2.0",
-                                             qt, bt, k)
+    data_dir = naming.get_model_data_homedir(
+        str(tmp_path), "colbertv2.0_synthetic", qt, bt, k)
     _assert_exports(data_dir, "colbertv2.0", 128, qt, bt, k)
     # ck writes a timestamped run log into the output dir (reference
     # colbert_knn.py:214-222)
@@ -114,8 +117,8 @@ def test_ck_flat_mesh_end_to_end(tmp_path):
     qt, bt, k = 100, 640, 6
     ck_main([str(qt), str(bt), "-k", str(k), "--synthetic", "-es", "small",
              "--mesh", "8", "--data-dir", str(tmp_path)])
-    data_dir = naming.get_model_data_homedir(str(tmp_path), "colbertv2.0",
-                                             qt, bt, k)
+    data_dir = naming.get_model_data_homedir(
+        str(tmp_path), "colbertv2.0_synthetic", qt, bt, k)
     _assert_exports(data_dir, "colbertv2.0", 128, qt, bt, k)
 
 
@@ -126,8 +129,8 @@ def test_ck_maxsim_mesh_end_to_end(tmp_path):
     ck_main([str(qt), str(bt), "-k", str(k), "--synthetic", "-es", "small",
              "--maxsim", "--mesh", "8", "--screen-precision", "medium",
              "--data-dir", str(tmp_path)])
-    data_dir = naming.get_model_data_homedir(str(tmp_path), "colbertv2.0",
-                                             qt, bt, k)
+    data_dir = naming.get_model_data_homedir(
+        str(tmp_path), "colbertv2.0_maxsim_synthetic", qt, bt, k)
     ivecs = glob.glob(f"{data_dir}/*_indices_*.ivec")
     fvecs = glob.glob(f"{data_dir}/*_distances_*.fvec")
     assert ivecs and fvecs
@@ -145,8 +148,8 @@ def test_ck_maxsim_end_to_end(tmp_path, capsys):
     # --post-validation recomputes MaxSim in float64 from the written
     # artifacts alone (incl. the exhaustive optimality check at this size)
     assert "Total mismatch count: 0" in capsys.readouterr().out
-    data_dir = naming.get_model_data_homedir(str(tmp_path), "colbertv2.0",
-                                             qt, bt, k)
+    data_dir = naming.get_model_data_homedir(
+        str(tmp_path), "colbertv2.0_maxsim_synthetic", qt, bt, k)
     # maxsim mode: neighbors are passage ids, distances negative MaxSim
     # scores; counts are per-passage so only shape/k are fixed
     ivecs = glob.glob(f"{data_dir}/*_indices_*.ivec")

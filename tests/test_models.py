@@ -116,9 +116,11 @@ def test_cohere_requires_input_type():
     out = g.generate_embedding(["a"], input_type="search_query")
     assert np.asarray(out).shape == (1, 1024)
     assert rec[0][1]["model"] == "embed-english-v3.0"
-    # missing input_type -> zero-vector fallback via ABC exception path
-    out = g.generate_embedding(["a"])
-    assert not np.any(np.asarray(out))
+    # missing input_type is a CALLER bug and must raise, not be swallowed
+    # into the per-chunk zero-vector fallback (r3 review: an expensive run
+    # used to complete with an all-zero dataset and no error exit)
+    with pytest.raises(ValueError, match="input_type is required"):
+        g.generate_embedding(["a"])
 
 
 def test_voyage_dtype_and_dims():

@@ -444,9 +444,11 @@ def test_screened_garbage_base_rows_never_win():
     a NaN with its sign bit set used to bitcast to a huge NEGATIVE packed
     key that won every screen bin, and NaN distances WIN lax.top_k, so
     even the exact engine returned garbage rows as nearest. Sanitized
-    (NaN -> +inf everywhere), garbage rows must lose in every engine and
-    the engines must agree. ("dot" excluded: a +inf dot is -inf distance
-    by the metric's own math — GIGO, not NaN.)"""
+    (every NON-FINITE distance -> +inf), garbage rows must lose in every
+    engine and the engines must agree — including "dot", where a +inf
+    base row's d = 1 - inf = -inf used to win the exact engine while the
+    screen kernel's isinf mask excluded it (r3 review: engines disagreed
+    on the same corpus)."""
     rng = np.random.default_rng(77)
     q = rng.standard_normal((6, 32)).astype(np.float32)
     b = rng.standard_normal((MEGA + 500, 32)).astype(np.float32)
@@ -454,7 +456,7 @@ def test_screened_garbage_base_rows_never_win():
     b[bad[:32]] = np.inf
     b[bad[32:]] = -np.inf
     k = 9
-    for metric in ("sqeuclidean", "cosine"):
+    for metric in ("sqeuclidean", "cosine", "dot"):
         d_e, i_e = knn(q, b, k, metric=metric, engine="exact")
         d_s, i_s = screened_knn(q, b, k, metric=metric)
         for r in range(6):
