@@ -20,6 +20,13 @@ Commands:
                    (reference: sort_with_duckdb_streaming.py:20-59)
     hdf5-dupes     duplicate-row report for hdf5 train/test groups
                    (reference: hdf5_dupe_detector.py:7-49)
+    ifvec          count/dim/head of an fvec|ivec file
+                   (reference: misc/ifvec_reader.py:6-37)
+    knn            exact kNN over existing fvec corpora (beyond reference)
+    recall         recall@k of ANN results vs exported ground truth, with
+                   optional tie-forgiveness at the k-th distance (beyond
+                   reference — the downstream consumer's metric, computed
+                   against the exported artifacts directly)
 """
 
 import argparse
@@ -498,6 +505,99 @@ def knn_over_fvec(query_file: str, base_file: str, k: int,
     return idx_file, dist_file
 
 
+def _load_indices(filename: str, dataset: str = "neighbors") -> np.ndarray:
+    """(n, k) int index matrix from an .ivec file or an hdf5 dataset —
+    the two neighbor formats this pipeline exports (io/fvec.py,
+    io/hdf5_io.py; reference formats parquet_to_format.py:71-89,322-348)."""
+    if filename.endswith((".h5", ".hdf5")):
+        import h5py
+        with h5py.File(filename, "r") as f:
+            assert dataset in f, \
+                f"{filename} has no dataset {dataset!r} (has: {list(f)})"
+            return np.asarray(f[dataset], dtype=np.int64)
+    from neighborhoodwatch_tpu.io import fvec as fv
+    return np.asarray(fv.read_vectors(filename), dtype=np.int64)
+
+
+def _load_values(filename: str, dataset: str = "distances") -> np.ndarray:
+    if filename.endswith((".h5", ".hdf5")):
+        import h5py
+        with h5py.File(filename, "r") as f:
+            assert dataset in f, \
+                f"{filename} has no dataset {dataset!r} (has: {list(f)})"
+            return np.asarray(f[dataset], dtype=np.float64)
+    from neighborhoodwatch_tpu.io import fvec as fv
+    return np.asarray(fv.read_vectors(filename), dtype=np.float64)
+
+
+def recall_report(truth_file: str, candidate_file: str, k: int | None = None,
+                  truth_distances: str | None = None,
+                  dataset: str = "neighbors", out=None) -> dict:
+    """recall@k of an ANN result against exact ground truth — the metric
+    every downstream consumer of these datasets (ann-benchmarks style
+    harnesses) computes; closing the loop inside the toolbox means the
+    operator never re-implements it against the binary formats.
+
+    Plain recall is per-query |cand[:k] ∩ truth[:k]| / k. With
+    `truth_distances` (the exported distances fvec/hdf5), ties at the k-th
+    distance are forgiven: an ANN that returned a DIFFERENT tied neighbor
+    at the boundary is not penalized — matches are counted as strict-set
+    hits plus tied hits capped at the remaining slots. Without
+    tie-awareness, exact engines that break ties differently (lowest-index
+    here, arbitrary in many ANN libraries) cap measured recall below 1.0
+    on duplicate-heavy corpora through no fault of the index."""
+    out = out or sys.stdout
+    truth = _load_indices(truth_file, dataset)
+    cand = _load_indices(candidate_file, dataset)
+    assert truth.ndim == 2 and cand.ndim == 2, (truth.shape, cand.shape)
+    assert truth.shape[0] == cand.shape[0], \
+        f"query-count mismatch: truth {truth.shape[0]} vs candidate " \
+        f"{cand.shape[0]} rows"
+    if k is None:
+        k = min(truth.shape[1], cand.shape[1])
+    assert 0 < k <= truth.shape[1] and k <= cand.shape[1], \
+        f"k={k} exceeds a file's width (truth {truth.shape[1]}, " \
+        f"candidate {cand.shape[1]})"
+
+    tdist = None
+    if truth_distances is not None:
+        tdist = _load_values(truth_distances)
+        assert tdist.shape == truth.shape, \
+            f"distances shape {tdist.shape} != neighbors shape {truth.shape}"
+
+    n = truth.shape[0]
+    per_query = np.empty(n, dtype=np.float64)
+    for i in range(n):
+        c_row = np.unique(cand[i, :k])
+        if tdist is None:
+            per_query[i] = np.isin(truth[i, :k], c_row,
+                                   assume_unique=False).sum() / k
+        else:
+            # tie-forgiving: hits strictly inside the k-th distance count
+            # directly; candidates matching a TIED truth entry (== k-th
+            # distance, anywhere in the truth row) fill the leftover slots
+            bound = tdist[i, k - 1]
+            strict = truth[i][tdist[i] < bound]
+            tied = truth[i][tdist[i] == bound]
+            s_hits = int(np.isin(strict, c_row).sum())
+            t_hits = int(np.isin(tied, c_row).sum())
+            per_query[i] = (s_hits + min(t_hits, k - strict.size)) / k
+
+    report = {
+        "truth": truth_file,
+        "candidate": candidate_file,
+        "queries": int(n),
+        "k": int(k),
+        "tie_aware": tdist is not None,
+        "recall": float(per_query.mean()),
+        "min_recall": float(per_query.min()),
+        "p5_recall": float(np.percentile(per_query, 5)),
+        "perfect_queries": int((per_query == 1.0).sum()),
+    }
+    print(json.dumps(report), file=out)
+    return report
+
+
 # ---------------------------------------------------------------------------
 # CLI
 # ---------------------------------------------------------------------------
@@ -547,6 +647,18 @@ def main(argv=None) -> int:
     p.add_argument("--batch-rows", type=int, default=500_000)
     p.add_argument("--out-dir", default=None)
 
+    p = sub.add_parser("recall", help="recall@k of ANN results vs ground "
+                                      "truth (ivec or hdf5)")
+    p.add_argument("truth", help="ground-truth neighbors (.ivec/.h5)")
+    p.add_argument("candidate", help="ANN result neighbors (.ivec/.h5)")
+    p.add_argument("-k", type=int, default=None,
+                   help="default: min of the two widths")
+    p.add_argument("--truth-distances", default=None,
+                   help="ground-truth distances (.fvec/.h5) enabling "
+                        "tie-forgiving recall at the k-th distance")
+    p.add_argument("--dataset", default="neighbors",
+                   help="hdf5 dataset name for neighbor inputs")
+
     args = parser.parse_args(argv)
     if args.cmd == "inspect":
         inspect_parquet(args.file, head=args.head)
@@ -564,6 +676,10 @@ def main(argv=None) -> int:
         hdf5_duplicates(args.file, groups=tuple(args.groups))
     elif args.cmd == "ifvec":
         inspect_ifvec(args.file, head=args.head)
+    elif args.cmd == "recall":
+        recall_report(args.truth, args.candidate, k=args.k,
+                      truth_distances=args.truth_distances,
+                      dataset=args.dataset)
     elif args.cmd == "knn":
         knn_over_fvec(args.query_fvec, args.base_fvec, k=args.k,
                       metric=args.metric, engine=args.engine,

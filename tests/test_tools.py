@@ -268,3 +268,83 @@ def test_sort_and_split_write_plain_encoding(tmp_path):
             assert "PLAIN_DICTIONARY" not in str(col.encodings) and \
                 "RLE_DICTIONARY" not in str(col.encodings), \
                 (col.path_in_schema, col.encodings)
+
+
+def test_recall_ivec_and_ties(tmp_path, capsys):
+    """recall@k: 1.0 on identical files (order-insensitive), fractional on
+    corrupted rows, and tie-forgiving when ground-truth distances prove the
+    k-th boundary is tied."""
+    from neighborhoodwatch_tpu.io import fvec
+    from neighborhoodwatch_tpu.tools import main, recall_report
+
+    rng = np.random.default_rng(7)
+    n, k = 50, 10
+    truth = np.argsort(rng.standard_normal((n, 64)), axis=1)[:, :k]
+    tf = str(tmp_path / "truth.ivec")
+    fvec.write_vectors(tf, truth.astype(np.int32), "i")
+
+    # identical but column-shuffled candidate: recall is set-based
+    cand = truth[:, ::-1].copy()
+    cf = str(tmp_path / "cand.ivec")
+    fvec.write_vectors(cf, cand.astype(np.int32), "i")
+    rep = recall_report(tf, cf)
+    assert rep["recall"] == 1.0 and rep["perfect_queries"] == n
+    assert rep["k"] == k and not rep["tie_aware"]
+
+    # corrupt 2 of 10 entries in half the rows -> mean = 1 - 0.2*0.5
+    bad = cand.copy()
+    bad[: n // 2, :2] = 10_000
+    bf = str(tmp_path / "bad.ivec")
+    fvec.write_vectors(bf, bad.astype(np.int32), "i")
+    rep = recall_report(tf, bf)
+    assert abs(rep["recall"] - 0.9) < 1e-12
+    assert rep["min_recall"] == 0.8 and rep["perfect_queries"] == n - n // 2
+
+    # tied boundary, evaluated at k=9 against the 10-wide truth file: the
+    # 9th and 10th truth entries (100, 101) tie at distance 0.7; truth[:9]
+    # kept 100 but the ANN returned the equally-correct 101 — plain recall
+    # penalizes (8/9), tie-aware must not, because the full truth row
+    # proves 101 is at the same distance as the k-th neighbor
+    truth2 = np.arange(k, dtype=np.int32)[None, :].repeat(4, axis=0)
+    truth2[:, -2:] = [100, 101]
+    dist2 = np.linspace(0.0, 0.5, k, dtype=np.float32)[None, :].repeat(4, 0)
+    dist2[:, -2:] = 0.7                       # ties at the boundary
+    cand2 = truth2.copy()
+    cand2[:, -2] = 101                        # the OTHER tied neighbor
+    t2 = str(tmp_path / "truth2.ivec")
+    d2 = str(tmp_path / "dist2.fvec")
+    c2 = str(tmp_path / "cand2.ivec")
+    fvec.write_vectors(t2, truth2, "i")
+    fvec.write_vectors(d2, dist2, "f")
+    fvec.write_vectors(c2, cand2, "i")
+    assert abs(recall_report(t2, c2, k=9)["recall"] - 8 / 9) < 1e-12
+    rep = recall_report(t2, c2, k=9, truth_distances=d2)
+    assert rep["tie_aware"] and rep["recall"] == 1.0
+
+    assert main(["recall", tf, cf, "-k", "5"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(out)["k"] == 5
+
+
+def test_recall_hdf5_inputs(tmp_path):
+    """hdf5 neighbors/distances datasets (the pipeline's export format)
+    work as either side of the comparison."""
+    import h5py
+    from neighborhoodwatch_tpu.io import fvec
+    from neighborhoodwatch_tpu.tools import recall_report
+
+    truth = np.arange(40, dtype=np.int32).reshape(8, 5)
+    dist = np.sort(np.random.default_rng(3)
+                   .random((8, 5)).astype(np.float32), axis=1)
+    h5 = str(tmp_path / "gt.h5")
+    with h5py.File(h5, "w") as f:
+        f.create_dataset("neighbors", data=truth)
+        f.create_dataset("distances", data=dist)
+    cf = str(tmp_path / "cand.ivec")
+    fvec.write_vectors(cf, truth, "i")
+
+    rep = recall_report(h5, cf, truth_distances=h5)
+    assert rep["recall"] == 1.0 and rep["tie_aware"]
+
+    with pytest.raises(AssertionError):
+        recall_report(h5, cf, dataset="nope")
