@@ -24,7 +24,10 @@ from neighborhoodwatch_tpu.utils.naming import get_full_filename
 
 
 def _type_char_for(filename: str) -> str:
-    return "i" if filename.endswith("ivec") else "f"
+    # ".ivecs" is the texmex-standard plural spelling external ANN tools
+    # write; without it, int32 index bits silently parse as float32
+    # denormals (surfaced by `nw-tools recall` on external results)
+    return "i" if filename.endswith(("ivec", "ivecs")) else "f"
 
 
 def write_vectors(filename: str, data: np.ndarray, type_char: str | None = None) -> None:

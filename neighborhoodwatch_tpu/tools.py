@@ -505,34 +505,39 @@ def knn_over_fvec(query_file: str, base_file: str, k: int,
     return idx_file, dist_file
 
 
-def _load_indices(filename: str, dataset: str = "neighbors") -> np.ndarray:
-    """(n, k) int index matrix from an .ivec file or an hdf5 dataset —
-    the two neighbor formats this pipeline exports (io/fvec.py,
-    io/hdf5_io.py; reference formats parquet_to_format.py:71-89,322-348)."""
+def _load_matrix(filename: str, dataset: str, kind: str) -> np.ndarray:
+    """(n, k) matrix from an .ivec(s)/.fvec(s) file or an hdf5 dataset —
+    the neighbor/distance formats this pipeline exports (io/fvec.py,
+    io/hdf5_io.py; reference formats parquet_to_format.py:71-89,322-348)
+    plus the texmex-standard plural extensions external ANN tools write.
+
+    The extension must be recognized, and indices must actually be an
+    int format: the fvec codec sniffs payload dtype from the extension,
+    and int32 index bits parsed as float32 yield denormals that astype
+    to all-zero indices — a plausible near-zero recall with no error."""
+    out_dtype = np.int64 if kind == "indices" else np.float64
     if filename.endswith((".h5", ".hdf5")):
         import h5py
         with h5py.File(filename, "r") as f:
             assert dataset in f, \
                 f"{filename} has no dataset {dataset!r} (has: {list(f)})"
-            return np.asarray(f[dataset], dtype=np.int64)
+            return np.asarray(f[dataset], dtype=out_dtype)
+    is_ivec = filename.endswith((".ivec", ".ivecs"))
+    if not is_ivec and not filename.endswith((".fvec", ".fvecs")):
+        raise ValueError(
+            f"{filename}: unrecognized extension for a {kind} file; "
+            f"expected .ivec(s)/.fvec(s) or .h5/.hdf5")
+    if kind == "indices" and not is_ivec:
+        raise ValueError(f"{filename}: neighbor indices must be an "
+                         f".ivec(s) or hdf5 file, not float vectors")
     from neighborhoodwatch_tpu.io import fvec as fv
-    return np.asarray(fv.read_vectors(filename), dtype=np.int64)
-
-
-def _load_values(filename: str, dataset: str = "distances") -> np.ndarray:
-    if filename.endswith((".h5", ".hdf5")):
-        import h5py
-        with h5py.File(filename, "r") as f:
-            assert dataset in f, \
-                f"{filename} has no dataset {dataset!r} (has: {list(f)})"
-            return np.asarray(f[dataset], dtype=np.float64)
-    from neighborhoodwatch_tpu.io import fvec as fv
-    return np.asarray(fv.read_vectors(filename), dtype=np.float64)
+    return np.asarray(fv.read_vectors(filename), dtype=out_dtype)
 
 
 def recall_report(truth_file: str, candidate_file: str, k: int | None = None,
                   truth_distances: str | None = None,
-                  dataset: str = "neighbors", out=None) -> dict:
+                  dataset: str = "neighbors",
+                  distances_dataset: str = "distances", out=None) -> dict:
     """recall@k of an ANN result against exact ground truth — the metric
     every downstream consumer of these datasets (ann-benchmarks style
     harnesses) computes; closing the loop inside the toolbox means the
@@ -545,10 +550,17 @@ def recall_report(truth_file: str, candidate_file: str, k: int | None = None,
     hits plus tied hits capped at the remaining slots. Without
     tie-awareness, exact engines that break ties differently (lowest-index
     here, arbitrary in many ANN libraries) cap measured recall below 1.0
-    on duplicate-heavy corpora through no fault of the index."""
+    on duplicate-heavy corpora through no fault of the index.
+
+    Forgiveness only covers ties VISIBLE in the exported truth row: a tie
+    group truncated at the row's last column may extend to ids the export
+    never recorded, so equally-correct answers beyond it still score as
+    misses. Rows in that situation (k-th distance == last exported
+    distance at k < width) are counted in `boundary_tie_truncated` —
+    regenerate the ground truth with a larger k to resolve them."""
     out = out or sys.stdout
-    truth = _load_indices(truth_file, dataset)
-    cand = _load_indices(candidate_file, dataset)
+    truth = _load_matrix(truth_file, dataset, "indices")
+    cand = _load_matrix(candidate_file, dataset, "indices")
     assert truth.ndim == 2 and cand.ndim == 2, (truth.shape, cand.shape)
     assert truth.shape[0] == cand.shape[0], \
         f"query-count mismatch: truth {truth.shape[0]} vs candidate " \
@@ -561,27 +573,44 @@ def recall_report(truth_file: str, candidate_file: str, k: int | None = None,
 
     tdist = None
     if truth_distances is not None:
-        tdist = _load_values(truth_distances)
+        tdist = _load_matrix(truth_distances, distances_dataset, "values")
         assert tdist.shape == truth.shape, \
             f"distances shape {tdist.shape} != neighbors shape {truth.shape}"
+        # a NaN k-th distance makes both the < and == masks all-False and
+        # silently scores a perfect candidate 0.0 — reject up front
+        assert np.isfinite(tdist[:, :k]).all(), \
+            f"{truth_distances} has non-finite distances within k={k}"
 
     n = truth.shape[0]
-    per_query = np.empty(n, dtype=np.float64)
-    for i in range(n):
-        c_row = np.unique(cand[i, :k])
-        if tdist is None:
-            per_query[i] = np.isin(truth[i, :k], c_row,
-                                   assume_unique=False).sum() / k
-        else:
-            # tie-forgiving: hits strictly inside the k-th distance count
-            # directly; candidates matching a TIED truth entry (== k-th
-            # distance, anywhere in the truth row) fill the leftover slots
-            bound = tdist[i, k - 1]
-            strict = truth[i][tdist[i] < bound]
-            tied = truth[i][tdist[i] == bound]
-            s_hits = int(np.isin(strict, c_row).sum())
-            t_hits = int(np.isin(tied, c_row).sum())
-            per_query[i] = (s_hits + min(t_hits, k - strict.size)) / k
+    assert (truth >= 0).all(), f"{truth_file} has negative neighbor ids"
+    # vectorized row-wise set intersection (the 1-vCPU host rule: no
+    # per-row Python loops on O(n) paths): offset every row's ids into a
+    # disjoint range so one global isin answers all rows at once;
+    # duplicate candidate ids collapse in the global unique. Negative
+    # candidate ids (-1 "not found" padding in many ANN libraries) are
+    # collapsed to one sentinel BEFORE offsetting — offset, they would
+    # alias into the previous row's id range and could score as hits.
+    stride = np.int64(max(int(truth.max()), int(cand.max()), 0) + 1)
+    row_off = np.arange(n, dtype=np.int64)[:, None] * stride
+    cand_ids = np.unique(np.where(cand[:, :k] < 0, np.int64(-1),
+                                  cand[:, :k] + row_off))
+    hits = np.isin(truth[:, :k] + row_off, cand_ids)
+    tie_truncated = 0
+    if tdist is None:
+        per_query = hits.sum(axis=1) / k
+    else:
+        # tie-forgiving: hits strictly inside the k-th distance count
+        # directly; candidates matching a TIED truth entry (== k-th
+        # distance, anywhere in the exported row) fill the leftover slots
+        bound = tdist[:, k - 1][:, None]
+        strict = tdist[:, :k] < bound
+        tied_full = tdist == bound                      # whole row, == only
+        tied_hits = np.isin(truth + row_off, cand_ids) & tied_full
+        s_hits = (hits & strict).sum(axis=1)
+        slots = k - strict.sum(axis=1)
+        per_query = (s_hits + np.minimum(tied_hits.sum(axis=1), slots)) / k
+        if truth.shape[1] > k:
+            tie_truncated = int((tdist[:, -1] == bound[:, 0]).sum())
 
     report = {
         "truth": truth_file,
@@ -593,6 +622,7 @@ def recall_report(truth_file: str, candidate_file: str, k: int | None = None,
         "min_recall": float(per_query.min()),
         "p5_recall": float(np.percentile(per_query, 5)),
         "perfect_queries": int((per_query == 1.0).sum()),
+        "boundary_tie_truncated": tie_truncated,
     }
     print(json.dumps(report), file=out)
     return report
@@ -655,9 +685,13 @@ def main(argv=None) -> int:
                    help="default: min of the two widths")
     p.add_argument("--truth-distances", default=None,
                    help="ground-truth distances (.fvec/.h5) enabling "
-                        "tie-forgiving recall at the k-th distance")
+                        "tie-forgiving recall at the k-th distance "
+                        "(forgives only ties visible in the exported "
+                        "truth row)")
     p.add_argument("--dataset", default="neighbors",
                    help="hdf5 dataset name for neighbor inputs")
+    p.add_argument("--distances-dataset", default="distances",
+                   help="hdf5 dataset name for --truth-distances")
 
     args = parser.parse_args(argv)
     if args.cmd == "inspect":
@@ -679,7 +713,8 @@ def main(argv=None) -> int:
     elif args.cmd == "recall":
         recall_report(args.truth, args.candidate, k=args.k,
                       truth_distances=args.truth_distances,
-                      dataset=args.dataset)
+                      dataset=args.dataset,
+                      distances_dataset=args.distances_dataset)
     elif args.cmd == "knn":
         knn_over_fvec(args.query_fvec, args.base_fvec, k=args.k,
                       metric=args.metric, engine=args.engine,

@@ -348,3 +348,59 @@ def test_recall_hdf5_inputs(tmp_path):
 
     with pytest.raises(AssertionError):
         recall_report(h5, cf, dataset="nope")
+
+
+def test_recall_hardening(tmp_path):
+    """Review-pass edges: .ivecs plural extension parses as int32, -1
+    'not found' padding never aliases across rows, NaN truth distances are
+    rejected, unknown extensions raise, and truncated boundary ties are
+    flagged in the report."""
+    from neighborhoodwatch_tpu.io import fvec
+    from neighborhoodwatch_tpu.tools import recall_report
+
+    truth = np.arange(30, dtype=np.int32).reshape(3, 10)
+    tf = str(tmp_path / "t.ivec")
+    fvec.write_vectors(tf, truth, "i")
+
+    # .ivecs (texmex plural): must parse as int indices, not float bits
+    cf = str(tmp_path / "c.ivecs")
+    fvec.write_vectors(cf, truth, "i")
+    assert recall_report(tf, cf)["recall"] == 1.0
+
+    # -1 padding: row 1's pad must not alias into row 0's id range — the
+    # candidate is otherwise all-wrong, so any hit would be the alias
+    cand = np.full_like(truth, 9999)
+    cand[1, :] = -1
+    cp = str(tmp_path / "pad.ivec")
+    fvec.write_vectors(cp, cand, "i")
+    assert recall_report(tf, cp)["recall"] == 0.0
+
+    # NaN inside k in the truth distances: loud error, not recall 0
+    dist = np.tile(np.linspace(0.0, 1.0, 10, dtype=np.float32), (3, 1))
+    dist[2, 4] = np.nan
+    df = str(tmp_path / "d.fvec")
+    fvec.write_vectors(df, dist, "f")
+    with pytest.raises(AssertionError, match="non-finite"):
+        recall_report(tf, cf, truth_distances=df)
+    # ...but a NaN beyond k is fine
+    rep = recall_report(tf, cf, k=3, truth_distances=df)
+    assert rep["recall"] == 1.0
+
+    # truncated boundary tie: tie at the k-th distance reaching the last
+    # exported column is flagged (forgiveness can't see beyond the export)
+    dist2 = np.tile(np.linspace(0.0, 1.0, 10, dtype=np.float32), (3, 1))
+    dist2[0, 4:] = 0.5                 # tie from k-1 through the last col
+    d2 = str(tmp_path / "d2.fvec")
+    fvec.write_vectors(d2, dist2, "f")
+    rep = recall_report(tf, cf, k=5, truth_distances=d2)
+    assert rep["boundary_tie_truncated"] == 1 and rep["recall"] == 1.0
+
+    # unknown extension: loud error instead of dtype guessing
+    bad = str(tmp_path / "x.bin")
+    with open(bad, "wb") as f:
+        f.write(b"\x00" * 16)
+    with pytest.raises(ValueError, match="unrecognized extension"):
+        recall_report(tf, bad)
+    # float file as indices: rejected
+    with pytest.raises(ValueError, match="indices"):
+        recall_report(tf, df)
