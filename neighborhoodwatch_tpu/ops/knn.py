@@ -37,6 +37,13 @@ _SCREEN_MIN_BASE = 2 * screen_kernel.MEGA
 
 
 def _select_engine(engine: str, n_base: int | None = None) -> str:
+    if engine not in ENGINES:
+        # a typo'd engine ("vrfied", "screened ") must not silently run
+        # the plain exact scan — benches and perf tests would quietly
+        # measure the wrong engine (same contract as
+        # parallel/sharded_knn._trace_safe_engine)
+        raise ValueError(f"unknown engine {engine!r}; expected one of "
+                         f"{'/'.join(ENGINES)}")
     if engine != "auto":
         return engine
     backend = jax.default_backend()
@@ -237,15 +244,24 @@ def _prepare_arrays(base):
     # actual l2-epilogue operand, not a bound.
     g = screen_kernel.norm_guard(base.shape[1])
     bn_row = jnp.sum(base * base, axis=1)
-    bn_max = jnp.max(bn_row) * g
+    # non-finite rows (garbage embeddings) are EXCLUDED from the stats:
+    # they never become candidates (the kernel masks non-finite bn), the
+    # re-rank only sees candidates, and the class-A bin gather sanitizes
+    # them — so the eps bound need not cover them, and including them
+    # poisoned the certificate for the WHOLE batch (inf row -> eps=inf ->
+    # every count certificate fails -> full class-B recompute; NaN row ->
+    # thresh=NaN, caught by the binfix finite gate but still a full
+    # recompute). One garbage row should cost nothing (r3 review).
+    finite = jnp.isfinite(bn_row)
+    bn_max = jnp.max(jnp.where(finite, bn_row, 0.0)) * g
     # bf16_round, not astype: XLA folds an astype down/up pair under jit
     # and the residual below becomes ZERO on TPU — the certificate-
     # soundness bug class of screen_kernel.bf16_round's docstring
     bhi_f = screen_kernel.bf16_round(base)
     bhi = bhi_f.astype(jnp.bfloat16)
     blo_n = jnp.sqrt(jnp.sum((base - bhi_f) ** 2, axis=1))
-    blo_max = jnp.max(blo_n) * g
-    ratio_max = jnp.max(jnp.where(bn_row > 0.0,
+    blo_max = jnp.max(jnp.where(finite, blo_n, 0.0)) * g
+    ratio_max = jnp.max(jnp.where(jnp.logical_and(finite, bn_row > 0.0),
                                   blo_n * jax.lax.rsqrt(
                                       jnp.maximum(bn_row, 1e-30)),
                                   0.0)) * g
@@ -510,17 +526,12 @@ def screened_knn(query, base, k: int, metric: str = "sqeuclidean",
     # read clamped rows whose +inf padded norms mask them from every bin,
     # so no separate tail pass (a lax.top_k over the ~25k-row tail cost
     # ~0.3s — more than the whole screen) and no multi-GB padded copy
-    # one-time corpus operands/stats shared by the screen and the
-    # certificate (same dedup as screened_knn_traced, r3 review)
-    bn_row, base_stats, bhi = _prepare_arrays(base)
-    cand_d, cand_i, _ = screen_kernel.screen_candidates(
-        query, base, n_rows=n_base,
-        epilogue=_EPILOGUE_FOR_METRIC[metric],
-        screen_precision=screen_precision, interpret=interpret,
-        bn_row=bn_row, bhi=bhi,
-        sub=screen_kernel.pick_sub(n_base, k))
-    # merge capacity excludes the certificate slab (1 of KEEP per mega)
-    cap = (cand_d.shape[1] // screen_kernel.KEEP) * (screen_kernel.KEEP - 1)
+    # merge capacity (excludes the certificate slab, 1 of KEEP per mega)
+    # is static — check it BEFORE the screen: jax dispatches the kernel
+    # eagerly, so the old post-screen check paid the full multi-GB corpus
+    # pass just to discard it when k was unrepresentable (r3 review)
+    sub_width = screen_kernel.pick_sub(n_base, k)
+    cap, _, _ = _screen_plan(n_base, k, query.shape[1], sub_width, passes)
     if k > cap:
         # the screen cannot even represent k candidates for this base
         # size; the certificate could never pass — go straight exact
@@ -528,6 +539,14 @@ def screened_knn(query, base, k: int, metric: str = "sqeuclidean",
                    base_offset=base_offset,
                    engine="verified" if jax.default_backend() == "tpu"
                    else "exact")
+    # one-time corpus operands/stats shared by the screen and the
+    # certificate (same dedup as screened_knn_traced, r3 review)
+    bn_row, base_stats, bhi = _prepare_arrays(base)
+    cand_d, cand_i, _ = screen_kernel.screen_candidates(
+        query, base, n_rows=n_base,
+        epilogue=_EPILOGUE_FOR_METRIC[metric],
+        screen_precision=screen_precision, interpret=interpret,
+        bn_row=bn_row, bhi=bhi, sub=sub_width)
     m = _merge_width(k, passes, cap) if m is None else min(max(m, k), cap)
     block = _gather_block(m, query.shape[1])
     dist, idx, ok, _, _ = _screened_select(query, base, cand_d, cand_i,
@@ -745,8 +764,17 @@ def screened_knn_traced(query, base, n_valid, base_offset, k: int,
     m_last = cand_d.reshape(q_count, -1, keep, lanes)[:, :, keep - 1, :]
     sflat = (m_last < thresh[:, None, None]).reshape(q_count, -1)
     n_susp = jnp.sum(sflat.astype(jnp.int32), axis=1)
+    # a NaN thresh (one non-finite base row poisons the corpus stats, or
+    # a NaN query coordinate poisons tau) makes every comparison above
+    # all-False: cert_merge holds VACUOUSLY (0 == 0) and n_susp == 0, so
+    # without the finite gate a genuinely-missed neighbor would be
+    # class-A "repaired" by re-ranking two arbitrary bins and the
+    # uncertified screened result returned as exact (r3 review). NaN
+    # thresh queries must take the class-B verified rescan, whose own
+    # overflow cond escalates to the whole-tile recompute.
     binfix = jnp.logical_and(
-        fail, jnp.logical_and(cert_merge, n_susp <= REPAIR_BINS))
+        jnp.logical_and(fail, jnp.isfinite(thresh)),
+        jnp.logical_and(cert_merge, n_susp <= REPAIR_BINS))
 
     na = _chernoff_budget(q_count, _BIN_FLAG_RATE[passes], k)
     w = REPAIR_BINS * bin_rows
@@ -790,9 +818,14 @@ def screened_knn_traced(query, base, n_valid, base_offset, k: int,
         def block_d(args):
             qb, rb, vb = args
             d = _exact_pair_dists(qb, base[rb], metric)
-            # gathered corpus rows can be garbage (inf/NaN embeddings);
-            # NaN WINS lax.top_k, so sanitize like pairwise_distance
-            keep_d = jnp.logical_and(vb, jnp.logical_not(jnp.isnan(d)))
+            # gathered corpus rows can be garbage (inf/NaN embeddings) —
+            # the repair gathers bin rows by POSITION, not candidacy, so
+            # the kernel's bn-mask never filtered them. NaN wins
+            # lax.top_k and a +inf row under `dot` gives d = -inf which
+            # beats every real neighbor, so sanitize ALL non-finite like
+            # pairwise_distance (NaN-only here regressed the r3
+            # dot-metric fix — r3 review)
+            keep_d = jnp.logical_and(vb, jnp.isfinite(d))
             return jnp.where(keep_d, d, jnp.inf)
 
         def padded(x):

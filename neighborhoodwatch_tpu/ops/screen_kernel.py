@@ -26,8 +26,9 @@ must be fused into the distance computation on-chip. This kernel:
 
 The KEEP-th minimum doubles as an **exactness certificate**: a lane bin
 holds sub*8 base rows; if m_KEEP >= tau + eps (tau = exact k-th distance
-after re-ranking, eps = screening error bound INCLUDING the 2^-14 key
-quantization from the replaced mantissa bits) then at most KEEP-1 bin
+after re-ranking, eps = screening error bound INCLUDING the key
+quantization from the POS_BITS replaced mantissa bits — 2^-13 worst-case
+floor, budgeted as PACK_EPS_REL = 2^-11) then at most KEEP-1 bin
 members can be < tau and all are in the candidate set, so no true
 neighbor was lost. Queries whose certificate fails fall back to the
 exact engine (ops/knn.py).

@@ -700,3 +700,54 @@ def test_class_a_budget_overflow_falls_through_to_class_b():
     wrong = [r for r in range(nq)
              if set(np.asarray(i)[r].tolist()) != set(oracle[r])]
     assert not wrong, f"{len(wrong)} queries inexact: {wrong[:8]}"
+
+
+def test_engine_typo_raises():
+    """A typo'd engine must error, not silently run the plain exact scan
+    (bench/perf tests would quietly measure the wrong engine)."""
+    q, b = _data(2, 256, 16, seed=71)
+    for bad in ("vrfied", "screened ", "Exact", ""):
+        with pytest.raises(ValueError, match="unknown engine"):
+            knn(q, b, 3, engine=bad)
+
+
+def test_nan_base_row_keeps_certificates_viable():
+    """A NaN corpus row must not poison the certificate stats: excluded
+    from the eps bound (it can never be a candidate), thresh stays finite
+    and the planted one-bin collision repairs via class A exactly as on a
+    clean corpus. Pre-fix the NaN made thresh=NaN for EVERY query, and
+    before the binfix finite gate the all-False comparisons made
+    cert_merge hold vacuously with n_susp=0 — the dropped collision rows
+    were silently lost behind a vacuous class-A 'repair'."""
+    q, b = _data(4, MEGA, 32, seed=53)
+    b[9000] = np.nan
+    target = q[0] + 1e-4 * np.arange(32, dtype=np.float32)
+    for j in range(5):
+        b[7 + j * 128] = target + 1e-6 * j      # one lane bin, stride 128
+    _traced_exact_check(q, b, k=5)              # NaN row sorts last in f64
+
+
+def test_class_a_gather_excludes_nonfinite_rows_dot():
+    """Class-A repair gathers suspicious-bin rows by POSITION, not
+    candidacy, so a +inf garbage row sharing the flagged bin reaches the
+    repair's exact re-rank: under `dot` its d = 1 - inf = -inf used to
+    survive the NaN-only sanitize and win the repair top_k, fabricating
+    a nearest neighbor at distance -inf (r3 review)."""
+    from neighborhoodwatch_tpu.ops.knn import screened_knn_traced
+    q, b = _data(4, MEGA, 32, seed=59, normalize=True)
+    target = q[0] / np.linalg.norm(q[0])
+    for j in range(5):
+        b[7 + j * 128] = (target + 1e-6 * j).astype(np.float32)
+    garbage = 7 + 5 * 128                       # same lane bin as the trio
+    b[garbage] = np.inf
+    k = 5
+    d, i = screened_knn_traced(jnp.asarray(q), jnp.asarray(b), b.shape[0],
+                               0, k, "dot", "default")
+    i = np.asarray(i)
+    assert not (set(i.flatten().tolist()) & {garbage})
+    q64, b64 = q.astype(np.float64), b.astype(np.float64)
+    dm = 1.0 - q64 @ np.where(np.isfinite(b64), b64, 0.0).T
+    dm[:, garbage] = np.inf
+    oracle = np.argsort(dm, axis=1, kind="stable")[:, :k]
+    for r in range(q.shape[0]):
+        assert set(i[r].tolist()) == set(oracle[r]), r
