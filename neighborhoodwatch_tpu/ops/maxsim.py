@@ -88,19 +88,31 @@ def _maxsim_tile_step(run_s, run_i, queries, q_mask, tile, tmask, start,
     return -md, mi
 
 
+def maxsim_kernel_shape_ok(tq: int, dim: int) -> bool:
+    """Backend + shape gates for the fused MaxSim kernel: doc token counts
+    are unbounded (long docs stream through in 32-token chunks); the query
+    side is capped by the VMEM tiling (tq <= 32 — ColBERT's query_maxlen)
+    and the token dim by the kernel's lane layout (<= 128 or a
+    128-multiple). ONE predicate shared by _maxsim_engine and the mesh
+    path's engine choice — two copies desynced once and a 192-dim corpus
+    crashed the sharded stream on the kernel assert (r3 review)."""
+    return (jax.default_backend() == "tpu" and tq <= 32
+            and (dim <= LANES or dim % LANES == 0))
+
+
 def _maxsim_engine(engine: str, n_docs: int, tq: int, dim: int) -> str:
     """'screened' = the fused Pallas kernel + certified re-rank (21x the
-    XLA path on TPU, measured 0.50s vs 10.8s for 1k x 200k docs). Doc
-    token counts are unbounded (long docs stream through the kernel in
-    32-token chunks); only the query side is capped by the VMEM tiling
-    (tq <= 32 — ColBERT's query_maxlen) and the token dim by the kernel's
-    lane layout (<= 128 or a 128-multiple — r3 review: 'auto' used to
-    pick a dim the kernel then asserted on instead of falling back).
-    'exact' = the XLA tile loop, any shape."""
+    XLA path on TPU, measured 0.50s vs 10.8s for 1k x 200k docs); see
+    maxsim_kernel_shape_ok for the auto gates. 'exact' = the XLA tile
+    loop, any shape. Unknown names raise — a typo silently coerced to
+    the ~21x-slower exact path would benchmark the wrong engine (same
+    contract as ops.knn._select_engine, r3 review)."""
+    if engine not in ("auto", "exact", "screened"):
+        raise ValueError(f"unknown engine {engine!r}; expected one of "
+                         f"auto/exact/screened")
     if engine != "auto":
         return engine
-    if (jax.default_backend() == "tpu" and n_docs >= 4096 and tq <= 32
-            and (dim <= LANES or dim % LANES == 0)):
+    if n_docs >= 4096 and maxsim_kernel_shape_ok(tq, dim):
         return "screened"
     return "exact"
 
@@ -130,19 +142,29 @@ def maxsim_topk(queries, q_mask, docs, d_mask, k: int,
     d_mask = jnp.asarray(d_mask, dtype=bool)
     n_docs = docs.shape[0]
     assert k <= n_docs
-    pad = round_up(n_docs, tile_docs) - n_docs
-    if pad:
-        docs = jnp.pad(docs, ((0, pad), (0, 0), (0, 0)))
-        d_mask = jnp.pad(d_mask, ((0, pad), (0, 0)))
 
     q_n = queries.shape[0]
     run_s = jnp.full((q_n, k), -jnp.inf, dtype=jnp.float32)
     run_i = jnp.zeros((q_n, k), dtype=jnp.int32)
-    for start in range(0, docs.shape[0], tile_docs):
+    n_full = (n_docs // tile_docs) * tile_docs
+    for start in range(0, n_full, tile_docs):
         tile = jax.lax.dynamic_slice_in_dim(docs, start, tile_docs)
         tmask = jax.lax.dynamic_slice_in_dim(d_mask, start, tile_docs)
         run_s, run_i = _maxsim_tile_step(run_s, run_i, queries, q_mask,
                                          tile, tmask, start, n_docs, k,
+                                         precision)
+    if n_docs > n_full:
+        # pad only the final ragged TILE, not the corpus: jnp.pad of the
+        # whole doc tensor transiently doubled device memory (a ~2x HBM
+        # spike on multi-GB corpora) just to append < tile_docs rows —
+        # and this path is the screened engine's certificate fallback,
+        # exactly where memory headroom is scarce (r3 review). The tile
+        # step's (start + i) < n_docs mask already hides the pad rows.
+        pad = tile_docs - (n_docs - n_full)
+        tile = jnp.pad(docs[n_full:], ((0, pad), (0, 0), (0, 0)))
+        tmask = jnp.pad(d_mask[n_full:], ((0, pad), (0, 0)))
+        run_s, run_i = _maxsim_tile_step(run_s, run_i, queries, q_mask,
+                                         tile, tmask, n_full, n_docs, k,
                                          precision)
     return run_s, run_i
 
@@ -267,6 +289,16 @@ def _maxsim_select(queries, q_mask, docs, d_mask, cand_neg, cand_doc,
     return sk, doc_k, ok
 
 
+def maxsim_bin_cap(n_docs: int) -> int:
+    """Merge capacity of the MaxSim screen's candidate bins (excludes the
+    certificate slab, 1 of KEEP per mega) — the ONE definition of the bin
+    layout's capacity, shared by maxsim_screen_plan and
+    maxsim_topk_screened (two inline copies of certificate-critical math
+    can silently desync — r3 review)."""
+    from neighborhoodwatch_tpu.ops import maxsim_kernel as mk
+    return (-(-n_docs // mk.MEGA_DOCS)) * mk.LANES * (mk.KEEP - 1)
+
+
 def maxsim_screen_plan(n_docs: int, k: int, td: int, dim: int,
                        passes: int = 2):
     """Static merge-width/block plan for the screened MaxSim select —
@@ -288,10 +320,7 @@ def maxsim_screen_plan(n_docs: int, k: int, td: int, dim: int,
     therefore tier-independent; sub-high tiers stay available for
     corpora with wider score gaps and ESCALATE failed queries to the
     3-pass screen (maxsim_topk_screened), never silently."""
-    from neighborhoodwatch_tpu.ops import maxsim_kernel as mk
-
-    n_mega = -(-n_docs // mk.MEGA_DOCS)
-    cap = n_mega * mk.LANES * (mk.KEEP - 1)
+    cap = maxsim_bin_cap(n_docs)
     del passes  # one measured width for every tier (see docstring)
     m = max(256, round_up(k + 156, 128))
     m = min(max(m, k), cap)
@@ -340,8 +369,7 @@ def maxsim_topk_screened(queries, q_mask, docs, d_mask, k: int,
                            tile_docs=2048)
     if m is None:
         m = plan_m
-    cap = (-(-n_docs // mk.MEGA_DOCS)) * mk.LANES * (mk.KEEP - 1)
-    m = min(max(m, k), cap)
+    m = min(max(m, k), maxsim_bin_cap(n_docs))
 
     cand_neg, cand_doc, _, doc_stats = mk.screen_maxsim(
         queries, q_mask, docs, d_mask, screen_precision=screen_precision)

@@ -166,17 +166,17 @@ class ShardedStreamingMaxSim:
         unaffordable) the screened path would be structurally wrong, so
         the exact path runs instead — still exact, just slower."""
         from neighborhoodwatch_tpu.ops import maxsim_kernel as mk
+        from neighborhoodwatch_tpu.ops.maxsim import maxsim_kernel_shape_ok
         if self._engine_req == "exact" or not plan_ok:
             return "exact"
         if self._engine_req == "screened":
             return "screened"
-        # auto mirrors ops.maxsim._maxsim_engine's gates INCLUDING the
-        # kernel's lane-layout dim constraint — without it a 192-dim
-        # corpus selected 'screened' and died on the kernel's assert
-        # mid-stream where single-device auto fell back (r3 review)
-        if (jax.default_backend() == "tpu"
-                and shard_docs >= mk.MEGA_DOCS and tq <= 32
-                and (dim <= mk.LANES or dim % mk.LANES == 0)):
+        # auto: the SHARED kernel-compatibility predicate (a second copy
+        # of the gates desynced once — a 192-dim corpus selected
+        # 'screened' here and died on the kernel's assert mid-stream
+        # where single-device auto fell back, r3 review) + the per-shard
+        # doc-count threshold
+        if shard_docs >= mk.MEGA_DOCS and maxsim_kernel_shape_ok(tq, dim):
             return "screened"
         return "exact"
 
@@ -194,17 +194,30 @@ class ShardedStreamingMaxSim:
         # fetching the tile back over the device link
         host_tile = doc_tile if isinstance(doc_tile, np.ndarray) else None
         host_mask = tile_mask if isinstance(tile_mask, np.ndarray) else None
-        doc_tile = jnp.asarray(doc_tile, dtype=jnp.float32)
-        tile_mask = jnp.asarray(tile_mask, dtype=bool)
         rows = doc_tile.shape[0]
         if self._tile_docs is None or rows > self._tile_docs:
             # pad tiles to the widest seen so ragged tails reuse one
             # compiled program (same policy as ShardedStreamingKNN)
             self._tile_docs = -(-rows // self.mp) * self.mp
         pad = self._tile_docs - rows
-        if pad:
-            doc_tile = jnp.pad(doc_tile, ((0, pad), (0, 0), (0, 0)))
-            tile_mask = jnp.pad(tile_mask, ((0, pad), (0, 0)))
+        if host_tile is not None:
+            # host tiles stay numpy until the sharded device_put: jnp ops
+            # first materialize the FULL multi-GB tile (twice when padded)
+            # on the default device before the re-shard — the chip-0 HBM
+            # spike measured and fixed in ShardedStreamingKNN.update
+            # (r3 review)
+            doc_tile = np.asarray(doc_tile, dtype=np.float32)
+            tile_mask = np.asarray(tile_mask, dtype=bool)
+            if pad:
+                doc_tile = np.pad(doc_tile, ((0, pad), (0, 0), (0, 0)))
+                tile_mask = np.pad(tile_mask, ((0, pad), (0, 0)))
+        else:
+            # already on device (tests/device-fed benches): jnp is fine
+            doc_tile = jnp.asarray(doc_tile, dtype=jnp.float32)
+            tile_mask = jnp.asarray(tile_mask, dtype=bool)
+            if pad:
+                doc_tile = jnp.pad(doc_tile, ((0, pad), (0, 0), (0, 0)))
+                tile_mask = jnp.pad(tile_mask, ((0, pad), (0, 0)))
         shard_docs = self._tile_docs // self.mp
         td, dim = doc_tile.shape[1], doc_tile.shape[2]
         # STATIC per-shard selection width: sizing m from the dynamic
@@ -217,6 +230,17 @@ class ShardedStreamingMaxSim:
             passes=PASSES[self.screen_precision])
         engine = self._engine(shard_docs, self.queries.shape[1], plan_ok,
                               dim)
+        # a shard with fewer valid docs than its static selection width kk
+        # makes the screened certificate unprovable (tau = the kk-th
+        # selected score = -inf padding -> thresh = +inf -> every query
+        # fails on that shard and the whole tile takes the single-device
+        # exact recompute). Shard validity is non-increasing in shard
+        # index, so the LAST shard's count is the minimum: when it cannot
+        # fill kk, run the tile on the exact mesh path instead — still
+        # sharded, still exact, no repair cliff (r3 review).
+        tail_valid = min(shard_docs, max(0, n - (self.mp - 1) * shard_docs))
+        if engine == "screened" and tail_valid < kk_shard:
+            engine = "exact"
 
         tsh = NamedSharding(self.mesh, P(MP_AXIS, None, None))
         msh = NamedSharding(self.mesh, P(MP_AXIS, None))
@@ -228,8 +252,14 @@ class ShardedStreamingMaxSim:
             self.precision, self.mesh, m, block,
             screen_precision=self.screen_precision)
 
-        fail_h = np.asarray(fail)
-        if fail_h.any():
+        # only the screened path can fail certificates; reading the mask
+        # for the exact engine (a traced constant False) synced every
+        # update on the tile's full compute chain, serializing the host
+        # tiling of batch b+1 against device compute of batch b and
+        # breaking the pure-async-dispatch contract colbert_pipeline's
+        # backpressure relies on (r3 review)
+        fail_h = np.asarray(fail) if engine == "screened" else None
+        if fail_h is not None and fail_h.any():
             # exact host-path repair of certificate failures: REPLACE the
             # failed rows' per-tile lists before folding (a merge would
             # double-count docs present in both lists)

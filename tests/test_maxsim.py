@@ -646,3 +646,18 @@ def test_maxsim_subhigh_failures_escalate_to_high_screen(monkeypatch):
     exp_scores, exp_idx = maxsim_oracle(q, qm, d, dm, k=k)
     np.testing.assert_array_equal(np.asarray(idx), exp_idx)
     np.testing.assert_allclose(np.asarray(scores), exp_scores, atol=1e-3)
+
+
+def test_maxsim_engine_typo_raises():
+    """A typo'd engine must error, not silently run the ~21x-slower exact
+    path (same contract as ops.knn and the sharded wrappers)."""
+    import pytest
+    rng = np.random.default_rng(3)
+    q = rng.standard_normal((2, 4, 16)).astype(np.float32)
+    qm = np.ones((2, 4), dtype=bool)
+    d = rng.standard_normal((32, 6, 16)).astype(np.float32)
+    dm = np.ones((32, 6), dtype=bool)
+    with pytest.raises(ValueError, match="unknown engine"):
+        maxsim_topk(q, qm, d, dm, k=3, engine="screend")
+    with pytest.raises(ValueError, match="unknown engine"):
+        StreamingMaxSim(q, qm, k=3, engine="Exact").update(d, dm)

@@ -117,8 +117,11 @@ def test_sharded_maxsim_screened_ragged_tail_below_k():
     """Regression (r3 review finding #1): a ragged tile with fewer valid
     docs than k used to crash the screened mesh path (dynamic selection
     width) or trip the repair-width assert. The tail tile here has
-    n_valid < k; certificates fail on the mostly-padding shards and the
-    host repair must REPLACE rows at the tile's true width."""
+    n_valid < k. Since the ragged-cliff fix, update() routes such tiles
+    to the EXACT mesh engine up front (a shard that cannot fill its
+    static selection width kk makes tau=-inf and every certificate fail,
+    which forced a whole-tile single-device recompute); the result must
+    be identical either way."""
     from neighborhoodwatch_tpu.ops import maxsim_kernel as mk
 
     rng = np.random.default_rng(17)
