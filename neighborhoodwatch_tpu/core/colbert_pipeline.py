@@ -195,6 +195,12 @@ def compute_maxsim_knn(data_dir, query_filename, base_filename, k,
     fingerprint = {"f_mode": "maxsim", "f_k": k, "f_base": base_filename,
                    "f_q": len(q_docs), "f_dims": dim,
                    "f_qpad": engine.state[0].shape[0],
+                   # precision changes the scoring arithmetic: resuming a
+                   # bf16-precision checkpoint into an fp32 run would
+                   # silently mix arithmetic regimes in one output
+                   # (r3 review; engine/screen tier are certified-exact
+                   # so they need no pin)
+                   "f_prec": precision,
                    # content identity (r3 review: same-name regenerated
                    # bases — and query files, whose stale per-query state
                    # would otherwise fold new-base tiles into old-query
@@ -239,7 +245,29 @@ def compute_maxsim_knn(data_dir, query_filename, base_filename, k,
         # device (remote transports short-circuit block_until_ready from
         # the local send buffer; only a real compute output blocks).
         prev_state = None
-        for b, batch in enumerate(pf.iter_batches(batch_size=batch_rows)):
+        # resume: skip whole row groups whose doc_id statistics prove every
+        # row is checkpoint-covered — scanning from row 0 re-decoded ~all
+        # covered token batches on the weak host just so the `ids[-1] <
+        # done_docs` test could drop them (r3 review; same reader-level
+        # skip as iter_embedding_batches' start_row). Groups without
+        # statistics are conservatively included; the in-loop trim still
+        # handles a group that straddles done_docs. A doc with id >=
+        # done_docs cannot START in a skipped group: that group's max
+        # would be >= done_docs.
+        if done_docs:
+            md = pf.metadata
+            ci = pf.schema_arrow.names.index("doc_id")
+            sel = []
+            for g in range(md.num_row_groups):
+                stats = md.row_group(g).column(ci).statistics
+                if stats is None or not stats.has_min_max \
+                        or stats.max >= done_docs:
+                    sel.append(g)
+            batches = (pf.iter_batches(batch_size=batch_rows, row_groups=sel)
+                       if sel else iter(()))
+        else:
+            batches = pf.iter_batches(batch_size=batch_rows)
+        for b, batch in enumerate(batches):
             if batch.num_rows == 0:
                 # an empty row group must not reach the leftover handling
                 # below: its empty id array looks like "a new doc started"

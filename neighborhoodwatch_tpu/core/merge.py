@@ -121,10 +121,17 @@ def merge_indices_and_distances(data_dir: str, k: int = 100,
             idx_table = _matrix_table(ix)
             dist_table = _matrix_table(d)
             if idx_writer is None:
+                # PLAIN like every other writer here: mostly-distinct
+                # float distances / int indices dictionary-encode to +50%
+                # size and 5-10x slower decode (CLAUDE.md rule), and the
+                # streaming path writes the SAME logical finals PLAIN via
+                # write_matrix_to_parquet (r3 review)
                 idx_writer = pq.ParquetWriter(
-                    get_partial_indices_filename(data_dir, -1), idx_table.schema)
+                    get_partial_indices_filename(data_dir, -1),
+                    idx_table.schema, use_dictionary=False)
                 dist_writer = pq.ParquetWriter(
-                    get_partial_distances_filename(data_dir, -1), dist_table.schema)
+                    get_partial_distances_filename(data_dir, -1),
+                    dist_table.schema, use_dictionary=False)
             idx_writer.write_table(idx_table)
             dist_writer.write_table(dist_table)
     finally:

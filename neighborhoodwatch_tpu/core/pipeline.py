@@ -280,6 +280,13 @@ def compute_knn_ds(data_dir: str,
         fingerprint = {"f_k": k, "f_metric": metric, "f_dims": dimensions,
                        "f_base": base_filename, "f_nbase": n_base,
                        "f_q": query.shape[0],
+                       # precision changes the distance arithmetic of the
+                       # exact/verified engines: resuming a bf16 ("default")
+                       # checkpoint into a "highest" run would silently mix
+                       # arithmetic regimes in one output (r3 review; the
+                       # screened engine is certified-exact at every tier,
+                       # so engine/screen tier need no pin)
+                       "f_prec": precision,
                        # content identity: a regenerated base OR query file
                        # with the same name/counts must invalidate the
                        # checkpoint, not silently resume state computed

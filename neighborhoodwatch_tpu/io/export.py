@@ -96,19 +96,42 @@ def _generate_base_vectors_streaming(data_dir, model_name, input_parquet,
     # r3 review). A stale temp from a killed run is overwritten at
     # offset 0.
     tmp_fvec = full_fvec + ".streaming"
+    # probe BOTH artifacts before any parquet decode, like _needs does for
+    # the non-streaming exporters — a completed idempotent rerun used to
+    # decode the first multi-GB batch just to learn there was nothing to
+    # do (r3 review)
     need_fvec = is_empty_file(full_fvec)
     if not need_fvec:
         print(f"File {base_vectors_fvec_file} already exists")
-    hdf5_live = output_hdf5
+    hdf5_live = output_hdf5 and not hdf5_group_exists(data_dir, hdf5_file,
+                                                      "train")
+    if not (need_fvec or hdf5_live):
+        return
+    # clamp to the rows that actually exist: with a short source parquet
+    # the hdf5 slab's total_rows was never reached, its "_streaming"
+    # incompleteness marker never cleared, and every rerun re-streamed
+    # the whole export forever (r3 review; the compute paths clamp the
+    # same way)
+    from neighborhoodwatch_tpu.io.parquet_io import parquet_row_count
+    total = min(base_count, parquet_row_count(data_dir, input_parquet))
+    if total < base_count:
+        print(f"  [warn] {input_parquet} holds only {total} rows; "
+              f"exporting {total} (requested {base_count})")
     for offset, mat in iter_embedding_batches(data_dir, input_parquet,
                                               batch_size=batch_rows,
-                                              count=base_count,
+                                              count=total,
                                               columns=column_names):
         # the non-streaming path enforces this through
         # write_ivec_fvec_from_dataframe's dimension validity check; a
         # width mismatch here would silently export files contradicting
-        # the `_<dims>_` in their own names (r3 review)
-        assert mat.shape[1] == dimensions, \
+        # the `_<dims>_` in their own names (r3 review). Model-aware:
+        # binary-packed voyage stores 8 dims per column (a plain ==
+        # rejected exports the non-streaming path accepts — r3 review)
+        from neighborhoodwatch_tpu.utils.misc import (
+            output_dimension_validity_check,
+        )
+        assert output_dimension_validity_check(model_name, dimensions,
+                                               mat.shape[1]), \
             (f"{input_parquet} embedding width {mat.shape[1]} != configured "
              f"dimensions {dimensions}")
         if need_fvec:
@@ -118,7 +141,7 @@ def _generate_base_vectors_streaming(data_dir, model_name, input_parquet,
                 fvec.append_vectors(tmp_fvec, mat, "f")
         if hdf5_live:
             hdf5_live = write_hdf5_slab(data_dir, model_name, mat, hdf5_file,
-                                        "train", base_count, offset,
+                                        "train", total, offset,
                                         output_dtype)
         if not need_fvec and not hdf5_live:
             break

@@ -213,7 +213,10 @@ def get_nth_vector(data_dir: str, filename: str, n: int):
     """Random-access single-vector read; returns a tuple like the reference
     (reference: parquet_to_format.py:55-68)."""
     full_filename = get_full_filename(data_dir, filename)
-    format_char = "i" if full_filename.endswith("ivec") else "f"
+    # the shared sniff, not a local endswith("ivec"): external ".ivecs"
+    # files otherwise unpack int32 index bits as float denormals here
+    # while every other reader parses them correctly (r3 review)
+    format_char = _type_char_for(full_filename)
     with open(full_filename, "rb") as f:
         dimension = struct.unpack("<i", f.read(4))[0]
         f.seek(int(4 * n * (1 + dimension)), 1)

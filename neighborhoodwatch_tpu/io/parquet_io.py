@@ -188,9 +188,7 @@ def read_embeddings_colmajor(data_dir: str, filename: str,
     full = get_full_filename(data_dir, filename)
     pf = pq.ParquetFile(full)
     columns = embedding_column_names(pf.schema_arrow)
-    if dimensions is not None:
-        assert len(columns) == dimensions or dimensions == 8 * len(columns), \
-            f"Expected {dimensions} embedding columns, got {len(columns)} in {filename}"
+    _check_reader_dims(columns, dimensions, filename)
     n = pf.metadata.num_rows if count is None else min(count, pf.metadata.num_rows)
     out = np.empty((len(columns), n), dtype=np.float32)
     name_to_j = {c: j for j, c in enumerate(columns)}
@@ -208,6 +206,18 @@ def read_embeddings_colmajor(data_dir: str, filename: str,
     return out
 
 
+def _check_reader_dims(columns, dimensions, filename) -> None:
+    """ONE reader-side width check shared by the embedding readers. The
+    readers don't know the model, so the 8x allowance (binary-packed
+    voyage stores 8 dims per float32 column) is model-agnostic here; the
+    model-aware strict check (utils.misc.output_dimension_validity_check)
+    runs at the export boundary, where the model name is in scope."""
+    if dimensions is not None:
+        assert len(columns) == dimensions or dimensions == 8 * len(columns), \
+            (f"Expected {dimensions} embedding columns, got {len(columns)} "
+             f"in {filename}")
+
+
 def read_embeddings(data_dir: str, filename: str, count: int | None = None,
                     dimensions: int | None = None) -> np.ndarray:
     """Load the embedding matrix from an embeddings parquet file
@@ -215,10 +225,7 @@ def read_embeddings(data_dir: str, filename: str, count: int | None = None,
     full = get_full_filename(data_dir, filename)
     schema = pq.read_schema(full)
     columns = embedding_column_names(schema)
-    if dimensions is not None:
-        from neighborhoodwatch_tpu.utils.misc import output_dimension_validity_check
-        assert len(columns) == dimensions or dimensions == 8 * len(columns), \
-            f"Expected {dimensions} embedding columns, got {len(columns)} in {filename}"
+    _check_reader_dims(columns, dimensions, filename)
     table = pq.read_table(full, columns=columns)
     if count is not None:
         table = table.slice(0, count)

@@ -266,10 +266,20 @@ struct NwioStream {
   }
 };
 
-void* nwio_stream_open(const char* path, int64_t batch_rows, int n_threads) {
+void* nwio_stream_open(const char* path, int64_t batch_rows, int n_threads,
+                       int32_t expected_dim) {
   auto* s = new (std::nothrow) NwioStream;
   if (!s) return nullptr;
   if (probe_file(path, &s->fi) != 0 || s->fi.n_rows == 0) {
+    delete s;
+    return nullptr;
+  }
+  // expected_dim rides the ABI like nwio_fvec_read_rows' -7 check: the
+  // Python consumer sizes its copy buffers from an EARLIER probe, so a
+  // file regenerated at a different width between the two probes would
+  // memcpy wider rows into a narrower numpy buffer (heap corruption) or
+  // silently misparse narrower ones (r3 review).
+  if (s->fi.dim != expected_dim) {
     delete s;
     return nullptr;
   }

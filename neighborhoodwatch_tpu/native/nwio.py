@@ -43,7 +43,7 @@ def _load():
         ctypes.c_int64, ctypes.c_int32]
     lib.nwio_stream_open.restype = ctypes.c_void_p
     lib.nwio_stream_open.argtypes = [
-        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int]
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int32]
     lib.nwio_stream_next.restype = ctypes.c_int64
     lib.nwio_stream_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     lib.nwio_stream_close.restype = None
@@ -130,10 +130,18 @@ class FvecStream:
             # yields nothing — the A/B invariance the module promises
             # requires matching it, not raising (r3 review, reproduced)
             return
+        # self.dim rides the ABI like read_rows' expected_dim: the C++
+        # side RE-probes the file, so a regeneration at a different width
+        # between the two probes would otherwise memcpy wider rows into
+        # this object's narrower consumer buffers — heap corruption
+        # (r3 review)
         self._handle = lib.nwio_stream_open(
-            path.encode(), batch_rows, n_threads or min(4, os.cpu_count() or 1))
+            path.encode(), batch_rows,
+            n_threads or min(4, os.cpu_count() or 1), self.dim)
         if not self._handle:
-            raise IOError(f"nwio_stream_open({path}) failed")
+            raise IOError(f"nwio_stream_open({path}) failed "
+                          f"(missing/empty file, or dim != {self.dim} — "
+                          f"file changed since probe?)")
 
     def __iter__(self):
         if self.n_rows == 0:         # empty file: nothing to stream

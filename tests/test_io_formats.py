@@ -532,3 +532,41 @@ def test_iter_embedding_batches_start_row_skips_row_groups(tmp_path, rng):
     # past the end: nothing
     assert list(iter_embedding_batches(str(tmp_path), "m.parquet",
                                        batch_size=100, start_row=1000)) == []
+
+
+def test_streaming_export_clamps_to_actual_rows(tmp_path):
+    """A source parquet shorter than base_count must still produce a
+    COMPLETE export: pre-clamp, the hdf5 slab's total_rows was never
+    reached, the '_streaming' incompleteness marker never cleared, and
+    every rerun re-streamed the whole export forever while the fvec
+    silently held fewer rows than requested (r3 review)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import h5py
+    from neighborhoodwatch_tpu.io.export import (
+        _generate_base_vectors_streaming,
+    )
+
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((300, 8)).astype(np.float32)
+    data_dir = str(tmp_path)
+    pq.write_table(pa.table({f"embedding_{i}": mat[:, i] for i in range(8)}),
+                   f"{data_dir}/short.parquet")
+
+    # requested 1000 rows, source holds 300
+    _generate_base_vectors_streaming(data_dir, "m", "short.parquet", 1000, 8,
+                                     "short.fvec", True, None,
+                                     "short.hdf5", None, batch_rows=128)
+    from neighborhoodwatch_tpu.io import fvec
+    assert fvec.count_vectors(data_dir, "short.fvec") == 300
+    with h5py.File(f"{data_dir}/short.hdf5") as f:
+        assert f["train"].shape == (300, 8)
+        assert "_streaming" not in f["train"].attrs   # complete, not stuck
+
+    # idempotent rerun: no re-stream, files unchanged
+    before = open(f"{data_dir}/short.fvec", "rb").read()
+    _generate_base_vectors_streaming(data_dir, "m", "short.parquet", 1000, 8,
+                                     "short.fvec", True, None,
+                                     "short.hdf5", None, batch_rows=128)
+    assert open(f"{data_dir}/short.fvec", "rb").read() == before

@@ -661,3 +661,80 @@ def test_maxsim_engine_typo_raises():
         maxsim_topk(q, qm, d, dm, k=3, engine="screend")
     with pytest.raises(ValueError, match="unknown engine"):
         StreamingMaxSim(q, qm, k=3, engine="Exact").update(d, dm)
+
+
+def test_compute_maxsim_knn_resumes_from_checkpoint(rng, tmp_path, capsys):
+    """Mid-stream resume: a checkpoint taken at 12/23 base docs restores,
+    checkpoint-covered parquet ROW GROUPS are skipped at the reader (the
+    doc_id column-statistics path — pre-fix every covered batch was fully
+    decoded on the 1-vCPU host just to be discarded), and the finished
+    stream matches the float64 oracle."""
+    import os
+    import pyarrow.parquet as pq
+    from neighborhoodwatch_tpu.core.colbert_pipeline import compute_maxsim_knn
+    from neighborhoodwatch_tpu.core.pipeline import (
+        _save_stream_ckpt, _stream_ckpt_path,
+    )
+    from neighborhoodwatch_tpu.io.parquet_io import ParquetStreamer
+    from neighborhoodwatch_tpu.ops.maxsim import StreamingMaxSim
+    from neighborhoodwatch_tpu.utils import naming
+
+    dim, k = 16, 4
+    cols = [f"token_embedding_{i}" for i in range(dim)]
+    data_dir = str(tmp_path)
+    (tmp_path / "partial").mkdir()
+
+    def write(filename, docs, chunks=3):
+        streamer = ParquetStreamer(filename, cols)
+        toks = np.concatenate(docs, axis=0)
+        ids = np.concatenate([np.full(len(t), i, np.int32)
+                              for i, t in enumerate(docs)])
+        # several stream calls -> several row groups, so the resume's
+        # row-group statistics skip has something to skip
+        step = -(-len(toks) // chunks)
+        for s in range(0, len(toks), step):
+            streamer.stream_tokens_with_doc_ids(toks[s:s + step],
+                                                ids[s:s + step])
+        streamer.close()
+
+    q_docs = [rng.standard_normal((rng.integers(2, 6), dim)).astype(np.float32)
+              for _ in range(5)]
+    b_docs = [rng.standard_normal((rng.integers(2, 9), dim)).astype(np.float32)
+              for _ in range(23)]
+    qf = f"{data_dir}/q_src.parquet"
+    bf = f"{data_dir}/b_src.parquet"
+    write(qf, q_docs, chunks=1)
+    write(bf, b_docs, chunks=3)
+    assert pq.ParquetFile(bf).metadata.num_row_groups >= 3
+
+    # simulate a run that died after the first 12 base docs, mirroring the
+    # pipeline's exact fingerprint keys (a subset would silently degrade
+    # the resume below to a fresh run)
+    done = 12
+    q, qm = pad_token_lists(q_docs, dim)
+    eng = StreamingMaxSim(q, qm, k=k)
+    d_head, dm_head = pad_token_lists(b_docs[:done], dim)
+    eng.update(d_head, dm_head)
+    st, stq = os.stat(bf), os.stat(qf)
+    fingerprint = {"f_mode": "maxsim", "f_k": k, "f_base": bf,
+                   "f_q": len(q_docs), "f_dims": dim,
+                   "f_qpad": eng.state[0].shape[0], "f_prec": "highest",
+                   "f_bsize": st.st_size, "f_bmtime": round(st.st_mtime, 3),
+                   "f_qsize": stq.st_size,
+                   "f_qmtime": round(stq.st_mtime, 3)}
+    _save_stream_ckpt(_stream_ckpt_path(data_dir), eng, fingerprint)
+
+    capsys.readouterr()
+    timer, n_q, n_b = compute_maxsim_knn(data_dir, qf, bf, k=k, tile_docs=8,
+                                         batch_rows=40)
+    assert "resuming MaxSim stream" in capsys.readouterr().out
+    assert (n_q, n_b) == (5, 23)
+
+    idx = pq.read_table(
+        naming.get_partial_indices_filename(data_dir, -1)).to_pandas().values
+    dist = pq.read_table(
+        naming.get_partial_distances_filename(data_dir, -1)).to_pandas().values
+    d, dm = pad_token_lists(b_docs, dim)
+    exp_scores, exp_idx = maxsim_oracle(q, qm, d, dm, k=k)
+    np.testing.assert_array_equal(idx, exp_idx)
+    np.testing.assert_allclose(dist, -exp_scores, atol=1e-4)

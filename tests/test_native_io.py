@@ -187,3 +187,25 @@ def test_stream_second_pass_raises(tmp_path):
     open(empty, "wb").close()
     se = nwio.FvecStream(empty, 3, np.dtype("<f4"))
     assert list(se) == [] and list(se) == []
+
+
+def test_stream_open_rejects_dim_mismatch(tmp_path, monkeypatch):
+    """FvecStream sizes its consumer buffers from an early probe while the
+    C++ opener re-probes the file: if the file's width changes between the
+    two probes, the opener must refuse (pre-fix it streamed wider rows
+    into the narrower numpy buffers — heap corruption; the batch-read
+    analog of nwio_fvec_read_rows' -7 expected_dim check)."""
+    import numpy as np
+    from neighborhoodwatch_tpu.io import fvec
+    from neighborhoodwatch_tpu.native import nwio
+
+    if not nwio.available():
+        pytest.skip("native lib unavailable")
+    path = str(tmp_path / "x.fvec")
+    fvec.write_vectors(path, np.ones((16, 8), np.float32), "f")
+
+    real_probe = nwio.probe
+    monkeypatch.setattr(nwio, "probe",
+                        lambda p: (16, 4) if p == path else real_probe(p))
+    with pytest.raises(IOError, match="dim != 4"):
+        nwio.FvecStream(path, batch_rows=8, payload_dtype=np.float32)

@@ -151,6 +151,7 @@ def test_streaming_checkpoint_resume(dataset_dir, normalized_vectors,
     stq = os.stat(naming.get_full_filename(data_dir, qfile))
     fingerprint = {"f_k": K, "f_metric": "sqeuclidean", "f_dims": DIMENSIONS,
                    "f_base": bfile, "f_nbase": BASE_COUNT, "f_q": QUERY_COUNT,
+                   "f_prec": "highest",
                    "f_bsize": st.st_size, "f_bmtime": round(st.st_mtime, 3),
                    "f_qsize": stq.st_size,
                    "f_qmtime": round(stq.st_mtime, 3),
@@ -168,6 +169,10 @@ def test_streaming_checkpoint_resume(dataset_dir, normalized_vectors,
     # was computed from the OLD embeddings (r3 review — both sides)
     assert _load_stream_ckpt(
         ckpt, {**fingerprint, "f_qmtime": fingerprint["f_qmtime"] + 1}) is None
+    # ... nor a run at a different matmul precision: resuming would mix
+    # arithmetic regimes in one output (r3 review)
+    assert _load_stream_ckpt(
+        ckpt, {**fingerprint, "f_prec": "default"}) is None
 
     capsys.readouterr()
     compute_knn_ds(data_dir, DIMENSIONS, qfile, QUERY_COUNT, bfile,
