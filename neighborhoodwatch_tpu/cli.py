@@ -73,7 +73,7 @@ def nw_main(argv=None):
         epilog="""
 Some example commands:\n
     nw 1000 10000 -k 100 -m 'intfloat/e5-small-v2'
-    nw 1000 10000 -k 100 -m 'intfloat/e5-large-v2' --streaming
+    nw 1000 10000 -k 100 -m 'intfloat/e5-large-v2' --use-dataset-api
     nw 100 1000 -k 10 -m 'intfloat/e5-small-v2' --synthetic
         """, formatter_class=KeepLineBreaksFormatter)
     parser.add_argument("query_count", type=int,
@@ -416,6 +416,16 @@ Some example commands:\n
                                        input_dimensions, args.query_token_count,
                                        "question", logger=logger,
                                        track_docs=args.maxsim)
+        # abort-don't-publish on an undersized token stream: a published
+        # short parquet would pass the resume guard and be silently reused
+        # by every later run while the artifact names claim the full count
+        # (the token analog of sources.py's processed == row_count assert
+        # inside the publish block — r3 review)
+        if stats[2] != args.query_token_count:
+            streamer.abort()
+            raise AssertionError(
+                f"query source exhausted at {stats[2]} tokens "
+                f"(requested {args.query_token_count}); nothing published")
         streamer.close()
         print_dataset_info("query", args.query_token_count, *stats)
     else:
@@ -433,6 +443,11 @@ Some example commands:\n
                                        input_dimensions, args.base_token_count,
                                        "text", logger=logger,
                                        track_docs=args.maxsim)
+        if stats[2] != args.base_token_count:   # see query-side note
+            streamer.abort()
+            raise AssertionError(
+                f"base source exhausted at {stats[2]} tokens "
+                f"(requested {args.base_token_count}); nothing published")
         streamer.close()
         print_dataset_info("base", args.base_token_count, *stats)
     else:

@@ -292,7 +292,20 @@ def generate_query_dataset(data_dir, model_name, row_count,
 
 
 def _filter_dataset_by_title(dataset, query_titles, keep_in: bool):
-    """Batched title-set filter for the two-phase base selection.
+    """One-sided view of `_split_dataset_by_title` — ONE implementation of
+    the batched title filter (the Arrow mask body used to exist twice and
+    the copies must stay bug-for-bug identical, e.g. the `_indices` view
+    handling — r3 review). The unused side is a lazy index mapping, not a
+    copy, so delegating costs only the mask inversion."""
+    kept, dropped = _split_dataset_by_title(dataset, query_titles)
+    return kept if keep_in else dropped
+
+
+def _split_dataset_by_title(dataset, query_titles):
+    """(title-in-set view, title-not-in-set view) with ONE normalize +
+    set-lookup pass over the corpus — the two-phase base selection's most
+    expensive host-side scan; filtering twice rebuilt the identical mask
+    inverted (r3 review).
 
     The reference filters the 6M-article wikipedia corpus with a per-row
     Python lambda over `num_proc=cpu_count()` fork pools
@@ -300,7 +313,8 @@ def _filter_dataset_by_title(dataset, query_titles, keep_in: bool):
     title column directly, so one vectorized `replace_substring` + `is_in`
     pass builds the whole boolean mask in C++ and `select` keeps the
     result lazy (an index mapping, not a copy). Plain iterables
-    (synthetic/_ListDataset sources) fall back to their own `.filter`."""
+    (synthetic/_ListDataset sources, test-sized) fall back to two
+    `.filter` passes."""
     try:
         title_col = dataset.data.column("title")     # HF datasets.Dataset
         # a select()/shuffle()/filter() view keeps the FULL backing table
@@ -312,39 +326,11 @@ def _filter_dataset_by_title(dataset, query_titles, keep_in: bool):
             import pyarrow.compute as _pc
             title_col = _pc.take(title_col, indices.column(0))
     except AttributeError:
-        if keep_in:
-            return dataset.filter(
-                lambda r: r["title"].replace("_", " ") in query_titles)
-        return dataset.filter(
-            lambda r: r["title"].replace("_", " ") not in query_titles)
-
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    norm = pc.replace_substring(pc.cast(title_col, pa.string()), "_", " ")
-    mask = pc.is_in(norm, options=pc.SetLookupOptions(
-        value_set=pa.array(sorted(query_titles), type=pa.string()),
-        skip_nulls=True))
-    if not keep_in:
-        mask = pc.invert(mask)
-    idx = np.nonzero(mask.to_numpy(zero_copy_only=False))[0]
-    return dataset.select(idx)
-
-
-def _split_dataset_by_title(dataset, query_titles):
-    """(title-in-set view, title-not-in-set view) with ONE normalize +
-    set-lookup pass over the corpus — the two-phase base selection's most
-    expensive host-side scan; running _filter_dataset_by_title twice
-    rebuilt the identical mask inverted (r3 review). Plain iterables fall
-    back to two .filter passes (synthetic sources are test-sized)."""
-    try:
-        title_col = dataset.data.column("title")
-        indices = getattr(dataset, "_indices", None)
-        if indices is not None:
-            import pyarrow.compute as _pc
-            title_col = _pc.take(title_col, indices.column(0))
-    except AttributeError:
-        return (_filter_dataset_by_title(dataset, query_titles, keep_in=True),
-                _filter_dataset_by_title(dataset, query_titles, keep_in=False))
+        return (dataset.filter(
+                    lambda r: r["title"].replace("_", " ") in query_titles),
+                dataset.filter(
+                    lambda r: r["title"].replace("_", " ")
+                    not in query_titles))
 
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -380,6 +366,16 @@ def generate_base_dataset(data_dir, model_name, query_vector_filename,
     dataset = source if source is not None else load_base_source()
     print("-- filtering base dataset (single title-set pass, both phases)")
     in_set, out_set = _split_dataset_by_title(dataset, query_titles)
+
+    if generator is None:
+        # ONE generator for both phases: letting each process_dataset call
+        # default-construct its own rebuilt the full local encoder twice
+        # (checkpoint load + torch->flax conversion + jit warmup — minutes
+        # of redundant work on the 1-vCPU host for e5-large; r3 review).
+        # Both phases share dataset_type="document", so sharing is safe.
+        generator = get_embedding_generator_for_model(
+            model_name=model_name, output_dimension=output_dimension,
+            dataset_type="document", output_dtype=output_dtype)
 
     # publish only on success (cf. generate_query_dataset)
     with ParquetStreamer(filename, dataset.column_names) as streamer:

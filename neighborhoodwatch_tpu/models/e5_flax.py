@@ -66,6 +66,12 @@ class E5FlaxEmbeddingGenerator(EmbeddingGenerator):
                 dev = self._forward(self.params, jnp.asarray(ids),
                                     jnp.asarray(mask))
                 pending.append((dev, len(chunk)))
+            except AssertionError:
+                # contract violations are caller bugs, not transient
+                # failures — the same pass-through the ABC's per-chunk
+                # loop has (generators.py); this override must not
+                # reintroduce zeros-for-asserts (r3 review)
+                raise
             except Exception as exc:
                 print(f"   !! embedding chunk failed ({exc}); "
                       f"emitting zero vectors for {len(chunk)} rows")
@@ -83,9 +89,3 @@ class E5FlaxEmbeddingGenerator(EmbeddingGenerator):
                 embeddings.extend([self._zero_fallback()] * n)
         return embeddings
 
-    def encode(self, texts, batch_size: int = 64):
-        """Convenience bulk encode (normalized embeddings)."""
-        out = []
-        for s in range(0, len(texts), batch_size):
-            out.append(self._call_model_api(texts[s:s + batch_size]))
-        return np.concatenate(out, axis=0) if out else np.empty((0, self.output_dimension))

@@ -172,7 +172,11 @@ def local_weight_status(model_name: str) -> str:
             return False
 
     if "e5" in model_name:
-        if weights_cached(model_name):
+        # load_hf_weights (bert_flax.py) requires config.json IN ADDITION
+        # to the weights file — a partial cache (weights, no config) falls
+        # back to random init at load time, so the banner must not say
+        # "pretrained" for it (r3 review)
+        if weights_cached(model_name) and cached(model_name):
             if torch_ok():
                 return f"pretrained ({model_name}, local HF cache)"
             return ("cached checkpoint but torch unavailable -> "
@@ -200,9 +204,10 @@ def local_weight_status(model_name: str) -> str:
             return ("cached checkpoint but torch/safetensors unavailable "
                     "-> RANDOM INIT — NOT ground truth")
         # the bert-base-uncased backbone fallback converts through
-        # transformers+torch (load_hf_weights), so it does need torch
+        # transformers+torch (load_hf_weights), so it needs torch AND
+        # config.json (r3 review: weights-only partial caches random-init)
         return colbert_weight_status(
             head_pretrained=head,
             backbone_pretrained=weights_cached("bert-base-uncased")
-            and torch_ok())
+            and cached("bert-base-uncased") and torch_ok())
     return "remote API (weights server-side)"

@@ -265,6 +265,14 @@ def validate_maxsim_files(data_dir, query_vector_fvec, base_vector_fvec,
                       <= 2 * 10**9)
 
     base_full = get_full_filename(data_dir, base_vector_fvec)
+    # base fvec <-> base doc map coherence in EVERY branch: the sampled
+    # path (which large bases always take) used to skip this, silently
+    # validating map-derived row ranges against a mismatched token file
+    # (or surfacing a short file only as read_selected's opaque range
+    # assert) — r3 review
+    assert fvec.count_vectors(data_dir, base_vector_fvec) == n_b_tokens, \
+        (f"base doc map covers {n_b_tokens} rows, fvec has "
+         f"{fvec.count_vectors(data_dir, base_vector_fvec)}")
     if exhaustive:
         b_tokens = fvec.read_vectors(base_full)
         assert len(b_tokens) == n_b_tokens, \
