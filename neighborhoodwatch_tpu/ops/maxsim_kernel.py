@@ -39,9 +39,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from neighborhoodwatch_tpu.ops.screen_kernel import (
-    KEEP, LANES, POS_BITS, POS_MASK, PACK_EPS_REL, bf16_round, norm_guard,
+    KEEP, LANES, POS_BITS, POS_MASK, PACK_EPS_REL,
+    bf16_round, norm_guard,
 )
 from neighborhoodwatch_tpu.utils.misc import round_up
+
+# Software pipelining (the transform that bought the kNN screen 8%) is
+# measured SLOWER here and defaults off: unlike the kNN kernel, every
+# grid step completes a similarity tile, so the retire copy is a full
+# (tqr, tdc*db) 4MB VMEM pass per step with no n_dk amortization — and
+# the 3-pass screen already runs at ~85% of the MXU roof (27.5 TFLOP per
+# pass => 0.42s floor vs 0.489s measured on the 1k x 200k x 32x16
+# headline), leaving <15% of epilogue to hide. Measured on v5e,
+# bit-identical outputs: high 0.489 -> 0.516s, 1-pass 0.211 -> 0.237s.
+# The variant stays available (screen_maxsim(pipelined=True)) and
+# regression-tested for TPU generations with a different VPU/MXU balance.
+PIPELINED_DEFAULT = False
 
 TQR = 256          # query-token rows per block (qb queries x padded Tq);
                    # 512 for big short-doc batches — the doc tensor is
@@ -219,11 +232,86 @@ def _kernel(db_ref, qhi_ref, *rest,
                            tq=tq, qb=qb, sub=sub, db=db)
 
 
+def _kernel_pipelined(db_ref, qhi_ref, *rest,
+                      tq: int, tdc: int, qb: int, sub: int, db: int,
+                      n_tc: int, n_b: int, passes: int = 3):
+    """Software-pipelined variant of `_kernel`: the VPU epilogue (chunk
+    max + token sum + packed-key screen) for grid step s-1 runs DURING
+    step s's MXU passes, mirroring screen_kernel._kernel_pipelined.
+
+    Each step writes its finished similarity tile to a dedicated RETIRE
+    buffer; the next step's epilogue reads ONLY that buffer while the
+    MXU accumulates the new tile — independent instruction streams on
+    statically-disjoint refs. The grid gains one trailing `bi` step per
+    query block to retire the final tile (its own dots run on a clamped
+    doc block and are never consumed). Body order matters: the retire
+    read precedes this step's publish write. Outputs are bit-identical
+    to `_kernel` (regression-tested in interpret mode)."""
+    rest = list(rest)
+    qlo_ref = rest.pop(0) if passes >= 2 else None
+    dhi_ref = rest.pop(0)
+    dlo_ref = rest.pop(0) if passes >= 3 else None
+    out_ref, mk_ref, m_ref, ret_ref = rest
+    bi = pl.program_id(1)
+    tc = pl.program_id(2)
+
+    # ---- retire the PREVIOUS linear step ps = s-1 (from ret_ref) ----
+    # pbi/ptc are ps's (doc block, token chunk); the trailing bi == n_b
+    # steps retire only at tc == 0 (ps past the last real step is dead)
+    s = bi * n_tc + tc
+    ps = s - 1
+    pbi = ps // n_tc
+    ptc = ps - pbi * n_tc
+    live = jnp.logical_and(ps >= 0, ps <= n_b * n_tc - 1)
+
+    @pl.when(live)
+    def _():
+        sims = ret_ref[:]
+        m = sims[:, :db]
+        for c in range(1, tdc):
+            m = jnp.maximum(m, sims[:, c * db:(c + 1) * db])
+        if n_tc == 1:
+            _screen_scores(m, db_ref[:], out_ref, mk_ref, pbi,
+                           tq=tq, qb=qb, sub=sub, db=db)
+        else:
+            # fold the chunk max into the running per-(q token, doc) max;
+            # screen once the retiring tile closes its doc block
+            @pl.when(ptc == 0)
+            def _():
+                m_ref[:] = m
+
+            @pl.when(ptc > 0)
+            def _():
+                m_ref[:] = jnp.maximum(m_ref[:], m)
+
+            @pl.when(ptc == n_tc - 1)
+            def _():
+                _screen_scores(m_ref[:], db_ref[:], out_ref, mk_ref, pbi,
+                               tq=tq, qb=qb, sub=sub, db=db)
+
+    # ---- MXU: this step's similarity tile (cf. _kernel) ----
+    dim = qhi_ref.shape[-1]
+    qhi = qhi_ref[:].reshape(tq * qb, dim)
+    dhi = dhi_ref[:].reshape(tdc * db, dim)
+    dims = (((1,), (1,)), ((), ()))
+    dot = partial(jax.lax.dot_general, dimension_numbers=dims,
+                  preferred_element_type=jnp.float32)
+    sims = dot(qhi, dhi)
+    if passes >= 2:
+        sims = sims + dot(qlo_ref[:].reshape(tq * qb, dim), dhi)
+    if passes >= 3:
+        sims = sims + dot(qhi, dlo_ref[:].reshape(tdc * db, dim))
+
+    # ---- publish for the next step's retire (after the read above) ----
+    ret_ref[:] = sims
+
+
 @partial(jax.jit, static_argnames=("tq", "tdc", "db", "tqr", "passes",
-                                   "interpret"))
+                                   "interpret", "pipelined"))
 def _maxsim_screen_call(qhi_t, qlo_t, dhi_t, dlo_t, doc_bias,
                         tq: int, tdc: int, db: int,
-                        interpret: bool, tqr: int = TQR, passes: int = 3):
+                        interpret: bool, tqr: int = TQR, passes: int = 3,
+                        pipelined: bool = PIPELINED_DEFAULT):
     """qhi_t/qlo_t: (tq, Qp, dim) tq-major bf16 query-token hi/lo pairs
     (masked tokens pre-zeroed; qlo_t None below 2 passes); dhi_t/dlo_t:
     (td, Dp, dim) td-major bf16 doc-token pairs (masked tokens
@@ -238,17 +326,54 @@ def _maxsim_screen_call(qhi_t, qlo_t, dhi_t, dlo_t, doc_bias,
     n_b = Dp // db
     n_tc = td // tdc
     n_mega = Dp // MEGA_DOCS
-    grid = (n_q, n_b, n_tc)
 
-    kernel = partial(_kernel, tq=tq, tdc=tdc, qb=qb, sub=sub, db=db,
-                     n_tc=n_tc, passes=passes)
     out_shape = jax.ShapeDtypeStruct((Qp, n_mega * CAND_PER_MEGA), jnp.int32)
     q_spec = pl.BlockSpec((tq, qb, dim), lambda qi, bi, tc: (0, qi, 0),
                           memory_space=pltpu.VMEM)
-    d_spec = pl.BlockSpec((tdc, db, dim), lambda qi, bi, tc: (tc, bi, 0),
-                          memory_space=pltpu.VMEM)
-    in_specs = [pl.BlockSpec((1, db), lambda qi, bi, tc: (0, bi),
-                             memory_space=pltpu.VMEM)]      # per-doc bias
+    if pipelined:
+        # one trailing bi step per query block retires the final tile's
+        # epilogue; its own dots run on the clamped last doc block and
+        # are never consumed. The bias/out blocks follow the RETIRING
+        # linear step s-1 (clamped at s=0, when no epilogue fires).
+        grid = (n_q, n_b + 1, n_tc)
+        kernel = partial(_kernel_pipelined, tq=tq, tdc=tdc, qb=qb, sub=sub,
+                         db=db, n_tc=n_tc, n_b=n_b, passes=passes)
+
+        def _pb(bi, tc):        # retiring step's doc block, clamped
+            return jnp.clip((bi * n_tc + tc - 1) // n_tc, 0, n_b - 1)
+
+        d_spec = pl.BlockSpec(
+            (tdc, db, dim),
+            lambda qi, bi, tc: (tc, jnp.minimum(bi, n_b - 1), 0),
+            memory_space=pltpu.VMEM)
+        bias_spec = pl.BlockSpec((1, db),
+                                 lambda qi, bi, tc: (0, _pb(bi, tc)),
+                                 memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((qb, CAND_PER_MEGA),
+                                lambda qi, bi, tc: (qi, _pb(bi, tc) // sub),
+                                memory_space=pltpu.VMEM)
+        scratch = [
+            pltpu.VMEM((KEEP, qb, LANES), jnp.int32),
+            pltpu.VMEM((tqr, db), jnp.float32),        # running chunk max
+            pltpu.VMEM((tqr, tdc * db), jnp.float32),  # retire buffer
+        ]
+    else:
+        grid = (n_q, n_b, n_tc)
+        kernel = partial(_kernel, tq=tq, tdc=tdc, qb=qb, sub=sub, db=db,
+                         n_tc=n_tc, passes=passes)
+        d_spec = pl.BlockSpec((tdc, db, dim),
+                              lambda qi, bi, tc: (tc, bi, 0),
+                              memory_space=pltpu.VMEM)
+        bias_spec = pl.BlockSpec((1, db), lambda qi, bi, tc: (0, bi),
+                                 memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((qb, CAND_PER_MEGA),
+                                lambda qi, bi, tc: (qi, bi // sub),
+                                memory_space=pltpu.VMEM)
+        scratch = [
+            pltpu.VMEM((KEEP, qb, LANES), jnp.int32),
+            pltpu.VMEM((tqr, db), jnp.float32),        # running chunk max
+        ]
+    in_specs = [bias_spec]                                  # per-doc bias
     operands = [doc_bias, qhi_t]
     in_specs.append(q_spec)                                 # query hi
     if passes >= 2:
@@ -263,14 +388,9 @@ def _maxsim_screen_call(qhi_t, qlo_t, dhi_t, dlo_t, doc_bias,
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((qb, CAND_PER_MEGA),
-                               lambda qi, bi, tc: (qi, bi // sub),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((KEEP, qb, LANES), jnp.int32),
-            pltpu.VMEM((tqr, db), jnp.float32),   # running chunk max
-        ],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=2 * Qp * tq * Dp * td * dim * passes,
             # bf16 operand pairs: docs move 2 bytes/elem below 3 passes
@@ -300,10 +420,12 @@ def _maxsim_screen_call(qhi_t, qlo_t, dhi_t, dlo_t, doc_bias,
 
 
 @partial(jax.jit, static_argnames=("Qp", "Dp", "tq", "td", "tdc", "db",
-                                   "tqr", "dimp", "passes", "interpret"))
+                                   "tqr", "dimp", "passes", "interpret",
+                                   "pipelined"))
 def _screen_exec(queries, q_mask, docs, d_mask, *, Qp: int, Dp: int,
                  tq: int, td: int, tdc: int, db: int, tqr: int,
-                 dimp: int, passes: int, interpret: bool):
+                 dimp: int, passes: int, interpret: bool,
+                 pipelined: bool = PIPELINED_DEFAULT):
     """One fused program: mask/pad/duplicate/bf16-split/relayout the token
     tensors and run the screen kernel. Keeping the prep inside the jit
     matters — as ~12 eager dispatches it measured +0.05s per call on the
@@ -368,13 +490,15 @@ def _screen_exec(queries, q_mask, docs, d_mask, *, Qp: int, Dp: int,
     cand_neg, cand_doc = _maxsim_screen_call(qhi_t, qlo_t, dhi_t, dlo_t,
                                              doc_bias,
                                              tq, tdc, db, interpret,
-                                             tqr=tqr, passes=passes)
+                                             tqr=tqr, passes=passes,
+                                             pipelined=pipelined)
     return cand_neg[:Q], cand_doc[:Q], doc_stats
 
 
 def screen_maxsim(queries, q_mask, docs, d_mask, *,
                   screen_precision: str = "medium",
-                  interpret: bool | None = None):
+                  interpret: bool | None = None,
+                  pipelined: bool | None = None):
     """Fused MaxSim screen: (Q, Tq, dim) x (D, Td, dim) -> per-mega-tile
     candidate lists of (negated quantized score, doc id). The last KEEP-slab
     per mega is the certificate slab (4th-best score per 64-doc bin).
@@ -394,6 +518,8 @@ def screen_maxsim(queries, q_mask, docs, d_mask, *,
     passes = PASSES[screen_precision]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if pipelined is None:
+        pipelined = PIPELINED_DEFAULT
     queries = jnp.asarray(queries, jnp.float32)
     docs = jnp.asarray(docs, jnp.float32)
     q_mask = jnp.asarray(q_mask, bool)
@@ -440,5 +566,5 @@ def screen_maxsim(queries, q_mask, docs, d_mask, *,
     cand_neg, cand_doc, doc_stats = _screen_exec(
         queries, q_mask, docs, d_mask, Qp=Qp, Dp=Dp, tq=tq, td=td,
         tdc=tdc, db=db, tqr=tqr, dimp=dimp, passes=passes,
-        interpret=interpret)
+        interpret=interpret, pipelined=pipelined)
     return cand_neg, cand_doc, Dp // MEGA_DOCS, doc_stats

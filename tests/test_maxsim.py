@@ -402,6 +402,35 @@ def test_maxsim_fused_doc_stats_sound(rng):
     np.testing.assert_allclose(np.asarray(scores), exp_scores, atol=1e-3)
 
 
+def test_maxsim_pipelined_kernel_matches_plain(rng):
+    """The software-pipelined MaxSim kernel (epilogue of linear step s-1
+    overlapped with step s's MXU passes) must be bit-identical to the
+    plain kernel: same candidate doc ids, same packed negated scores.
+    Covers n_tc == 1 (single-chunk docs), n_tc > 1 (the running chunk-max
+    fold retires one step late), and every precision tier."""
+    from neighborhoodwatch_tpu.ops import maxsim_kernel as mk
+
+    dim = 32
+    for d_n, td_hi, prec in ((120, 30, "medium"),      # n_tc == 1
+                             (70, 90, "high"),         # n_tc == 3
+                             (260, 40, "default")):    # n_tc == 2, 2 subs
+        qs = [rng.standard_normal((int(rng.integers(2, 9)), dim))
+              .astype(np.float32) for _ in range(5)]
+        ds = [rng.standard_normal((int(rng.integers(2, td_hi)), dim))
+              .astype(np.float32) for _ in range(d_n)]
+        q, qm = pad_token_lists(qs, dim)
+        d, dm = pad_token_lists(ds, dim)
+        outs = [mk.screen_maxsim(q, qm, d, dm, screen_precision=prec,
+                                 pipelined=p) for p in (False, True)]
+        (n0, i0, m0, s0), (n1, i1, m1, s1) = outs
+        assert m0 == m1
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        n0, n1 = np.asarray(n0), np.asarray(n1)
+        both_nan = np.isnan(n0) & np.isnan(n1)
+        np.testing.assert_array_equal(n0[~both_nan], n1[~both_nan])
+        np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+
+
 def test_compute_maxsim_knn_rejects_base_without_doc_ids(rng, tmp_path):
     """A base token parquet generated WITHOUT --maxsim (no doc_id column)
     must be a clear error, not silently split on a float embedding column
