@@ -174,7 +174,11 @@ def _maxsim_select(queries, q_mask, docs, d_mask, cand_neg, cand_doc,
                    k: int, m: int, block: int = 128, passes: int = 3,
                    doc_stats=None):
     """Top-M merge of screened MaxSim candidates + exact fp32 re-rank +
-    exactness certificate (the MaxSim analog of ops.knn._screened_select).
+    exactness certificate + in-trace class-A repair (the MaxSim analog of
+    ops.knn._screened_select AND screened_knn_traced's suspicious-bin
+    repair — certificate failures with an intact count certificate are
+    repaired here by exactly re-ranking the suspicious bins' members, so
+    rows return ok=True without the caller's exact-path fallback).
     Returns (scores desc, doc ids, ok). `passes` is the screen's MXU-pass
     tier; below 3 passes the certificate eps is computed from the data's
     actual bf16 residual norms (cf. ops.knn._screen_err_bounds).
@@ -285,7 +289,123 @@ def _maxsim_select(queries, q_mask, docs, d_mask, cand_neg, cand_doc,
     cert_bins = jnp.min(cert_last, axis=(1, 2)) >= thresh[:, 0]
     c_all = jnp.sum((merge_n < thresh).astype(jnp.int32), axis=1)
     c_sel = jnp.sum((scr < thresh).astype(jnp.int32), axis=1)
-    ok = jnp.logical_and(cert_bins, c_all == c_sel)
+    cert_merge = c_all == c_sel
+    ok = jnp.logical_and(cert_bins, cert_merge)
+
+    # ---- in-trace class-A repair: exact re-rank of suspicious bins ----
+    #
+    # Measured on the 1k x 50k long-doc workload (32x64 tokens, dim 128,
+    # k=100, high tier): ALL certificate failures were bin flags with the
+    # merge-count certificate intact (21/1000 bins_fail, 0 count_fail) —
+    # genuine >KEEP-1 candidate collisions inside one 64-doc bin. The eps
+    # band below thresh holds ~134 candidates across n_mega*128 bins, so
+    # at 7 megas Poisson puts >= KEEP of them in one bin for ~2% of
+    # queries. Each such query took the exact XLA fallback: ~0.3s of the
+    # 0.93s end-to-end. The repair is the MaxSim analog of
+    # ops.knn.screened_knn_traced's class A and provably exact by the
+    # same argument: when the count certificate holds, every candidate
+    # below thresh outside the suspicious bins was merged and re-ranked
+    # exactly, and the bin certificate proves non-suspicious bins' unkept
+    # members score beyond the band — so the true top-k is contained in
+    # (returned top-k) U (members of the suspicious bins). Bin membership
+    # needs no kernel db: db and LANES are both 128-multiples, so a
+    # bin's members are exactly its mega's docs with id % 128 == lane
+    # (MEGA_DOCS/LANES = 64 of them). Queries the repair cannot prove
+    # (count failures, > REPAIR_BINS collisions, budget overflow) keep
+    # ok=False and escalate through the caller's fallback as before.
+    from neighborhoodwatch_tpu.ops.knn import REPAIR_BINS, _chernoff_budget
+
+    n_docs = docs.shape[0]
+    fail = jnp.logical_not(ok)
+    # NaN thresh (garbage corpus stats / NaN query): every comparison is
+    # all-False, cert_merge holds vacuously and no bin is suspicious — a
+    # NaN-thresh query must keep ok=False, never be "repaired" from zero
+    # bins (same gate as the kNN class A, r3 review)
+    sflat = (cert_last < thresh[:, :, None]).reshape(q_count, -1)
+    n_susp = jnp.sum(sflat.astype(jnp.int32), axis=1)
+    binfix = jnp.logical_and(
+        jnp.logical_and(fail, jnp.isfinite(thresh[:, 0])),
+        jnp.logical_and(cert_merge, n_susp <= REPAIR_BINS))
+
+    # bin collisions are band-occupancy events (not eps-band flags like
+    # the kNN tiers), so one conservative rate sizes every tier's budget;
+    # the measured 2.1% worst case leaves ~2.4x headroom
+    na = _chernoff_budget(q_count, 0.05, k)
+    members = mk.MEGA_DOCS // lanes               # 64 docs per bin
+    w = REPAIR_BINS * members
+    # blocked gather: bound the live (blk, w, td, dim) buffer at ~256MB
+    # like the select's re-rank (w*td*dim is per-QUERY here — long docs
+    # shrink the block, never the budget)
+    blk = min(128, max(8, (1 << 28) // max(1, w * td * dim * 4)))
+    blk = 1 << (blk.bit_length() - 1)
+    nap = round_up(na, blk)
+    _, rows_a = jax.lax.top_k(binfix.astype(jnp.int32), na)
+    take_a = binfix[rows_a]
+
+    def _bin_repair(args):
+        sk, doc_k = args
+        flags = sflat[rows_a]                     # (na, n_mega*lanes)
+        _, bins_a = jax.lax.top_k(flags.astype(jnp.int32), REPAIR_BINS)
+        mega_a = bins_a // lanes                  # (na, S)
+        lane_a = bins_a % lanes
+        step = jnp.arange(members, dtype=jnp.int32)
+        rg = (mega_a[..., None] * mk.MEGA_DOCS
+              + step[None, None, :] * lanes
+              + lane_a[..., None]).reshape(na, w)
+        valid = rg < n_docs          # last mega's decode runs past D
+        rgc = jnp.minimum(rg, n_docs - 1)
+        qa = queries[rows_a]
+        qma = q_mask[rows_a]
+
+        def block_s(args):
+            qb_, qmb_, rb, vb = args
+            cb = docs[rb]                         # (blk, w, td, dim)
+            cmb = d_mask[rb]
+            sims = jnp.einsum("btd,bwsd->btws", qb_, cb,
+                              precision=jax.lax.Precision.HIGHEST,
+                              preferred_element_type=jnp.float32)
+            sims = jnp.where(cmb[:, None, :, :], sims, NEG)
+            per_tok = jnp.max(sims, axis=3)       # (blk, tq, w)
+            per_tok = jnp.where(qmb_[:, :, None], per_tok, 0.0)
+            s = jnp.sum(per_tok, axis=1)          # (blk, w)
+            # NaN scores (garbage tokens) and phantom rows must LOSE —
+            # the gather pulls bin rows by POSITION, not candidacy, so
+            # the screen's own NaN sanitization never saw them
+            keep_s = jnp.logical_and(vb, jnp.logical_not(jnp.isnan(s)))
+            return jnp.where(keep_s, s, -jnp.inf)
+
+        def padded(x):
+            return jnp.pad(x, ((0, nap - na),) + ((0, 0),) * (x.ndim - 1))
+
+        s_bin = jax.lax.map(
+            block_s, (padded(qa).reshape(-1, blk, tq, dim),
+                      padded(qma).reshape(-1, blk, tq),
+                      padded(rgc).reshape(-1, blk, w),
+                      padded(valid).reshape(-1, blk, w)),
+        ).reshape(nap, w)[:na]
+        # dedup: a returned-top-k doc living in a gathered bin has its
+        # exact score in s_bin already — keeping both would fabricate a
+        # duplicate neighbor
+        sk_a = sk[rows_a]
+        dk_a = doc_k[rows_a]
+        binid_k = (dk_a // mk.MEGA_DOCS) * lanes + (dk_a % lanes)
+        dup = jnp.any(binid_k[:, :, None] == bins_a[:, None, :], axis=2)
+        sk_a = jnp.where(dup, -jnp.inf, sk_a)
+        s_new, sel2 = jax.lax.top_k(
+            jnp.concatenate([sk_a, s_bin], axis=1), k)
+        d_new = jnp.take_along_axis(
+            jnp.concatenate([dk_a, rgc], axis=1), sel2, axis=1)
+        ta = take_a[:, None]
+        sk = sk.at[rows_a].set(jnp.where(ta, s_new, sk[rows_a]))
+        doc_k = doc_k.at[rows_a].set(jnp.where(ta, d_new, doc_k[rows_a]))
+        return sk, doc_k
+
+    sk, doc_k = jax.lax.cond(jnp.any(binfix), _bin_repair,
+                             lambda a: a, (sk, doc_k))
+    # budget overflow guard: rows_a holds only the FIRST na flagged
+    # queries; anything past the budget keeps ok=False and escalates
+    repaired = jnp.zeros((q_count,), bool).at[rows_a].set(take_a)
+    ok = jnp.logical_or(ok, repaired)
     return sk, doc_k, ok
 
 
@@ -347,10 +467,13 @@ def maxsim_topk_screened(queries, q_mask, docs, d_mask, k: int,
 
     "high" is the default because with the SOUND eps only the 3-pass
     certificate holds on concentrated MaxSim score distributions
-    (maxsim_screen_plan's measurement record). Failed queries at a
-    sub-high tier escalate to the 3-pass screen (~4x cheaper than the
-    exact XLA path); 3-pass failures (bin collisions) fall back to the
-    exact XLA path."""
+    (maxsim_screen_plan's measurement record). Bin collisions with an
+    intact count certificate are repaired IN-TRACE by _maxsim_select
+    (the dominant failure class — measured ALL of the high-tier
+    failures on the 1k x 50k long-doc workload). Remaining failed
+    queries at a sub-high tier escalate to the 3-pass screen (~4x
+    cheaper than the exact XLA path); residual 3-pass failures (count
+    overflows / >2-bin collisions) fall back to the exact XLA path."""
     from neighborhoodwatch_tpu.ops import maxsim_kernel as mk
     from neighborhoodwatch_tpu.ops.screen_kernel import PASSES
     passes = PASSES[screen_precision]

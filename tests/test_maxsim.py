@@ -271,6 +271,80 @@ def test_maxsim_screened_planted_collisions():
         assert len(set(idx[r]) & set(exp_idx[r])) >= k - 1, r
 
 
+def _collision_corpus(rng, dim, n_docs, lane, n_plant, plant_top=10.0,
+                      plant_gap=0.2):
+    """A corpus whose ONLY certifiable defect is a bin collision: every
+    doc's tokens point along one unit vector v with a distinct magnitude,
+    so scores are well-separated relative to the certificate eps (norms
+    stay <= plant_top, keeping eps tiny — planting huge-norm clones into
+    a random corpus instead inflates d_max until the eps band covers
+    dozens of bins and overflows the merge, a LEGITIMATE fallback case).
+    The n_plant strongest docs all sit in lane bin `lane` (stride 128)."""
+    v = np.zeros(dim, np.float32)
+    v[0] = 1.0
+    mags = 1.0 + 0.005 * np.arange(n_docs, dtype=np.float32)  # fillers
+    for j in range(n_plant):
+        mags[j * 128 + lane] = plant_top - plant_gap * j
+    d = np.tile(v, (n_docs, 8, 1)) * mags[:, None, None]
+    dm = np.ones((n_docs, 8), bool)
+    # query tokens ~ v + small noise: positive dots, moderate q_scale
+    q = (v[None, None, :]
+         + 0.05 * rng.standard_normal((2, 4, dim))).astype(np.float32)
+    qm = np.ones((2, 4), bool)
+    return q, qm, d, dm
+
+
+def test_maxsim_screened_collisions_repair_in_trace(monkeypatch):
+    """Bin collisions with an intact count certificate are repaired by
+    _maxsim_select's in-trace class-A re-rank — the exact XLA fallback
+    must NOT run (it cost ~0.3s of the 0.93s long-doc end-to-end for
+    the ~2% colliding queries before the repair existed)."""
+    from neighborhoodwatch_tpu.ops import maxsim as ms
+
+    rng = np.random.default_rng(778)
+    dim, k = 16, 6
+    # 5 planted docs in lane bin 0: > KEEP-1 = 3 collide, the bin flags,
+    # and true neighbors #4/#5 are missing from the merge pool
+    q, qm, d, dm = _collision_corpus(rng, dim, 640, lane=0, n_plant=5)
+
+    def _no_fallback(*a, **kw):
+        raise AssertionError(
+            "exact XLA fallback ran — the class-A repair should have "
+            "certified this batch in-trace")
+
+    monkeypatch.setattr(ms, "maxsim_topk", _no_fallback)
+    scores, idx = ms.maxsim_topk_screened(q, qm, d, dm, k=k)
+    exp_scores, exp_idx = maxsim_oracle(q, qm, d, dm, k=k)
+    idx = np.asarray(idx)
+    np.testing.assert_array_equal(idx, exp_idx)
+    np.testing.assert_allclose(np.asarray(scores), exp_scores,
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_maxsim_repair_dedups_topk_members(monkeypatch):
+    """A returned-top-k doc living in a suspicious bin must not appear
+    twice after the repair merges the bin's exact scores back in (the
+    bin's KEEP-1 kept members ARE in the returned top-k here)."""
+    from neighborhoodwatch_tpu.ops import maxsim as ms
+
+    rng = np.random.default_rng(779)
+    dim, k = 16, 8
+    # 6 planted docs in lane bin 3: clones 1-3 are kept, returned in the
+    # top-k, AND re-scored by the repair's 64-member gather — without
+    # the dedup they would each appear twice
+    q, qm, d, dm = _collision_corpus(rng, dim, 768, lane=3, n_plant=6)
+    monkeypatch.setattr(ms, "maxsim_topk", lambda *a, **kw: (_ for _ in ())
+                        .throw(AssertionError("fallback ran")))
+    scores, idx = ms.maxsim_topk_screened(q, qm, d, dm, k=k)
+    idx = np.asarray(idx)
+    for r in range(2):
+        assert len(set(idx[r])) == k, f"duplicate neighbor in row {r}"
+    exp_scores, exp_idx = maxsim_oracle(q, qm, d, dm, k=k)
+    np.testing.assert_array_equal(idx, exp_idx)
+    np.testing.assert_allclose(np.asarray(scores), exp_scores,
+                               rtol=1e-5, atol=1e-4)
+
+
 def test_maxsim_screened_wide_tokens(rng):
     """td in (17..32] engages the narrow doc-block config (db=128)."""
     from neighborhoodwatch_tpu.ops.maxsim import maxsim_topk_screened
