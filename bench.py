@@ -32,6 +32,15 @@ import time
 
 import numpy as np
 
+# The axon TPU plugin overrides JAX_PLATFORMS from the environment; honor an
+# explicit cpu request authoritatively (same rule as __graft_entry__.py) so
+# `JAX_PLATFORMS=cpu python bench.py --small` is a true CPU smoke — otherwise
+# it silently targets the TPU and inherits tunnel state (a post-transfer
+# degradation window turns the 30s smoke into a multi-minute hang).
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 
 def log(msg):
     print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
