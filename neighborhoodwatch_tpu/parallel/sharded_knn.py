@@ -32,6 +32,47 @@ from neighborhoodwatch_tpu.ops.topk import smallest_k, merge_topk, merge_topk_ma
 from neighborhoodwatch_tpu.parallel.mesh import DP_AXIS, MP_AXIS
 
 
+def process_slice(sharding, global_shape, axis: int):
+    """[start, stop) range of `axis` whose shards live on THIS process's
+    devices under `sharding` — the rows a process must supply to the
+    process-local streamed-update paths on a mesh spanning hosts. When the
+    axis is replicated across this process's devices (e.g. the "mp" axis
+    lives inside each host), the range is the full axis. The range is
+    contiguous for every mesh this module builds (make_mesh reshapes
+    jax.devices() in order); a non-contiguous device order fails loudly in
+    jax.make_array_from_process_local_data downstream."""
+    import jax as _jax
+    imap = sharding.devices_indices_map(tuple(global_shape))
+    lo = hi = None
+    for dev, idx in imap.items():
+        if dev.process_index != _jax.process_index():
+            continue
+        sl = idx[axis]
+        start = sl.start if sl.start is not None else 0
+        stop = sl.stop if sl.stop is not None else global_shape[axis]
+        lo = start if lo is None else min(lo, start)
+        hi = stop if hi is None else max(hi, stop)
+    assert lo is not None, "process owns no shard of the array"
+    return int(lo), int(hi)
+
+
+def _force_distinct_shards(arr) -> None:
+    """Backpressure sync: fetch one 4-byte element from every DISTINCT
+    shard of `arr` addressable on this process. Proves the producing
+    computation of each local shard executed (the only reliable bound on
+    queued transfers through remote transports), covers every dp group a
+    single [0, 0] probe missed (r3 review), and — unlike whole-array
+    indexing — works when the array is only partially addressable (a mesh
+    spanning processes)."""
+    import numpy as np
+    seen = set()
+    for s in arr.addressable_shards:
+        if s.index in seen:
+            continue
+        seen.add(s.index)
+        _ = np.asarray(s.data[:1, :1])
+
+
 def _trace_safe_engine(engine: str) -> str:
     """Resolve the engine for shard_map-traced paths. "screened" runs
     fully traced via ops.knn.screened_knn_traced (in-trace certificate
@@ -185,36 +226,88 @@ class ShardedStreamingKNN:
         self.dp = mesh.shape[DP_AXIS]
         self.mp = mesh.shape[MP_AXIS]
 
-        query = jnp.asarray(query, dtype=jnp.float32)
-        self._q_rows = query.shape[0]
-        pad = (-self._q_rows) % self.dp
-        if pad:  # zero query rows produce junk rows sliced off in finalize
-            query = jnp.pad(query, ((0, pad), (0, 0)))
         qsh = NamedSharding(mesh, P(DP_AXIS, None))
-        self.query = jax.device_put(query, qsh)
-        q = query.shape[0]
-        self.state = (
-            jax.device_put(jnp.full((q, k), jnp.inf, dtype=jnp.float32), qsh),
-            jax.device_put(jnp.zeros((q, k), dtype=jnp.int32), qsh),
-        )
+        if jax.process_count() > 1:
+            # every process passes the SAME full query set; each ships only
+            # its dp slice (jnp ops on host arrays would first materialize
+            # on the local default device)
+            import numpy as np
+            query = np.asarray(query, dtype=np.float32)
+            self._q_rows = query.shape[0]
+            pad = (-self._q_rows) % self.dp
+            if pad:
+                query = np.pad(query, ((0, pad), (0, 0)))
+            q = query.shape[0]
+            lo, hi = process_slice(qsh, query.shape, 0)
+            self.query = jax.make_array_from_process_local_data(
+                qsh, query[lo:hi], query.shape)
+            rows = hi - lo
+            self.state = (
+                jax.make_array_from_process_local_data(
+                    qsh, np.full((rows, k), np.inf, dtype=np.float32), (q, k)),
+                jax.make_array_from_process_local_data(
+                    qsh, np.zeros((rows, k), dtype=np.int32), (q, k)),
+            )
+        else:
+            query = jnp.asarray(query, dtype=jnp.float32)
+            self._q_rows = query.shape[0]
+            pad = (-self._q_rows) % self.dp
+            if pad:  # zero query rows produce junk rows sliced off in finalize
+                query = jnp.pad(query, ((0, pad), (0, 0)))
+            self.query = jax.device_put(query, qsh)
+            q = query.shape[0]
+            self.state = (
+                jax.device_put(jnp.full((q, k), jnp.inf, dtype=jnp.float32),
+                               qsh),
+                jax.device_put(jnp.zeros((q, k), dtype=jnp.int32), qsh),
+            )
         self._seen = 0
         self._batch_rows = None
 
-    def update(self, base_batch, offset: int | None = None) -> None:
+    def update(self, base_batch, offset: int | None = None,
+               global_rows: int | None = None) -> None:
+        """Fold one base batch. Single-process: `base_batch` is the whole
+        (rows, d) batch. On a mesh spanning processes, every process calls
+        update with its OWN row-slice of the batch and `global_rows` = the
+        batch's total real row count: pass the rows of
+        `process_slice(base_sharding(mesh), (padded_rows, d), 0)` clipped
+        to the real count (see `local_update_range`). A full global batch
+        per process would need every host to decode every row — the
+        single-host feed this generalizes (SURVEY.md §2 DCN row;
+        cu_knn_ds.py:181-239 is the single-device analog)."""
         from jax.sharding import NamedSharding
 
         if offset is None:
             offset = self._seen
         assert offset == self._seen, \
             "batches must arrive in ascending contiguous offset order"
-        n = base_batch.shape[0]
+        multiproc = jax.process_count() > 1
+        if multiproc:
+            assert global_rows is not None, \
+                ("on a multi-process mesh, update() takes this process's "
+                 "row-slice plus global_rows (see local_update_range)")
+        n = global_rows if global_rows is not None else base_batch.shape[0]
         if self._batch_rows is None or n > self._batch_rows:
             # pad batches to the widest seen so ragged tails (and trimmed
             # resume chunks) reuse the widest batch's compiled fold
             self._batch_rows = -(-n // self.mp) * self.mp
         pad = self._batch_rows - n
         bsh = NamedSharding(self.mesh, P(MP_AXIS, None))
-        if isinstance(base_batch, jax.Array):
+        if multiproc and not isinstance(base_batch, jax.Array):
+            import numpy as np
+            lo, hi = process_slice(
+                bsh, (self._batch_rows, base_batch.shape[1]), 0)
+            local = np.asarray(base_batch, dtype=np.float32)
+            expect = max(0, min(hi, n) - min(lo, n))
+            assert local.shape[0] == expect, \
+                (f"process-local batch has {local.shape[0]} rows; this "
+                 f"process owns rows [{lo}, {hi}) of the {n}-row batch "
+                 f"(padded to {self._batch_rows}) -> expected {expect}")
+            if local.shape[0] < hi - lo:     # tail pad, process-local
+                local = np.pad(local, ((0, hi - lo - local.shape[0]), (0, 0)))
+            base_batch = jax.make_array_from_process_local_data(
+                bsh, local, (self._batch_rows, base_batch.shape[1]))
+        elif isinstance(base_batch, jax.Array):
             # already on device (device-fed benches/tests): jnp ops are fine
             base_batch = jnp.asarray(base_batch, dtype=jnp.float32)
             if pad:
@@ -239,14 +332,35 @@ class ShardedStreamingKNN:
             self.screen_precision)
         self._seen += n
 
-    def update_colmajor(self, batch_t, offset: int | None = None) -> None:
+    def local_update_range(self, n_rows: int, colmajor: bool = False):
+        """[start, stop) of the NEXT `n_rows`-row batch this process must
+        supply to update()/update_colmajor() on a multi-process mesh,
+        clipped to the real rows (stop <= n_rows; an all-pad range is
+        empty). Single-process: the whole batch."""
+        from jax.sharding import NamedSharding
+        if jax.process_count() == 1:
+            return 0, n_rows
+        rows = self._batch_rows
+        if rows is None or n_rows > rows:
+            rows = -(-n_rows // self.mp) * self.mp
+        if colmajor:
+            sh = NamedSharding(self.mesh, P(None, MP_AXIS))
+            lo, hi = process_slice(sh, (1, rows), 1)
+        else:
+            sh = NamedSharding(self.mesh, P(MP_AXIS, None))
+            lo, hi = process_slice(sh, (rows, 1), 0)
+        return min(lo, n_rows), min(hi, n_rows)
+
+    def update_colmajor(self, batch_t, offset: int | None = None,
+                        global_rows: int | None = None) -> None:
         """Fold a host COLUMN-MAJOR (d, rows) batch: ships each chip only
         its row shard (sharded over axis 1) and relayouts on device inside
         the fold — the mesh feed for the streaming pipeline's col-major
         host buffers. Routing them through update() required a host or
         default-device transpose: the former violates the weak-host rule,
         the latter materialized the whole batch (twice) on chip 0
-        (r3 review)."""
+        (r3 review). On a mesh spanning processes, pass this process's
+        COLUMN-slice plus `global_rows` (same contract as update())."""
         import numpy as np
         from jax.sharding import NamedSharding
 
@@ -254,15 +368,35 @@ class ShardedStreamingKNN:
             offset = self._seen
         assert offset == self._seen, \
             "batches must arrive in ascending contiguous offset order"
-        n = batch_t.shape[1]
+        multiproc = jax.process_count() > 1
+        if multiproc:
+            assert global_rows is not None, \
+                ("on a multi-process mesh, update_colmajor() takes this "
+                 "process's column-slice plus global_rows "
+                 "(see local_update_range)")
+        n = global_rows if global_rows is not None else batch_t.shape[1]
         if self._batch_rows is None or n > self._batch_rows:
             self._batch_rows = -(-n // self.mp) * self.mp
-        pad = self._batch_rows - n
-        batch_t = np.asarray(batch_t, dtype=np.float32)
-        if pad:
-            batch_t = np.pad(batch_t, ((0, 0), (0, pad)))
         bsh = NamedSharding(self.mesh, P(None, MP_AXIS))
-        batch_t = jax.device_put(batch_t, bsh)
+        batch_t = np.asarray(batch_t, dtype=np.float32)
+        if multiproc:
+            lo, hi = process_slice(bsh, (batch_t.shape[0], self._batch_rows),
+                                   1)
+            expect = max(0, min(hi, n) - min(lo, n))
+            assert batch_t.shape[1] == expect, \
+                (f"process-local batch has {batch_t.shape[1]} columns; this "
+                 f"process owns columns [{lo}, {hi}) of the {n}-row batch "
+                 f"(padded to {self._batch_rows}) -> expected {expect}")
+            if batch_t.shape[1] < hi - lo:
+                batch_t = np.pad(
+                    batch_t, ((0, 0), (0, hi - lo - batch_t.shape[1])))
+            batch_t = jax.make_array_from_process_local_data(
+                bsh, batch_t, (batch_t.shape[0], self._batch_rows))
+        else:
+            pad = self._batch_rows - n
+            if pad:
+                batch_t = np.pad(batch_t, ((0, 0), (0, pad)))
+            batch_t = jax.device_put(batch_t, bsh)
         run_d, run_i = self.state
         self.state = _sharded_fold(
             run_d, run_i, self.query, batch_t,
@@ -276,20 +410,29 @@ class ShardedStreamingKNN:
         return self._seen
 
     def force_state(self, state) -> None:
-        """Backpressure sync: fetch one 4-byte element from EVERY dp
-        group's shard of `state` — a single [0, 0] probe only proves dp
-        group 0's chain executed, letting the other groups' transfers
-        queue unboundedly (r3 review)."""
-        import numpy as np
-        rows = state[0].shape[0]
-        per = rows // self.dp
-        for g in range(self.dp):
-            _ = np.asarray(state[0][g * per, 0])
+        """Backpressure sync: fetch one 4-byte element from every distinct
+        locally-addressable shard of `state` (covers every dp group — a
+        single [0, 0] probe only proved group 0's chain, r3 review — and
+        works when the mesh spans processes, where whole-array indexing
+        of the non-addressable state raises)."""
+        _force_distinct_shards(state[0])
 
     def state_arrays(self):
         """(dist, idx, seen) as host arrays — the streaming checkpoint
-        (padded query rows included so restore round-trips exactly)."""
+        (padded query rows included so restore round-trips exactly). On a
+        multi-process mesh the dp-sharded state is allgathered so every
+        process returns the FULL arrays (each host can then decide to
+        write the checkpoint file; compute_knn_ds writes on process 0)."""
         import numpy as np
+        if jax.process_count() > 1 and not self.state[0].is_fully_addressable:
+            from jax.experimental import multihost_utils
+            return (np.asarray(
+                        multihost_utils.process_allgather(self.state[0],
+                                                          tiled=True)),
+                    np.asarray(
+                        multihost_utils.process_allgather(self.state[1],
+                                                          tiled=True)),
+                    self._seen)
         return np.asarray(self.state[0]), np.asarray(self.state[1]), self._seen
 
     def restore(self, dist, idx, seen: int) -> None:
@@ -300,21 +443,32 @@ class ShardedStreamingKNN:
         expect = self.state[0].shape
         assert dist.shape == expect and idx.shape == expect, \
             (dist.shape, expect)
+        import numpy as np
         qsh = NamedSharding(self.mesh, P(DP_AXIS, None))
-        self.state = (
-            jax.device_put(jnp.asarray(dist, dtype=jnp.float32), qsh),
-            jax.device_put(jnp.asarray(idx, dtype=jnp.int32), qsh),
-        )
+        if jax.process_count() > 1:
+            # every process holds the full checkpoint arrays (the
+            # state_arrays contract above); each supplies its dp slice
+            lo, hi = process_slice(qsh, expect, 0)
+            self.state = (
+                jax.make_array_from_process_local_data(
+                    qsh, np.asarray(dist[lo:hi], dtype=np.float32), expect),
+                jax.make_array_from_process_local_data(
+                    qsh, np.asarray(idx[lo:hi], dtype=np.int32), expect),
+            )
+        else:
+            self.state = (
+                jax.device_put(jnp.asarray(dist, dtype=jnp.float32), qsh),
+                jax.device_put(jnp.asarray(idx, dtype=jnp.int32), qsh),
+            )
         self._seen = int(seen)
 
     def finalize(self):
-        """(distances, indices) as numpy, original query rows only."""
+        """(distances, indices) as numpy, original query rows only (full
+        arrays on every process when the mesh spans hosts)."""
         assert self._seen >= self.k, \
             f"saw only {self._seen} base rows but k={self.k}"
-        dist, idx = self.state
-        import numpy as np
-        return (np.asarray(dist)[: self._q_rows],
-                np.asarray(idx)[: self._q_rows])
+        dist, idx, _ = self.state_arrays()
+        return dist[: self._q_rows], idx[: self._q_rows]
 
 
 @partial(jax.jit, static_argnames=("k", "metric", "precision", "mesh"))

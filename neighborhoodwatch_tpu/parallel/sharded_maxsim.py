@@ -33,6 +33,9 @@ except ImportError:  # pragma: no cover - older jax
 
 from neighborhoodwatch_tpu.ops.topk import merge_topk, merge_topk_many
 from neighborhoodwatch_tpu.parallel.mesh import DP_AXIS, MP_AXIS
+from neighborhoodwatch_tpu.parallel.sharded_knn import (
+    process_slice, _force_distinct_shards,
+)
 
 
 
@@ -137,25 +140,41 @@ class ShardedStreamingMaxSim:
         self.dp = mesh.shape[DP_AXIS]
         self.mp = mesh.shape[MP_AXIS]
 
-        queries = jnp.asarray(queries, dtype=jnp.float32)
-        q_mask = jnp.asarray(q_mask, dtype=bool)
+        queries = np.asarray(queries, dtype=np.float32)
+        q_mask = np.asarray(q_mask, dtype=bool)
         self._q_rows = queries.shape[0]
         pad = (-self._q_rows) % self.dp
         if pad:
-            queries = jnp.pad(queries, ((0, pad), (0, 0), (0, 0)))
-            q_mask = jnp.pad(q_mask, ((0, pad), (0, 0)))
-        self._q_host = np.asarray(queries)    # host copy for exact repair
-        self._qm_host = np.asarray(q_mask)
+            queries = np.pad(queries, ((0, pad), (0, 0), (0, 0)))
+            q_mask = np.pad(q_mask, ((0, pad), (0, 0)))
+        self._q_host = queries                # host copy for exact repair
+        self._qm_host = q_mask
         qsh = NamedSharding(mesh, P(DP_AXIS, None, None))
         msh = NamedSharding(mesh, P(DP_AXIS, None))
-        self.queries = jax.device_put(queries, qsh)
-        self.q_mask = jax.device_put(q_mask, msh)
         q = queries.shape[0]
-        self.state = (
-            jax.device_put(jnp.full((q, k), -jnp.inf, dtype=jnp.float32),
-                           msh),
-            jax.device_put(jnp.zeros((q, k), dtype=jnp.int32), msh),
-        )
+        if jax.process_count() > 1:
+            # every process passes the SAME full query tensors; each ships
+            # only its dp slice (same contract as ShardedStreamingKNN)
+            lo, hi = process_slice(msh, (q, k), 0)
+            self.queries = jax.make_array_from_process_local_data(
+                qsh, queries[lo:hi], queries.shape)
+            self.q_mask = jax.make_array_from_process_local_data(
+                msh, q_mask[lo:hi], q_mask.shape)
+            self.state = (
+                jax.make_array_from_process_local_data(
+                    msh, np.full((hi - lo, k), -np.inf, dtype=np.float32),
+                    (q, k)),
+                jax.make_array_from_process_local_data(
+                    msh, np.zeros((hi - lo, k), dtype=np.int32), (q, k)),
+            )
+        else:
+            self.queries = jax.device_put(jnp.asarray(queries), qsh)
+            self.q_mask = jax.device_put(jnp.asarray(q_mask), msh)
+            self.state = (
+                jax.device_put(jnp.full((q, k), -jnp.inf, dtype=jnp.float32),
+                               msh),
+                jax.device_put(jnp.zeros((q, k), dtype=jnp.int32), msh),
+            )
         self._seen = 0
         self._tile_docs = None
 
@@ -180,27 +199,73 @@ class ShardedStreamingMaxSim:
             return "screened"
         return "exact"
 
+    def local_update_range(self, n_docs: int):
+        """[start, stop) of the NEXT `n_docs`-doc tile this process must
+        supply to update() on a multi-process mesh, clipped to the real
+        docs. Single-process: the whole tile."""
+        if jax.process_count() == 1:
+            return 0, n_docs
+        rows = self._tile_docs
+        if rows is None or n_docs > rows:
+            rows = -(-n_docs // self.mp) * self.mp
+        msh = NamedSharding(self.mesh, P(MP_AXIS, None))
+        lo, hi = process_slice(msh, (rows, 1), 0)
+        return min(lo, n_docs), min(hi, n_docs)
+
     def update(self, doc_tile, tile_mask, offset: int | None = None,
-               n_valid: int | None = None) -> None:
+               n_valid: int | None = None,
+               global_docs: int | None = None) -> None:
+        """Fold one doc tile. On a mesh spanning processes, every process
+        passes its OWN row-slice of the tile (see `local_update_range`)
+        plus `global_docs` = the tile's total real doc count — the
+        process-local feed contract of ShardedStreamingKNN.update."""
         from neighborhoodwatch_tpu.ops.maxsim import maxsim_topk
 
         if offset is None:
             offset = self._seen
         assert offset == self._seen, \
             "doc tiles must arrive in ascending contiguous offset order"
-        n = doc_tile.shape[0] if n_valid is None else n_valid
+        multiproc = jax.process_count() > 1
+        if multiproc:
+            assert global_docs is not None, \
+                ("on a multi-process mesh, update() takes this process's "
+                 "doc-slice plus global_docs (see local_update_range)")
+            assert n_valid is None, \
+                "pass global_docs (not n_valid) on a multi-process mesh"
+            n = global_docs
+        else:
+            n = doc_tile.shape[0] if n_valid is None else n_valid
         # keep host references when the caller streamed host arrays: the
         # rare certificate repair then reads them directly instead of
         # fetching the tile back over the device link
         host_tile = doc_tile if isinstance(doc_tile, np.ndarray) else None
         host_mask = tile_mask if isinstance(tile_mask, np.ndarray) else None
-        rows = doc_tile.shape[0]
+        rows = n if multiproc else doc_tile.shape[0]
         if self._tile_docs is None or rows > self._tile_docs:
             # pad tiles to the widest seen so ragged tails reuse one
             # compiled program (same policy as ShardedStreamingKNN)
             self._tile_docs = -(-rows // self.mp) * self.mp
         pad = self._tile_docs - rows
-        if host_tile is not None:
+        local_lo = 0
+        if multiproc:
+            assert host_tile is not None, \
+                "multi-process tiles must be host numpy arrays"
+            msh_t = NamedSharding(self.mesh, P(MP_AXIS, None))
+            local_lo, local_hi = process_slice(msh_t, (self._tile_docs, 1), 0)
+            expect = max(0, min(local_hi, n) - min(local_lo, n))
+            assert doc_tile.shape[0] == expect, \
+                (f"process-local tile has {doc_tile.shape[0]} docs; this "
+                 f"process owns docs [{local_lo}, {local_hi}) of the "
+                 f"{n}-doc tile (padded to {self._tile_docs}) -> "
+                 f"expected {expect}")
+            doc_tile = np.asarray(doc_tile, dtype=np.float32)
+            tile_mask = np.asarray(tile_mask, dtype=bool)
+            host_tile, host_mask = doc_tile, tile_mask
+            lpad = (local_hi - local_lo) - doc_tile.shape[0]
+            if lpad:
+                doc_tile = np.pad(doc_tile, ((0, lpad), (0, 0), (0, 0)))
+                tile_mask = np.pad(tile_mask, ((0, lpad), (0, 0)))
+        elif host_tile is not None:
             # host tiles stay numpy until the sharded device_put: jnp ops
             # first materialize the FULL multi-GB tile (twice when padded)
             # on the default device before the re-shard — the chip-0 HBM
@@ -244,8 +309,14 @@ class ShardedStreamingMaxSim:
 
         tsh = NamedSharding(self.mesh, P(MP_AXIS, None, None))
         msh = NamedSharding(self.mesh, P(MP_AXIS, None))
-        tile_d = jax.device_put(doc_tile, tsh)
-        mask_d = jax.device_put(tile_mask, msh)
+        if multiproc:
+            tile_d = jax.make_array_from_process_local_data(
+                tsh, doc_tile, (self._tile_docs, td, dim))
+            mask_d = jax.make_array_from_process_local_data(
+                msh, tile_mask, (self._tile_docs, td))
+        else:
+            tile_d = jax.device_put(doc_tile, tsh)
+            mask_d = jax.device_put(tile_mask, msh)
         ts, ti, fail = _sharded_maxsim_tile(
             self.queries, self.q_mask, tile_d, mask_d,
             jnp.int32(offset), jnp.int32(n), self.k, engine,
@@ -258,33 +329,89 @@ class ShardedStreamingMaxSim:
         # tiling of batch b+1 against device compute of batch b and
         # breaking the pure-async-dispatch contract colbert_pipeline's
         # backpressure relies on (r3 review)
-        fail_h = np.asarray(fail) if engine == "screened" else None
+        if engine != "screened":
+            fail_h = None
+        elif multiproc and not fail.is_fully_addressable:
+            from jax.experimental import multihost_utils
+            fail_h = np.asarray(
+                multihost_utils.process_allgather(fail, tiled=True))
+        else:
+            fail_h = np.asarray(fail)
         if fail_h is not None and fail_h.any():
             # exact host-path repair of certificate failures: REPLACE the
             # failed rows' per-tile lists before folding (a merge would
             # double-count docs present in both lists)
             bad = np.nonzero(fail_h)[0]
-            tile_np = (host_tile[:n].astype(np.float32)
-                       if host_tile is not None
-                       else np.asarray(doc_tile)[:n])
-            mask_np = (host_mask[:n] if host_mask is not None
-                       else np.asarray(tile_mask)[:n])
-            ts = np.array(ts)       # np.asarray of a jax array is read-only
-            ti = np.array(ti)
+            if multiproc:
+                from jax.experimental import multihost_utils
+                ts = np.array(multihost_utils.process_allgather(ts,
+                                                                tiled=True))
+                ti = np.array(multihost_utils.process_allgather(ti,
+                                                                tiled=True))
+            else:
+                ts = np.array(ts)   # np.asarray of a jax array is read-only
+                ti = np.array(ti)
             # full-row REPLACE at whatever width the tile actually has:
             # a ragged tile may hold fewer than width real docs, so the
             # repaired row is the exact top-min(width, n) padded with
             # -inf (which never survives the fold merge)
             kk = min(ts.shape[1], n)
-            s_f, i_f = maxsim_topk(self._q_host[bad], self._qm_host[bad],
-                                   tile_np, mask_np, k=kk, tile_docs=2048)
-            ts[bad] = -np.inf
-            ti[bad] = 0
-            ts[bad, :kk] = np.asarray(s_f)
-            ti[bad, :kk] = np.asarray(i_f) + offset
+            if multiproc:
+                # each process only holds ITS doc slice of the tile: repair
+                # every failed query against the local slice, then
+                # allgather the per-process partial top lists and merge on
+                # host — same exact result as the single-host full-tile
+                # recompute, without shipping any doc data between hosts
+                local_real = host_tile.shape[0] if host_tile is not None \
+                    else 0
+                kk_p = min(kk, max(local_real, 1))
+                s_p = np.full((len(bad), kk), -np.inf, dtype=np.float32)
+                i_p = np.zeros((len(bad), kk), dtype=np.int32)
+                if local_real:
+                    s_l, i_l = maxsim_topk(
+                        self._q_host[bad], self._qm_host[bad],
+                        host_tile[:local_real].astype(np.float32),
+                        host_mask[:local_real], k=kk_p, tile_docs=2048)
+                    s_p[:, :kk_p] = np.asarray(s_l)
+                    i_p[:, :kk_p] = (np.asarray(i_l) + offset + local_lo)
+                from jax.experimental import multihost_utils
+                all_s = multihost_utils.process_allgather(s_p)  # (P, b, kk)
+                all_i = multihost_utils.process_allgather(i_p)
+                cat_s = np.asarray(all_s).transpose(1, 0, 2).reshape(
+                    len(bad), -1)
+                cat_i = np.asarray(all_i).transpose(1, 0, 2).reshape(
+                    len(bad), -1)
+                # descending by score, ties by ascending global doc id
+                order = np.lexsort((cat_i, -cat_s), axis=-1)[:, :kk]
+                s_f = np.take_along_axis(cat_s, order, axis=1)
+                i_f = np.take_along_axis(cat_i, order, axis=1)
+                ts[bad] = -np.inf
+                ti[bad] = 0
+                ts[bad, :kk] = s_f
+                ti[bad, :kk] = i_f
+            else:
+                tile_np = (host_tile[:n].astype(np.float32)
+                           if host_tile is not None
+                           else np.asarray(doc_tile)[:n])
+                mask_np = (host_mask[:n] if host_mask is not None
+                           else np.asarray(tile_mask)[:n])
+                s_f, i_f = maxsim_topk(self._q_host[bad], self._qm_host[bad],
+                                       tile_np, mask_np, k=kk,
+                                       tile_docs=2048)
+                ts[bad] = -np.inf
+                ti[bad] = 0
+                ts[bad, :kk] = np.asarray(s_f)
+                ti[bad, :kk] = np.asarray(i_f) + offset
             qsh = NamedSharding(self.mesh, P(DP_AXIS, None))
-            ts = jax.device_put(jnp.asarray(ts), qsh)
-            ti = jax.device_put(jnp.asarray(ti), qsh)
+            if multiproc:
+                lo_q, hi_q = process_slice(qsh, ts.shape, 0)
+                ts = jax.make_array_from_process_local_data(
+                    qsh, np.ascontiguousarray(ts[lo_q:hi_q]), ts.shape)
+                ti = jax.make_array_from_process_local_data(
+                    qsh, np.ascontiguousarray(ti[lo_q:hi_q]), ti.shape)
+            else:
+                ts = jax.device_put(jnp.asarray(ts), qsh)
+                ti = jax.device_put(jnp.asarray(ti), qsh)
 
         if ts.shape[1] < self.k:
             pad_k = self.k - ts.shape[1]
@@ -300,17 +427,24 @@ class ShardedStreamingMaxSim:
         return self._seen
 
     def force_state(self, state) -> None:
-        """Backpressure sync: one 4-byte element per dp group — a single
-        [0, 0] probe only proves dp group 0's chain executed
-        (r3 review; cf. ShardedStreamingKNN.force_state)."""
-        rows = state[0].shape[0]
-        per = rows // self.dp
-        for g in range(self.dp):
-            _ = np.asarray(state[0][g * per, 0])
+        """Backpressure sync: one 4-byte element per distinct local shard
+        (covers every dp group — r3 review — and partially-addressable
+        multi-process state; cf. ShardedStreamingKNN.force_state)."""
+        _force_distinct_shards(state[0])
 
     def state_arrays(self):
         """(scores, idx, seen) as host arrays — the streaming checkpoint
-        (padded query rows included so restore round-trips exactly)."""
+        (padded query rows included so restore round-trips exactly; full
+        arrays on every process when the mesh spans hosts)."""
+        if jax.process_count() > 1 and not self.state[0].is_fully_addressable:
+            from jax.experimental import multihost_utils
+            return (np.asarray(
+                        multihost_utils.process_allgather(self.state[0],
+                                                          tiled=True)),
+                    np.asarray(
+                        multihost_utils.process_allgather(self.state[1],
+                                                          tiled=True)),
+                    self._seen)
         return (np.asarray(self.state[0]), np.asarray(self.state[1]),
                 self._seen)
 
@@ -320,16 +454,26 @@ class ShardedStreamingMaxSim:
         assert scores.shape == expect and idx.shape == expect, \
             (scores.shape, expect)
         qsh = NamedSharding(self.mesh, P(DP_AXIS, None))
-        self.state = (
-            jax.device_put(jnp.asarray(scores, dtype=jnp.float32), qsh),
-            jax.device_put(jnp.asarray(idx, dtype=jnp.int32), qsh),
-        )
+        if jax.process_count() > 1:
+            lo, hi = process_slice(qsh, expect, 0)
+            self.state = (
+                jax.make_array_from_process_local_data(
+                    qsh, np.asarray(scores[lo:hi], dtype=np.float32),
+                    expect),
+                jax.make_array_from_process_local_data(
+                    qsh, np.asarray(idx[lo:hi], dtype=np.int32), expect),
+            )
+        else:
+            self.state = (
+                jax.device_put(jnp.asarray(scores, dtype=jnp.float32), qsh),
+                jax.device_put(jnp.asarray(idx, dtype=jnp.int32), qsh),
+            )
         self._seen = int(seen)
 
     def finalize(self):
-        """(scores desc, doc indices) as numpy, original query rows only."""
+        """(scores desc, doc indices) as numpy, original query rows only
+        (full arrays on every process when the mesh spans hosts)."""
         assert self._seen >= self.k, \
             f"saw only {self._seen} base docs but k={self.k}"
-        s, i = self.state
-        return (np.asarray(s)[: self._q_rows],
-                np.asarray(i)[: self._q_rows])
+        s, i, _ = self.state_arrays()
+        return s[: self._q_rows], i[: self._q_rows]

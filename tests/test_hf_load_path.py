@@ -1,0 +1,315 @@
+"""Hermetic end-to-end test of the HF-checkpoint LOAD PATH (VERDICT r3
+missing #1 / next-round #3): the two real-weight tests at the bottom of
+test_torch_parity.py skip in every zero-egress environment, which left the
+cache probing, safetensors/sharded-index resolution, config parsing, key
+mapping and ColBERT head extraction code exercised by NOTHING. Here a
+synthetic HF-format checkpoint — config.json + model.safetensors carrying
+the REAL tensor names (full e5-small shape incl. pooler and the legacy
+``embeddings.position_ids`` buffer; ColBERT's ``bert.``-prefixed backbone +
+bias-free ``linear.weight`` head) — is written into a tmp HF cache, and the
+actual cached-load paths (`bert_flax.load_hf_weights` via
+transformers.AutoModel; `colbert_flax.load_colbert_hf_weights` via
+safetensors.numpy) are driven through the real generator constructors.
+A second cache lays the same e5 checkpoint out as SHARDED safetensors
+(model.safetensors.index.json — the layout `registry.local_weight_status`
+probes at registry.py weights_cached).
+
+Runs in subprocesses because huggingface_hub resolves its cache dir from
+the environment at import time. Reference anchors: model_generator.py:283-287
+(SentenceTransformer e5 load), :410-427 (colbertv2.0 checkpoint)."""
+
+import json
+import os
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+pytest.importorskip("torch")
+pytest.importorskip("transformers")
+pytest.importorskip("safetensors")
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Shared by the test process (cache construction) and the workers (expected
+# param values): a cheap deterministic fill — numpy RNG over 33M elements
+# takes minutes on this 1-vCPU host, integer arithmetic does not.
+_HELPERS = textwrap.dedent("""
+    import json
+    import os
+    import numpy as np
+
+    E5_REPO = "intfloat/e5-small-v2"
+    COLBERT_REPO = "colbert-ir/colbertv2.0"
+
+    def fill(shape, seed):
+        n = int(np.prod(shape))
+        v = (np.arange(n, dtype=np.int64) * 2654435761 + seed * 7919) % 65536
+        return ((v.astype(np.float32) / 65536.0 - 0.5) * 0.08).reshape(shape)
+
+    def bert_state_dict(hidden, layers, heads, inter, vocab=30522,
+                        max_pos=512, prefix="", pooler=True):
+        '''Real HF BertModel tensor names (what e5-small-v2's checkpoint
+        holds), deterministic values.'''
+        sd, s = {}, [0]
+
+        def f(shape):
+            s[0] += 1
+            return fill(shape, s[0])
+
+        def ln():
+            s[0] += 1
+            return (1.0 + fill((hidden,), s[0]), fill((hidden,), s[0] + 501))
+
+        p = prefix
+        sd[p + "embeddings.word_embeddings.weight"] = f((vocab, hidden))
+        sd[p + "embeddings.position_embeddings.weight"] = f((max_pos, hidden))
+        sd[p + "embeddings.token_type_embeddings.weight"] = f((2, hidden))
+        w, b = ln()
+        sd[p + "embeddings.LayerNorm.weight"] = w
+        sd[p + "embeddings.LayerNorm.bias"] = b
+        # legacy buffer real old-transformers checkpoints carry; the load
+        # must IGNORE it, not crash on the unexpected key
+        sd[p + "embeddings.position_ids"] = \\
+            np.arange(max_pos, dtype=np.int64)[None, :]
+        for i in range(layers):
+            base = p + f"encoder.layer.{i}."
+            for name in ("attention.self.query", "attention.self.key",
+                         "attention.self.value", "attention.output.dense"):
+                sd[base + name + ".weight"] = f((hidden, hidden))
+                sd[base + name + ".bias"] = f((hidden,))
+            w, b = ln()
+            sd[base + "attention.output.LayerNorm.weight"] = w
+            sd[base + "attention.output.LayerNorm.bias"] = b
+            sd[base + "intermediate.dense.weight"] = f((inter, hidden))
+            sd[base + "intermediate.dense.bias"] = f((inter,))
+            sd[base + "output.dense.weight"] = f((hidden, inter))
+            sd[base + "output.dense.bias"] = f((hidden,))
+            w, b = ln()
+            sd[base + "output.LayerNorm.weight"] = w
+            sd[base + "output.LayerNorm.bias"] = b
+        if pooler:
+            sd[p + "pooler.dense.weight"] = f((hidden, hidden))
+            sd[p + "pooler.dense.bias"] = f((hidden,))
+        return sd
+
+    def e5_small_state_dict():
+        return bert_state_dict(hidden=384, layers=12, heads=12, inter=1536)
+
+    def colbert_tiny_state_dict():
+        '''Genuine colbertv2.0 tensor-name layout (bert.* backbone +
+        bias-free linear.weight 128-d head) at a 2-layer size the 1-vCPU
+        host can afford; the full-size key pattern is identical.'''
+        sd = bert_state_dict(hidden=64, layers=2, heads=4, inter=128,
+                             prefix="bert.")
+        sd["linear.weight"] = fill((128, 64), 9001)
+        return sd
+
+    def e5_config():
+        return {"architectures": ["BertModel"], "model_type": "bert",
+                "hidden_size": 384, "num_hidden_layers": 12,
+                "num_attention_heads": 12, "intermediate_size": 1536,
+                "vocab_size": 30522, "max_position_embeddings": 512,
+                "type_vocab_size": 2, "layer_norm_eps": 1e-12,
+                "hidden_act": "gelu", "pad_token_id": 0,
+                "hidden_dropout_prob": 0.0,
+                "attention_probs_dropout_prob": 0.0}
+
+    def colbert_config():
+        c = e5_config()
+        c.update({"hidden_size": 64, "num_hidden_layers": 2,
+                  "num_attention_heads": 4, "intermediate_size": 128})
+        return c
+
+    def install_repo(cache_dir, repo_id, config, files):
+        '''HF hub cache layout: models--org--name/refs/main -> snapshot.'''
+        rev = "0" * 40
+        root = os.path.join(cache_dir,
+                            "models--" + repo_id.replace("/", "--"))
+        os.makedirs(os.path.join(root, "refs"), exist_ok=True)
+        with open(os.path.join(root, "refs", "main"), "w") as fh:
+            fh.write(rev)
+        snap = os.path.join(root, "snapshots", rev)
+        os.makedirs(snap, exist_ok=True)
+        with open(os.path.join(snap, "config.json"), "w") as fh:
+            json.dump(config, fh)
+        from safetensors.numpy import save_file
+        for fname, content in files.items():
+            if fname.endswith(".safetensors"):
+                save_file({k: np.ascontiguousarray(v)
+                           for k, v in content.items()},
+                          os.path.join(snap, fname))
+            else:
+                with open(os.path.join(snap, fname), "w") as fh:
+                    json.dump(content, fh)
+""")
+
+_WORKER_SINGLE = _HELPERS + textwrap.dedent("""
+    import sys
+    cache = sys.argv[1]
+    os.environ["HF_HOME"] = cache
+    os.environ["HF_HUB_CACHE"] = cache
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    sys.path.insert(0, {repo!r})
+
+    # ---- build the caches BEFORE importing anything HF-flavored ----
+    e5_sd = e5_small_state_dict()
+    install_repo(cache, E5_REPO, e5_config(),
+                 {{"model.safetensors": e5_sd}})
+    cb_sd = colbert_tiny_state_dict()
+    install_repo(cache, COLBERT_REPO, colbert_config(),
+                 {{"model.safetensors": cb_sd}})
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import torch
+    from transformers import AutoModel
+
+    # ---- e5: the REAL generator constructor drives the cached load ----
+    from neighborhoodwatch_tpu.models.e5_flax import E5FlaxEmbeddingGenerator
+    from neighborhoodwatch_tpu.models.bert_flax import (
+        convert_torch_state_dict, E5_CONFIGS, mean_pool_normalize,
+    )
+    gen = E5FlaxEmbeddingGenerator(model_name=E5_REPO)
+    assert gen.pretrained, "synthetic cached checkpoint must load"
+
+    # byte-exact plumbing: loaded tree == direct conversion of the arrays
+    # we wrote (proves cache probe + AutoModel load + key mapping)
+    want = convert_torch_state_dict(
+        {{k: v for k, v in e5_sd.items()}}, E5_CONFIGS[E5_REPO])
+    import jax.numpy as jnp
+    def assert_tree_equal(a, b, path=""):
+        if isinstance(a, dict):
+            assert set(a) == set(b), (path, set(a) ^ set(b))
+            for k in a:
+                assert_tree_equal(a[k], b[k], path + "/" + k)
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=path)
+    assert_tree_equal(gen.params, want)
+
+    # semantic parity: Flax forward vs torch AutoModel on the SAME cache
+    hf = AutoModel.from_pretrained(E5_REPO, local_files_only=True).eval()
+    ids = (np.arange(6 * 24, dtype=np.int32).reshape(6, 24) % 28000) + 1999
+    mask = np.ones((6, 24), dtype=np.int32)
+    mask[2, 17:] = 0
+    ids = ids * mask
+    with torch.no_grad():
+        hidden = hf(input_ids=torch.tensor(ids, dtype=torch.long),
+                    attention_mask=torch.tensor(mask, dtype=torch.long)
+                    ).last_hidden_state
+        tm = torch.tensor(mask, dtype=torch.float32)[..., None]
+        pooled = (hidden * tm).sum(1) / tm.sum(1).clamp(min=1.0)
+        ref = torch.nn.functional.normalize(pooled, dim=-1).numpy()
+    got = np.asarray(gen._forward(gen.params, jnp.asarray(ids),
+                                  jnp.asarray(mask)))
+    cos = np.sum(got * ref, axis=-1)
+    assert np.all(cos > 0.99), cos     # bf16 activations in production cfg
+
+    from neighborhoodwatch_tpu.models.registry import local_weight_status
+    status = local_weight_status(E5_REPO)
+    assert status.startswith("pretrained"), status
+
+    # ---- ColBERT: generator constructor -> safetensors head extraction ----
+    from neighborhoodwatch_tpu.models.bert_flax import BertConfig
+    from neighborhoodwatch_tpu.models.colbert_flax import (
+        ColbertFlaxEmbeddingGenerator, colbert_params_from_state_dict,
+    )
+    tiny = BertConfig(hidden_size=64, num_layers=2, num_heads=4,
+                      intermediate_size=128)
+    cgen = ColbertFlaxEmbeddingGenerator(config=tiny)
+    assert cgen.pretrained and cgen.head_pretrained
+    cwant = colbert_params_from_state_dict(
+        {{k: v for k, v in cb_sd.items()}}, tiny)
+    assert_tree_equal(cgen.params, cwant)
+    flat, counts = cgen.encode_passages(["hello world", "tpu systolic"])
+    assert flat.shape[1] == 128 and sum(counts) == flat.shape[0]
+    np.testing.assert_allclose(np.linalg.norm(flat, axis=1), 1.0, atol=1e-3)
+
+    status = local_weight_status("colbertv2.0")
+    assert "pretrained (colbertv2.0 backbone + projection head)" in status, \\
+        status
+    print("SINGLE_OK")
+""").format(repo=_REPO)
+
+_WORKER_SHARDED = _HELPERS + textwrap.dedent("""
+    import sys
+    cache = sys.argv[1]
+    os.environ["HF_HOME"] = cache
+    os.environ["HF_HUB_CACHE"] = cache
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    sys.path.insert(0, {repo!r})
+
+    # sharded-safetensors layout: two shard files + the index json whose
+    # presence registry.local_weight_status probes (registry.py
+    # weights_cached) and transformers resolves through the weight_map
+    e5_sd = e5_small_state_dict()
+    keys = sorted(e5_sd)
+    half = len(keys) // 2
+    shard1 = {{k: e5_sd[k] for k in keys[:half]}}
+    shard2 = {{k: e5_sd[k] for k in keys[half:]}}
+    index = {{"metadata": {{"total_size": int(sum(
+                  v.nbytes for v in e5_sd.values()))}},
+              "weight_map": {{
+                  **{{k: "model-00001-of-00002.safetensors" for k in shard1}},
+                  **{{k: "model-00002-of-00002.safetensors" for k in shard2}},
+              }}}}
+    install_repo(cache, E5_REPO, e5_config(),
+                 {{"model-00001-of-00002.safetensors": shard1,
+                   "model-00002-of-00002.safetensors": shard2,
+                   "model.safetensors.index.json": index}})
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from neighborhoodwatch_tpu.models.registry import local_weight_status
+    status = local_weight_status(E5_REPO)
+    assert status.startswith("pretrained"), status
+
+    from neighborhoodwatch_tpu.models.e5_flax import E5FlaxEmbeddingGenerator
+    from neighborhoodwatch_tpu.models.bert_flax import (
+        convert_torch_state_dict, E5_CONFIGS,
+    )
+    gen = E5FlaxEmbeddingGenerator(model_name=E5_REPO)
+    assert gen.pretrained, "sharded cached checkpoint must load"
+    want = convert_torch_state_dict(
+        {{k: v for k, v in e5_sd.items()}}, E5_CONFIGS[E5_REPO])
+    def assert_tree_equal(a, b, path=""):
+        if isinstance(a, dict):
+            assert set(a) == set(b), (path, set(a) ^ set(b))
+            for k in a:
+                assert_tree_equal(a[k], b[k], path + "/" + k)
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=path)
+    assert_tree_equal(gen.params, want)
+    print("SHARDED_OK")
+""").format(repo=_REPO)
+
+
+def _run_worker(tmp_path, name, code):
+    script = tmp_path / f"{name}.py"
+    script.write_text(code)
+    cache = tmp_path / f"hf_cache_{name}"
+    cache.mkdir()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("HF_HOME", "HF_HUB_CACHE", "JAX_PLATFORMS")}
+    proc = subprocess.run([sys.executable, str(script), str(cache)],
+                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                          text=True, env=env, timeout=900)
+    assert proc.returncode == 0, f"{name} worker failed:\n{proc.stdout[-5000:]}"
+    return proc.stdout
+
+
+def test_hf_cached_load_path_single_file_and_colbert(tmp_path):
+    out = _run_worker(tmp_path, "single", _WORKER_SINGLE)
+    assert "SINGLE_OK" in out
+    # the load must never have warned its way into random init
+    assert "falling back to random init" not in out
+
+
+def test_hf_cached_load_path_sharded_index(tmp_path):
+    out = _run_worker(tmp_path, "sharded", _WORKER_SHARDED)
+    assert "SHARDED_OK" in out
+    assert "falling back to random init" not in out

@@ -1,0 +1,132 @@
+"""Two-process jax.distributed STREAMED folds (the DCN/multi-host path for
+the engines BASELINE config 5 actually uses — VERDICT r3 missing #2): the
+one-shot `sharded_knn` was already multihost-tested (test_multihost.py), but
+`ShardedStreamingKNN`/`ShardedStreamingMaxSim` fed their batches via a
+single-process `jax.device_put` to a global sharding, which is structurally
+wrong across processes. Here every process supplies only its PROCESS-LOCAL
+shard of each streamed batch (`local_update_range` +
+`jax.make_array_from_process_local_data`), the run is killed after a
+checkpoint (the worker exits), and a fresh 2-process run restores and
+finishes the stream — results must match the single-device oracle exactly.
+
+Runs in subprocesses because jax.distributed can only initialize once per
+process. Reference anchor: cu_knn_ds.py:181-239 is the single-device analog
+being generalized; SURVEY.md §2 parallelism table (DCN row)."""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_COMMON = textwrap.dedent("""
+    import sys, os
+    pid = int(sys.argv[1]); port = sys.argv[2]; workdir = sys.argv[3]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    sys.path.insert(0, {repo!r})
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from neighborhoodwatch_tpu.parallel.mesh import init_distributed, make_mesh
+    init_distributed(coordinator="localhost:" + port,
+                     num_processes=2, process_id=pid)
+    assert len(jax.devices()) == 8 and len(jax.local_devices()) == 4
+
+    import numpy as np
+    from neighborhoodwatch_tpu.parallel.sharded_knn import ShardedStreamingKNN
+
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal((24, 32)).astype(np.float32)
+    base = rng.standard_normal((1536, 32)).astype(np.float32)
+    K = 10
+    mesh = make_mesh(8, dp=1)          # mp=8 spans BOTH processes
+    ckpt = os.path.join(workdir, "stream_ckpt.npz")
+
+    def feed(acc, lo_row, hi_row, batch):
+        for off in range(lo_row, hi_row, batch):
+            n = min(batch, hi_row - off)
+            chunk_t = np.ascontiguousarray(base[off:off + n].T)  # (d, n)
+            lo, hi = acc.local_update_range(n, colmajor=True)
+            acc.update_colmajor(chunk_t[:, lo:hi], off, global_rows=n)
+            acc.force_state(acc.state)
+""").format(repo=_REPO)
+
+_PHASE1 = _COMMON + textwrap.dedent("""
+    # phase 1: stream the first 1024 rows in 2 batches, checkpoint, "die"
+    acc = ShardedStreamingKNN(q, k=K, mesh=mesh, engine="exact")
+    feed(acc, 0, 1024, 512)
+    d, i, seen = acc.state_arrays()      # collective: all processes call
+    assert seen == 1024
+    if pid == 0:
+        np.savez(ckpt + ".tmp.npz", dist=d, idx=i, seen=seen)
+        os.replace(ckpt + ".tmp.npz", ckpt)
+    print("PHASE1_OK", pid)
+""")
+
+_PHASE2 = _COMMON + textwrap.dedent("""
+    # phase 2 (after the "crash"): restore on BOTH processes, finish the
+    # stream with a RAGGED tail batch, verify vs the single-device oracle
+    with np.load(ckpt) as z:
+        d0, i0, seen = z["dist"], z["idx"], int(z["seen"])
+    acc = ShardedStreamingKNN(q, k=K, mesh=mesh, engine="exact")
+    acc.restore(d0, i0, seen)
+    feed(acc, seen, 1536, 300)           # 300-row batches: ragged + narrower
+    dist, idx = acc.finalize()
+
+    from neighborhoodwatch_tpu.ops.knn import knn
+    ref_d, ref_i = knn(q, base, k=K)
+    np.testing.assert_array_equal(idx, np.asarray(ref_i))
+    np.testing.assert_allclose(dist, np.asarray(ref_d), rtol=1e-5, atol=1e-5)
+
+    # ---- MaxSim: process-local doc-tile feed over the same 2-process mesh
+    from neighborhoodwatch_tpu.ops.maxsim import maxsim_topk
+    from neighborhoodwatch_tpu.parallel.sharded_maxsim import (
+        ShardedStreamingMaxSim,
+    )
+    qt = rng.standard_normal((9, 4, 16)).astype(np.float32)
+    qm = np.ones((9, 4), dtype=bool)
+    docs = rng.standard_normal((320, 6, 16)).astype(np.float32)
+    dm = np.ones((320, 6), dtype=bool)
+    macc = ShardedStreamingMaxSim(qt, qm, k=7, mesh=mesh, engine="exact")
+    for off, n in ((0, 160), (160, 100), (260, 60)):
+        lo, hi = macc.local_update_range(n)
+        macc.update(docs[off + lo: off + hi], dm[off + lo: off + hi],
+                    off, global_docs=n)
+        macc.force_state(macc.state)
+    ms, mi = macc.finalize()
+    ref_s, ref_i = maxsim_topk(qt, qm, docs, dm, k=7, tile_docs=64)
+    np.testing.assert_array_equal(mi, np.asarray(ref_i))
+    np.testing.assert_allclose(ms, np.asarray(ref_s), rtol=1e-5, atol=1e-5)
+    print("PHASE2_OK", pid)
+""")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _run_phase(tmp_path, name, code):
+    script = tmp_path / f"{name}.py"
+    script.write_text(code)
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(pid), port, str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for pid in (0, 1)]
+    outs = [p.communicate(timeout=520)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"{name} process {pid} failed:\n{out[-4000:]}"
+        assert f"{name.upper()}_OK {pid}" in out
+    return outs
+
+
+def test_two_process_streamed_fold_kill_and_resume(tmp_path):
+    _run_phase(tmp_path, "phase1", _PHASE1)
+    assert (tmp_path / "stream_ckpt.npz").exists()
+    _run_phase(tmp_path, "phase2", _PHASE2)
