@@ -124,12 +124,14 @@ Some example commands:\n
                              "(approx_min_k + exactness proof), screened "
                              "(fused Pallas kernel + certificate; fastest on "
                              "TPU), auto (pick by backend and base size)")
-    parser.add_argument("--screen-precision", type=str, default="medium",
-                        choices=["default", "medium", "high"],
+    parser.add_argument("--screen-precision", type=str, default="auto",
+                        choices=["auto", "default", "medium", "high"],
                         help="screened engine's MXU pass count: high=bf16x3, "
-                             "medium=exact-q x bf16-base (default), "
-                             "default=bf16 — every tier is exact via the "
-                             "certificate + repair (docs/DESIGN.md)")
+                             "medium=exact-q x bf16-base, default=bf16, "
+                             "auto (the default) = lean 1-pass plan with "
+                             "adaptive streaming escalation — every tier "
+                             "is exact via the certificate + repair "
+                             "(docs/DESIGN.md)")
     parser.add_argument("--mesh", type=int, default=0, metavar="N",
                         help="shard the kNN over an N-device mesh (base "
                              "corpus split over the mp axis, ICI all_gather "
@@ -314,7 +316,7 @@ Some example commands:\n
     parser.add_argument("--precision", type=str, default="highest",
                         choices=["default", "high", "highest"])
     parser.add_argument("--screen-precision", type=str, default=None,
-                        choices=["default", "medium", "high"],
+                        choices=["auto", "default", "medium", "high"],
                         help="screened engine's MXU-pass tier (every tier "
                              "is exact via the certificates + repair; see "
                              "nw --screen-precision). Default: 'medium' for "
@@ -346,8 +348,11 @@ Some example commands:\n
     args = parser.parse_args(argv)
 
     if args.screen_precision is None:
-        # mode-aware tier default (see the flag's help text)
-        args.screen_precision = "high" if args.maxsim else "medium"
+        # mode-aware tier default (see the flag's help text): the flat
+        # token-kNN path takes the library "auto" tier; MaxSim keeps the
+        # 3-pass tier (the only one whose sound certificate holds on
+        # concentrated MaxSim score distributions)
+        args.screen_precision = "high" if args.maxsim else "auto"
 
     assert args.model_name == EmbeddingModelName.COLBERT_V2.value, \
         "`ck` program is reserved for the ColBERT model"

@@ -94,7 +94,7 @@ def process_knn_computation(data_dir, base_filename, base_count, query_filename,
                             max_memory_threshold=0.1, k=100,
                             metric="dot", precision="highest",
                             engine="auto", mesh=None,
-                            screen_precision="medium"):
+                            screen_precision="auto"):
     """Token-vs-token exact kNN (reference: colbert_knn.py:84-126, which
     defaults to the torch `1 - matmul` engine — metric='dot' here).
 

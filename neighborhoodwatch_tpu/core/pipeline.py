@@ -126,7 +126,7 @@ def compute_knn(data_dir: str,
                 precision: str = "highest",
                 query_split_rows: int | None = None,
                 engine: str = "auto",
-                screen_precision: str = "medium") -> StageTimer:
+                screen_precision: str = "auto") -> StageTimer:
     """Table path: per-base-batch partial top-k files + later merge
     (signature parity with reference cu_knn.py:151-162).
 
@@ -233,7 +233,7 @@ def compute_knn_ds(data_dir: str,
                    mesh=None,
                    checkpoint_every: int = 10,
                    engine: str = "auto",
-                   screen_precision: str = "medium") -> StageTimer:
+                   screen_precision: str = "auto") -> StageTimer:
     """Dataset path: out-of-core streaming + device-resident running top-k;
     writes final_{indices,distances}.parquet directly (reference
     cu_knn_ds.py:232-233 also skips the merge for its single pass).

@@ -100,7 +100,7 @@ def _small_shard_engine(engine: str) -> str:
 def sharded_knn(query, base, k: int, mesh, metric: str = "sqeuclidean",
                 precision: str = "highest", tile_size: int = 2048,
                 engine: str = "auto", n_valid: int | None = None,
-                screen_precision: str = "medium"):
+                screen_precision: str = "auto"):
     """Exact kNN over a (dp, mp) mesh. `query` rows must divide the dp axis
     size and `base` rows the mp axis size; pad the base beforehand if
     needed AND pass `n_valid` = the real row count — pad rows are masked
@@ -141,11 +141,11 @@ def sharded_knn(query, base, k: int, mesh, metric: str = "sqeuclidean",
 
 @partial(jax.jit, static_argnames=("k", "metric", "precision", "engine",
                                    "tile_size", "mesh", "screen_precision",
-                                   "colmajor"))
+                                   "colmajor", "with_diagnostics"))
 def _sharded_fold(run_d, run_i, query, batch, offset, n_valid, k: int,
                   metric: str, precision: str, engine: str, tile_size: int,
-                  mesh=None, screen_precision: str = "medium",
-                  colmajor: bool = False):
+                  mesh=None, screen_precision: str = "auto",
+                  colmajor: bool = False, with_diagnostics: bool = False):
     """One sharded streaming step: fold an mp-sharded base batch into the
     dp-sharded running top-k. `offset` (global row id of batch row 0) and
     `n_valid` (real rows in the padded batch) are traced scalars so every
@@ -170,12 +170,18 @@ def _sharded_fold(run_d, run_i, query, batch, offset, n_valid, k: int,
         shard_off = offset + my_shard * shard_rows
         local_valid = jnp.clip(n_valid - my_shard * shard_rows,
                                0, shard_rows)
+        diag = jnp.zeros((3,), jnp.int32)
         if engine == "screened" and shard_rows >= screen_kernel.MEGA:
             # the flagship Pallas kernel, fully traced (in-trace certificate
             # repair) — BASELINE config 5 runs with the headline engine
-            d, i = screened_knn_traced(q_local, b_local, local_valid,
-                                       shard_off, min(k, shard_rows), metric,
-                                       screen_precision=screen_precision)
+            out = screened_knn_traced(q_local, b_local, local_valid,
+                                      shard_off, min(k, shard_rows), metric,
+                                      screen_precision=screen_precision,
+                                      with_diagnostics=with_diagnostics)
+            if with_diagnostics:
+                d, i, diag = out
+            else:
+                d, i = out
         elif shard_rows > tile_size:
             d, i = _knn_scan(q_local, b_local, local_valid, shard_off,
                              min(k, shard_rows), metric, precision,
@@ -187,14 +193,23 @@ def _sharded_fold(run_d, run_i, query, batch, offset, n_valid, k: int,
         all_d = jax.lax.all_gather(d, MP_AXIS)   # (mp, q_local, <=k)
         all_i = jax.lax.all_gather(i, MP_AXIS)
         md, mi = merge_topk_many(all_d, all_i, min(k, mp * d.shape[1]))
-        return merge_topk(run_d, run_i, md, mi, k)
+        out = merge_topk(run_d, run_i, md, mi, k)
+        if with_diagnostics:
+            # totals across every shard, replicated (the adaptive tier
+            # controller's per-batch signal)
+            diag = jax.lax.psum(jax.lax.psum(diag, MP_AXIS), DP_AXIS)
+            return out[0], out[1], diag
+        return out
 
     batch_spec = P(None, MP_AXIS) if colmajor else P(MP_AXIS, None)
+    out_specs = (P(DP_AXIS, None), P(DP_AXIS, None))
+    if with_diagnostics:
+        out_specs = out_specs + (P(),)
     return shard_map(
         _shard_fn, mesh=mesh,
         in_specs=(P(DP_AXIS, None), P(DP_AXIS, None),
                   P(DP_AXIS, None), batch_spec, P(), P()),
-        out_specs=(P(DP_AXIS, None), P(DP_AXIS, None)),
+        out_specs=out_specs,
         check_vma=False,
     )(run_d, run_i, query, batch, offset, n_valid)
 
@@ -213,7 +228,7 @@ class ShardedStreamingKNN:
 
     def __init__(self, query, k: int, mesh, metric: str = "sqeuclidean",
                  precision: str = "highest", tile_size: int = 8192,
-                 engine: str = "auto", screen_precision: str = "medium"):
+                 engine: str = "auto", screen_precision: str = "auto"):
         from jax.sharding import NamedSharding
 
         self.mesh = mesh
@@ -225,6 +240,11 @@ class ShardedStreamingKNN:
         self.screen_precision = screen_precision
         self.dp = mesh.shape[DP_AXIS]
         self.mp = mesh.shape[MP_AXIS]
+        # adaptive screen-tier controller (screen_precision == "auto"):
+        # same ladder + per-batch repair-diagnostics harvest as
+        # ops.knn.StreamingKNN, with the diag psum'd across shards
+        self._tier_idx = 0
+        self._pending_diag = None     # (diag, tier_idx, q_rows, shard_rows)
 
         qsh = NamedSharding(mesh, P(DP_AXIS, None))
         if jax.process_count() > 1:
@@ -324,13 +344,53 @@ class ShardedStreamingKNN:
             if pad:
                 base_batch = np.pad(base_batch, ((0, pad), (0, 0)))
             base_batch = jax.device_put(base_batch, bsh)
+        self._fold(base_batch, offset, n)
+        self._seen += n
+
+    def _fold(self, batch, offset: int, n: int,
+              colmajor: bool = False) -> None:
+        """Dispatch one fold at the controller-chosen screen tier and keep
+        the repair diagnostics pending for the next call's harvest (the
+        adaptive escalation of ops.knn.StreamingKNN, diag psum'd over the
+        mesh — diagnostics are only requested when the screened kernel
+        actually engages, so exact/verified folds stay diagnostics-free
+        and fully async)."""
+        from neighborhoodwatch_tpu.ops import screen_kernel
+        from neighborhoodwatch_tpu.ops.knn import (
+            SCREEN_TIER_AUTO_LADDER, advance_screen_tier,
+        )
+        import numpy as np
+
+        shard_rows = self._batch_rows // self.mp
+        # self.engine is already resolved (_trace_safe_engine in __init__)
+        adaptive = (self.screen_precision == "auto"
+                    and self.engine == "screened"
+                    and shard_rows >= screen_kernel.MEGA)
+        if adaptive and self._pending_diag is not None:
+            diag, t_idx, q_loc, sh_rows = self._pending_diag
+            self._pending_diag = None
+            totals = np.asarray(diag)            # sums over dp*mp shards
+            per_shard = totals // (self.dp * self.mp)
+            per_shard[2] = int(totals[2] > 0)    # any shard escalated
+            self._tier_idx = advance_screen_tier(self._tier_idx, t_idx,
+                                                 per_shard, q_loc, sh_rows,
+                                                 self.k)
+        tier = (SCREEN_TIER_AUTO_LADDER[self._tier_idx]
+                if self.screen_precision == "auto"
+                else self.screen_precision)
         run_d, run_i = self.state
-        self.state = _sharded_fold(
-            run_d, run_i, self.query, base_batch,
+        out = _sharded_fold(
+            run_d, run_i, self.query, batch,
             jnp.int32(offset), jnp.int32(n), self.k, self.metric,
             self.precision, self.engine, self.tile_size, self.mesh,
-            self.screen_precision)
-        self._seen += n
+            tier, colmajor=colmajor, with_diagnostics=adaptive)
+        if adaptive:
+            self.state = (out[0], out[1])
+            self._pending_diag = (out[2], self._tier_idx,
+                                  self.state[0].shape[0] // self.dp,
+                                  shard_rows)
+        else:
+            self.state = out
 
     def local_update_range(self, n_rows: int, colmajor: bool = False):
         """[start, stop) of the NEXT `n_rows`-row batch this process must
@@ -397,12 +457,7 @@ class ShardedStreamingKNN:
             if pad:
                 batch_t = np.pad(batch_t, ((0, 0), (0, pad)))
             batch_t = jax.device_put(batch_t, bsh)
-        run_d, run_i = self.state
-        self.state = _sharded_fold(
-            run_d, run_i, self.query, batch_t,
-            jnp.int32(offset), jnp.int32(n), self.k, self.metric,
-            self.precision, self.engine, self.tile_size, self.mesh,
-            self.screen_precision, colmajor=True)
+        self._fold(batch_t, offset, n, colmajor=True)
         self._seen += n
 
     @property
