@@ -185,12 +185,37 @@ def run_maxsim(args):
     dim, k = 128, min(args.k, 100)
     key = jax.random.PRNGKey(0)
     kq, kd = jax.random.split(key)
-    q = jax.random.normal(kq, (q_n, tq, dim), dtype=jnp.float32)
-    d = jax.random.normal(kd, (d_n, td, dim), dtype=jnp.float32)
+
+    def unit(x):
+        return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+
+    q = unit(jax.random.normal(kq, (q_n, tq, dim), dtype=jnp.float32))
+    d = unit(jax.random.normal(kd, (d_n, td, dim), dtype=jnp.float32))
+    if args.wide_gap:
+        # the corpus class the sub-high tiers exist for (see
+        # tests/test_maxsim_tiers.py): per query, 150 planted documents
+        # carry noisy copies of its token directions (score ~ tq) while
+        # the rest stay near-orthogonal (score ~ tq * max-of-random-cos)
+        # — the score gap dwarfs the 1-pass eps band, so its certificate
+        # holds and the cheap tier wins outright
+        rel = 150
+        t = min(tq, td)
+        kp, kn = jax.random.split(jax.random.PRNGKey(9))
+
+        @jax.jit
+        def plant(d, q):
+            ids = jax.random.permutation(kp, d_n)[: q_n * rel]
+            noisy = (q[:, None, :t]
+                     + 0.01 * jax.random.normal(kn, (q_n, rel, t, dim)))
+            planted = unit(noisy).reshape(q_n * rel, t, dim)
+            return d.at[ids, :t].set(planted)
+
+        d = plant(d, q)
     qm = jnp.ones((q_n, tq), bool)
     dm = jnp.ones((d_n, td), bool)
     _ = np.asarray(q[0, 0, 0]), np.asarray(d[0, 0, 0])
-    log(f"maxsim data ready: {q_n}x{tq} query tokens, {d_n}x{td} doc tokens")
+    log(f"maxsim data ready: {q_n}x{tq} query tokens, {d_n}x{td} doc tokens"
+        + (" (wide-gap planted corpus)" if args.wide_gap else ""))
 
     tier = args.screen_precision
     log(f"screen precision tier: {tier}")
@@ -260,7 +285,10 @@ def run_maxsim_stream(args):
     q_n, tq, td, dim = 1000, 32, 16, 128
     k = min(args.k, 100)
     n_docs = args.base            # default 1M (main() leaves it untouched)
-    tile_docs = 8192
+    # 64k-doc tiles (8 kernel megas, ~536MB of tokens): 8192-doc tiles
+    # measured sync-roundtrip-bound through the remote tunnel (0.29s/tile
+    # of which the kernel was a fraction) and under-fill the kernel grid
+    tile_docs = 65536
     n_tiles = -(-n_docs // tile_docs)
     key = jax.random.PRNGKey(7)
     kq, kd = jax.random.split(key)
@@ -284,6 +312,10 @@ def run_maxsim_stream(args):
         qqm = qm if nq is None else qm[:nq]
         acc = StreamingMaxSim(qq, qqm, k=k, engine=engine,
                               screen_precision=tier)
+        # the exact XLA engine materializes a (nq, tq, docs, td) sims
+        # tensor per update — feed it 8192-doc slices of each generated
+        # tile (8.6GB at 64k docs OOM'd the verification restream)
+        step = tile_docs if engine != "exact" else 8192
         t0 = time.perf_counter()
         per_tile = []
         for i in range(n_tiles):
@@ -291,7 +323,10 @@ def run_maxsim_stream(args):
             off = i * tile_docs
             n_valid = min(tile_docs, n_docs - off)
             tt = time.perf_counter()
-            acc.update(t, m, off, n_valid=n_valid)
+            for s0 in range(0, n_valid, step):
+                s1 = min(s0 + step, n_valid)
+                acc.update(t[s0:s1], m[s0:s1], off + s0,
+                           n_valid=s1 - s0)
             _ = float(sync(acc.state[0]))       # per-tile backpressure
             per_tile.append(time.perf_counter() - tt)
             if i % 20 == 0:
@@ -347,9 +382,11 @@ def run_shard_scale(args):
     from neighborhoodwatch_tpu.ops.knn import StreamingKNN
 
     q_n, d, k = args.queries, args.dim, args.k
-    rows = 12_500_000
+    # one chip's share of 100M over 8 chips is 12.5M; stream 13 full
+    # 1M-row batches (13M) so the share is covered with whole batches
     batch = 1_000_000
-    n_batches = rows // batch
+    n_batches = 13
+    rows = n_batches * batch
     key = jax.random.PRNGKey(11)
     kq, kb = jax.random.split(key)
     q = jax.random.normal(kq, (q_n, d), dtype=jnp.float32)
@@ -397,8 +434,10 @@ def run_shard_scale(args):
     stats = jax.local_devices()[0].memory_stats() or {}
     hbm_peak = stats.get("peak_bytes_in_use", 0) / 2 ** 30
     flops = 2.0 * q_n * rows * d
-    # 8-chip projection: batches shard 8-ways; per-chip work = this run
-    proj_100m = steady * n_batches
+    # 8-chip projection: per-chip work = 12.5M rows at the measured
+    # steady per-1M-batch rate (the fold's ICI payload is k rows/chip,
+    # negligible next to shard compute)
+    proj_100m = steady * 12.5
     result = {
         "metric": f"shard_scale_q{q_n}_rows{rows}_d{d}_k{k}"
                   + (f"_recall{recall:.3f}" if recall is not None else ""),
@@ -603,6 +642,12 @@ def main():
     parser.add_argument("--long-docs", action="store_true",
                         help="with --maxsim: 64-token docs (the chunked "
                              "kernel path)")
+    parser.add_argument("--wide-gap", action="store_true",
+                        help="with --maxsim: plant a wide-score-gap "
+                             "retrieval corpus (150 relevant docs per "
+                             "query) — the class where the sub-high "
+                             "screen tiers' certificates hold and the "
+                             "1-pass tier wins (tests/test_maxsim_tiers)")
     parser.add_argument("--stream", action="store_true",
                         help="with --maxsim: stream --base (default 1M) "
                              "docs through StreamingMaxSim in 8192-doc "

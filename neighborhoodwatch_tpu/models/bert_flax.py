@@ -33,12 +33,14 @@ class BertConfig:
     layer_norm_eps: float = 1e-12
     dtype: str = "bfloat16"  # activation/matmul dtype; params stay fp32
     # "auto"/"xla": the einsum+softmax path — measured FASTER than the
-    # fused Pallas flash kernel at every encoder shape tried on v5e
-    # (e5-base seq 256: 0.556 vs 0.350 Mtok/s; seq 512: 0.413 vs 0.250;
-    # e5-small within noise) — at BERT sizes the (B, H, T, T) logits
-    # tensor tiles fine through XLA's fusions and the flash kernel's
-    # segment-id masking overhead dominates. "flash" opts into the
-    # Pallas kernel anyway (long-sequence headroom beyond 512 tokens).
+    # fused Pallas flash kernel at EVERY encoder shape on v5e, including
+    # long sequences (scripts/encoder_probe.py, r4: e5-large seq 1024 =
+    # 106 vs 41 TFLOP/s, seq 512 = 123 vs 62; e5-base seq 1024 = 94 vs
+    # 34). At BERT sizes the (B, H, T, T) logits tensor tiles fine
+    # through XLA's fusions and the flash kernel's segment-id masking
+    # overhead dominates; the hypothesized >512-token flash advantage is
+    # retired by measurement. "flash" remains an explicit experiment
+    # knob only.
     attention_impl: str = "auto"
     # GELU flavor: "auto" resolves to the tanh approximation under bf16
     # activations and to exact erf-GELU under fp32. Measured on v5e
