@@ -595,14 +595,20 @@ def screen_candidates(q, base, *, n_rows: int | None = None,
         f"sub={sub} x {tb // LANES} lane-slices exceeds {POS_BITS}-bit positions"
     if dk_max is None:
         # bigger tiles need a smaller D chunk to stay inside VMEM; the
-        # bf16 base operands halved the base-block bytes, so dk=384 fits
-        # at tq=512 too (measured on v5e)
-        dk_max = 384 if tb <= TB else 256
-    elif tq >= TQ and tb >= TB:
-        # dk=512 at the default (or larger) tiles overflows VMEM by
-        # ~3.4MB on v5e (measured FAILED_PRECONDITION with fp32 base
-        # operands) — clamp tuning flags to the proven ceiling unless
-        # the tiles were shrunk
+        # bf16 base operands halved the base-block bytes, so the 1/2-pass
+        # tiers fit dk=512 at tq=512 (measured r4: 0.280 vs 0.297s on the
+        # headline — fewer grid steps and accumulator round-trips); the
+        # 3-pass tier's second base operand stream keeps it at 384.
+        # tb=2048 sub-tiles overflow VMEM at every dk (measured, r4).
+        if tb > TB:
+            dk_max = 256
+        else:
+            dk_max = 384 if passes >= 3 else 512
+    elif tq >= TQ and tb >= TB and passes >= 3:
+        # dk=512 at the default (or larger) tiles overflowed VMEM by
+        # ~3.4MB on v5e with fp32 base operands; since the operands went
+        # bf16 only the 3-pass tier (TWO base operand streams) still
+        # needs the clamp — the 1/2-pass tiers fit dk=512 (measured r4)
         dk_max = min(dk_max, 384)
     mega = tb * sub
 
