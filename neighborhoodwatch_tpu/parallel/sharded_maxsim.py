@@ -104,6 +104,23 @@ def _sharded_maxsim_tile(queries, q_mask, tile, tmask, offset, n_valid,
     )(queries, q_mask, tile, tmask, offset, n_valid)
 
 
+def merge_partial_topk_desc(all_s, all_i, k: int):
+    """Host-side merge of per-process partial top lists: (P, rows, kk)
+    score/id arrays (scores DESCENDING per row, -inf padding) -> the
+    global top-k per row, ties broken by ascending doc id — the exact
+    tie order `maxsim_topk` produces, so the multi-process certificate
+    repair is bit-compatible with the single-host full-tile recompute.
+    Unit-testable in isolation (tests/test_multihost_stream.py)."""
+    all_s = np.asarray(all_s)
+    all_i = np.asarray(all_i)
+    rows = all_s.shape[1]
+    cat_s = all_s.transpose(1, 0, 2).reshape(rows, -1)
+    cat_i = all_i.transpose(1, 0, 2).reshape(rows, -1)
+    order = np.lexsort((cat_i, -cat_s), axis=-1)[:, :k]
+    return (np.take_along_axis(cat_s, order, axis=1),
+            np.take_along_axis(cat_i, order, axis=1))
+
+
 @partial(jax.jit, static_argnames=("k", "mesh"))
 def _fold_state(run_s, run_i, ts, ti, k: int, mesh):
     def _merge(run_s, run_i, ts, ti):
@@ -377,14 +394,7 @@ class ShardedStreamingMaxSim:
                 from jax.experimental import multihost_utils
                 all_s = multihost_utils.process_allgather(s_p)  # (P, b, kk)
                 all_i = multihost_utils.process_allgather(i_p)
-                cat_s = np.asarray(all_s).transpose(1, 0, 2).reshape(
-                    len(bad), -1)
-                cat_i = np.asarray(all_i).transpose(1, 0, 2).reshape(
-                    len(bad), -1)
-                # descending by score, ties by ascending global doc id
-                order = np.lexsort((cat_i, -cat_s), axis=-1)[:, :kk]
-                s_f = np.take_along_axis(cat_s, order, axis=1)
-                i_f = np.take_along_axis(cat_i, order, axis=1)
+                s_f, i_f = merge_partial_topk_desc(all_s, all_i, kk)
                 ts[bad] = -np.inf
                 ti[bad] = 0
                 ts[bad, :kk] = s_f

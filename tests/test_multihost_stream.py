@@ -19,6 +19,8 @@ import subprocess
 import sys
 import textwrap
 
+import numpy as np
+
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _COMMON = textwrap.dedent("""
@@ -99,6 +101,70 @@ _PHASE2 = _COMMON + textwrap.dedent("""
     ref_s, ref_i = maxsim_topk(qt, qm, docs, dm, k=7, tile_docs=64)
     np.testing.assert_array_equal(mi, np.asarray(ref_i))
     np.testing.assert_allclose(ms, np.asarray(ref_s), rtol=1e-5, atol=1e-5)
+
+    # ---- screened MaxSim with a FORCED multi-process host repair: plant
+    # 6 high-scoring docs into each of THREE lane bins (> REPAIR_BINS, so
+    # the in-trace class-A repair declines and the certificate failure
+    # reaches the host repair branch — per-process exact partial top
+    # lists over LOCAL doc slices, allgathered + merge_partial_topk_desc)
+    # with the bins spread across BOTH processes' halves of the doc axis,
+    # so a slice bug loses a planted doc and fails the exact-index check.
+    # Scores are well separated (planted >> random), making index
+    # identity a sound assertion.
+    from neighborhoodwatch_tpu.ops import maxsim_kernel as mkk
+    nd = mkk.MEGA_DOCS * 8            # one mega per device, mp=8 spans procs
+    center = rng.standard_normal((4, 32)).astype(np.float32)
+    center *= 3.0 / np.linalg.norm(center, axis=-1, keepdims=True)
+    docs2 = rng.standard_normal((nd, 4, 32)).astype(np.float32)
+    docs2 /= np.linalg.norm(docs2, axis=-1, keepdims=True)
+    planted = []
+    for mega, lane in ((0, 7), (3, 50), (7, 99)):
+        planted.extend(mega * mkk.MEGA_DOCS + lane + 128 * np.arange(6))
+    planted = np.asarray(planted)
+    docs2[planted] = center[None] + 0.05 * rng.standard_normal(
+        (len(planted), 4, 32)).astype(np.float32)
+    dm2 = np.ones((nd, 4), dtype=bool)
+    qt2 = (center[None] + 0.05 * rng.standard_normal((3, 4, 32))
+           ).astype(np.float32)
+    qm2 = np.ones((3, 4), dtype=bool)
+    sacc = ShardedStreamingMaxSim(qt2, qm2, k=4, mesh=mesh,
+                                  engine="screened",
+                                  screen_precision="default")
+    lo, hi = sacc.local_update_range(nd)
+    sacc.update(docs2[lo:hi], dm2[lo:hi], 0, global_docs=nd)
+    ss, si = sacc.finalize()
+    ref_s2, ref_i2 = maxsim_topk(qt2, qm2, docs2, dm2, k=4, tile_docs=4096)
+    np.testing.assert_array_equal(si, np.asarray(ref_i2))
+    np.testing.assert_allclose(ss, np.asarray(ref_s2), rtol=1e-5, atol=1e-5)
+    for r in range(si.shape[0]):
+        assert set(int(x) for x in si[r]) <= set(int(x) for x in planted)
+
+    # ---- compute_knn_ds over the 2-process mesh (reader feeds each
+    # process its column slice; process 0 owns checkpoint + final files)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from jax.experimental import multihost_utils
+    from neighborhoodwatch_tpu.core.pipeline import compute_knn_ds
+    from neighborhoodwatch_tpu.utils.naming import (
+        get_partial_indices_filename,
+    )
+    _, ref_ds_i = knn(q[:16], base, k=K)
+    dsdir = os.path.join(workdir, "ds")
+    if pid == 0:
+        os.makedirs(os.path.join(dsdir, "partial"), exist_ok=True)
+        for fname, mat in (("q.parquet", q[:16]), ("b.parquet", base)):
+            pq.write_table(
+                pa.table({f"embedding_{j}": np.ascontiguousarray(mat[:, j])
+                          for j in range(mat.shape[1])}),
+                os.path.join(dsdir, fname))
+    multihost_utils.sync_global_devices("ds files written")
+    compute_knn_ds(dsdir, 32, "q.parquet", 16, "b.parquet", base.shape[0],
+                   k=K, initial_batch_size=80, mesh=mesh,
+                   checkpoint_every=2, engine="exact")
+    multihost_utils.sync_global_devices("ds done")
+    got = pq.read_table(
+        get_partial_indices_filename(dsdir, -1)).to_pandas().values
+    np.testing.assert_array_equal(got, np.asarray(ref_ds_i))
     print("PHASE2_OK", pid)
 """)
 
@@ -130,3 +196,43 @@ def test_two_process_streamed_fold_kill_and_resume(tmp_path):
     _run_phase(tmp_path, "phase1", _PHASE1)
     assert (tmp_path / "stream_ckpt.npz").exists()
     _run_phase(tmp_path, "phase2", _PHASE2)
+
+
+def test_merge_partial_topk_desc_matches_bruteforce():
+    """Host-side unit test of the multi-process repair merge (no
+    subprocesses): P per-process partial DESC top lists with -inf padding
+    -> global top-k, ties by ascending doc id."""
+    from neighborhoodwatch_tpu.parallel.sharded_maxsim import (
+        merge_partial_topk_desc,
+    )
+    rng = np.random.default_rng(9)
+    P_, rows, kk = 3, 6, 5
+    all_s = np.full((P_, rows, kk), -np.inf, dtype=np.float32)
+    all_i = np.zeros((P_, rows, kk), dtype=np.int32)
+    truth_s, truth_i = [], []
+    for r in range(rows):
+        pool_s, pool_i = [], []
+        for p in range(P_):
+            npts = rng.integers(0, kk + 1)
+            s = np.sort(rng.choice(
+                np.arange(20, dtype=np.float32) / 4.0, npts,
+                replace=True))[::-1]          # duplicates -> real ties
+            ids = rng.choice(1000, npts, replace=False) + p * 1000
+            all_s[p, r, :npts] = s
+            all_i[p, r, :npts] = ids
+            pool_s.extend(s)
+            pool_i.extend(ids)
+        order = np.lexsort((np.asarray(pool_i),
+                            -np.asarray(pool_s, dtype=np.float32)))[:kk]
+        ts = np.full(kk, -np.inf, dtype=np.float32)
+        ti = np.zeros(kk, dtype=np.int64)
+        ts[: len(order)] = np.asarray(pool_s, dtype=np.float32)[order]
+        ti[: len(order)] = np.asarray(pool_i)[order]
+        truth_s.append(ts)
+        truth_i.append(ti)
+    got_s, got_i = merge_partial_topk_desc(all_s, all_i, kk)
+    np.testing.assert_array_equal(got_s, np.stack(truth_s))
+    # ids only meaningful where scores are finite
+    finite = np.isfinite(np.stack(truth_s))
+    np.testing.assert_array_equal(got_i[finite],
+                                  np.stack(truth_i)[finite].astype(np.int32))
