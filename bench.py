@@ -198,7 +198,13 @@ def run_maxsim(args):
         # the rest stay near-orthogonal (score ~ tq * max-of-random-cos)
         # — the score gap dwarfs the 1-pass eps band, so its certificate
         # holds and the cheap tier wins outright
-        rel = 150
+        # planted ids are drawn WITHOUT replacement: q_n*rel must fit in
+        # the corpus (at --small scales the old fixed rel=150 clipped the
+        # id list and crashed the scatter with mismatched shapes)
+        rel = max(1, min(150, d_n // (2 * q_n)))
+        if rel < k:
+            log(f"wide-gap: only {rel} planted docs/query fit this corpus "
+                f"(< k={k}); gap demonstration is partial at this scale")
         t = min(tq, td)
         kp, kn = jax.random.split(jax.random.PRNGKey(9))
 
@@ -335,9 +341,15 @@ def run_maxsim_stream(args):
         s, idx = acc.finalize()
         return s, idx, wall, per_tile
 
+    def steady_of(per_tile):
+        # short streams (--small / tiny --base) have < 3 tiles: fall back
+        # to the full median instead of NaN (the driver parses the JSON)
+        warm = per_tile[2:] if len(per_tile) > 2 else per_tile
+        return float(np.median(warm))
+
     tunnel_gate(sync, q, "before the maxsim stream")
     s, idx, wall, per_tile = stream("auto")
-    steady = float(np.median(per_tile[2:]))
+    steady = steady_of(per_tile)
     log(f"stream done: {wall:.1f}s wall, steady {steady:.4f}s/tile")
 
     recall = None
@@ -414,7 +426,7 @@ def run_shard_scale(args):
         per_batch.append(time.perf_counter() - tt)
         log(f"  batch {i + 1}/{n_batches}: {per_batch[-1]:.3f}s "
             f"(tier idx {acc._tier_idx})")
-    wall = time.perf_counter() - t0
+    wall = time.perf_counter() - t0     # gen + stream; verify is separate
     dist, idx = acc.finalize()
 
     recall = None
@@ -448,7 +460,7 @@ def run_shard_scale(args):
     print(json.dumps(result))
     extra = {
         "steady_s_per_1M_batch": round(steady, 4),
-        "wall_s_including_gen_and_verify": round(wall, 2),
+        "wall_s_gen_plus_stream": round(wall, 2),
         "achieved_effective_tflops": round(
             flops / (steady * n_batches) / 1e12, 2),
         "hbm_peak_gib": round(hbm_peak, 2),
@@ -650,9 +662,10 @@ def main():
                              "1-pass tier wins (tests/test_maxsim_tiers)")
     parser.add_argument("--stream", action="store_true",
                         help="with --maxsim: stream --base (default 1M) "
-                             "docs through StreamingMaxSim in 8192-doc "
+                             "docs through StreamingMaxSim in 64k-doc "
                              "device-generated tiles (BASELINE config 4 "
-                             "at scale)")
+                             "at scale; 8192-doc tiles measured "
+                             "sync-roundtrip-bound)")
     parser.add_argument("--shard-scale", action="store_true",
                         help="stream one chip's share of the 100M x 1536 "
                              "BASELINE config-5 workload (12.5M rows, 1M "

@@ -319,10 +319,13 @@ Some example commands:\n
                         choices=["auto", "default", "medium", "high"],
                         help="screened engine's MXU-pass tier (every tier "
                              "is exact via the certificates + repair; see "
-                             "nw --screen-precision). Default: 'medium' for "
-                             "the flat token kNN, 'high' with --maxsim — "
+                             "nw --screen-precision). Default: 'auto' for "
+                             "the flat token kNN (lean 1-pass plan + "
+                             "adaptive escalation), 'high' with --maxsim — "
                              "the only tier whose sound certificate holds "
-                             "on concentrated MaxSim score distributions")
+                             "on concentrated MaxSim score distributions "
+                             "('default' wins on wide-score-gap corpora: "
+                             "docs/DESIGN.md)")
     parser.add_argument("--synthetic", action="store_true",
                         help="use synthetic source text (hermetic, no network)")
     parser.add_argument("--maxsim", action="store_true",

@@ -623,11 +623,14 @@ def advance_screen_tier(cur_idx: int, diag_idx: int, diag, q_rows: int,
     na = _chernoff_budget(q_rows, _BIN_FLAG_RATE[passes], k)
     if escal or n_full > nb // 2 or n_bin > na // 2:
         nxt = cur_idx + 1
+        # stderr: bench/driver stdout carries machine-parsed JSON lines,
+        # and an escalation mid-stream must not corrupt them (r4 review)
+        import sys
         print(f"  [screen tier] escalating to "
               f"'{SCREEN_TIER_AUTO_LADDER[nxt]}' (observed repairs: "
               f"class-A {n_bin}/{na}, class-B {n_full}/{nb}, "
               f"tile-escalated {escal}) — exactness unaffected, repair "
-              f"cost was threatening the budget")
+              f"cost was threatening the budget", file=sys.stderr)
         return nxt
     return cur_idx
 
@@ -1073,9 +1076,13 @@ class StreamingKNN:
 
     def _harvest_diag(self) -> None:
         """Read the PREVIOUS screened batch's repair diagnostics and
-        escalate the tier if they threaten the repair budgets. Called at
-        the top of update(), i.e. at the same point the streaming loop's
-        backpressure sync serializes anyway — no extra device syncs."""
+        escalate the tier if they threaten the repair budgets. Called
+        AFTER dispatching the current batch: the np read blocks until the
+        previous batch completes, and reading before the dispatch would
+        serialize this batch's transfer behind that compute, losing the
+        one-batch overlap the streaming loop maintains (r4 review —
+        escalation lags one extra batch, a fine trade). No extra device
+        syncs beyond the loop's existing backpressure."""
         if self._pending_diag is None:
             return
         diag, tier_idx, q_rows, n_rows = self._pending_diag
@@ -1091,15 +1098,17 @@ class StreamingKNN:
         n = base_batch.shape[0]
         eng = _select_engine(self.engine, n)
         if eng == "screened" and self.screen_precision == "auto":
-            self._harvest_diag()
+            prev = self._pending_diag
             base_batch = jnp.asarray(base_batch, dtype=jnp.float32)
             d, i, diag = screened_knn_traced(
                 self.query, base_batch, n, offset, min(self.k, n),
                 self.metric,
                 screen_precision=self._LADDER_ARGS[self._tier_idx],
                 with_diagnostics=True)
-            self._pending_diag = (diag, self._tier_idx,
-                                  self.query.shape[0], n)
+            new_diag = (diag, self._tier_idx, self.query.shape[0], n)
+            self._pending_diag = prev
+            self._harvest_diag()          # after the dispatch (see doc)
+            self._pending_diag = new_diag
         else:
             d, i = knn(self.query, base_batch, k=min(self.k, n),
                        metric=self.metric, precision=self.precision,

@@ -419,6 +419,17 @@ def maxsim_bin_cap(n_docs: int) -> int:
     return (-(-n_docs // mk.MEGA_DOCS)) * mk.LANES * (mk.KEEP - 1)
 
 
+def resolve_maxsim_tier(screen_precision: str) -> str:
+    """Resolve the tier knob for the MaxSim paths. "auto" (the shared
+    CLI/bench default since r4) means "high" here: with the sound eps only
+    the 3-pass certificate holds on concentrated MaxSim score
+    distributions (maxsim_screen_plan's measurement record) — the kNN
+    engine's lean 1-pass auto would escalate every query. Sub-high tiers
+    stay explicit opt-ins for wide-score-gap corpora
+    (tests/test_maxsim_tiers.py)."""
+    return "high" if screen_precision == "auto" else screen_precision
+
+
 def maxsim_screen_plan(n_docs: int, k: int, td: int, dim: int,
                        passes: int = 2):
     """Static merge-width/block plan for the screened MaxSim select —
@@ -476,6 +487,7 @@ def maxsim_topk_screened(queries, q_mask, docs, d_mask, k: int,
     overflows / >2-bin collisions) fall back to the exact XLA path."""
     from neighborhoodwatch_tpu.ops import maxsim_kernel as mk
     from neighborhoodwatch_tpu.ops.screen_kernel import PASSES
+    screen_precision = resolve_maxsim_tier(screen_precision)
     passes = PASSES[screen_precision]
 
     queries = jnp.asarray(queries, dtype=jnp.float32)
@@ -532,6 +544,7 @@ class StreamingMaxSim:
 
     def __init__(self, queries, q_mask, k: int, precision: str = "highest",
                  engine: str = "auto", screen_precision: str = "high"):
+        screen_precision = resolve_maxsim_tier(screen_precision)
         self.queries = jnp.asarray(queries, dtype=jnp.float32)
         self.q_mask = jnp.asarray(q_mask, dtype=bool)
         self.k = k

@@ -195,9 +195,13 @@ def _sharded_fold(run_d, run_i, query, batch, offset, n_valid, k: int,
         md, mi = merge_topk_many(all_d, all_i, min(k, mp * d.shape[1]))
         out = merge_topk(run_d, run_i, md, mi, k)
         if with_diagnostics:
-            # totals across every shard, replicated (the adaptive tier
-            # controller's per-batch signal)
-            diag = jax.lax.psum(jax.lax.psum(diag, MP_AXIS), DP_AXIS)
+            # WORST shard's counts, replicated (the adaptive tier
+            # controller's per-batch signal): a sum diluted one hot
+            # shard's repair pressure by the shard count, so localized
+            # clustering could never trip the escalation thresholds
+            # (r4 review) — budgets are per-shard quantities, so the max
+            # compares apples to apples
+            diag = jax.lax.pmax(jax.lax.pmax(diag, MP_AXIS), DP_AXIS)
             return out[0], out[1], diag
         return out
 
@@ -366,15 +370,6 @@ class ShardedStreamingKNN:
         adaptive = (self.screen_precision == "auto"
                     and self.engine == "screened"
                     and shard_rows >= screen_kernel.MEGA)
-        if adaptive and self._pending_diag is not None:
-            diag, t_idx, q_loc, sh_rows = self._pending_diag
-            self._pending_diag = None
-            totals = np.asarray(diag)            # sums over dp*mp shards
-            per_shard = totals // (self.dp * self.mp)
-            per_shard[2] = int(totals[2] > 0)    # any shard escalated
-            self._tier_idx = advance_screen_tier(self._tier_idx, t_idx,
-                                                 per_shard, q_loc, sh_rows,
-                                                 self.k)
         tier = (SCREEN_TIER_AUTO_LADDER[self._tier_idx]
                 if self.screen_precision == "auto"
                 else self.screen_precision)
@@ -386,11 +381,22 @@ class ShardedStreamingKNN:
             tier, colmajor=colmajor, with_diagnostics=adaptive)
         if adaptive:
             self.state = (out[0], out[1])
-            self._pending_diag = (out[2], self._tier_idx,
-                                  self.state[0].shape[0] // self.dp,
-                                  shard_rows)
+            new_diag = (out[2], self._tier_idx,
+                        self.state[0].shape[0] // self.dp, shard_rows)
         else:
             self.state = out
+            new_diag = None
+        # harvest the PREVIOUS batch's diagnostics AFTER dispatching this
+        # one: the np read blocks until batch b-1 completes, and doing it
+        # before the dispatch serialized b's transfer behind b-1's compute
+        # (r4 review — escalation now lags one extra batch, a fine trade)
+        if adaptive and self._pending_diag is not None:
+            diag, t_idx, q_loc, sh_rows = self._pending_diag
+            worst = np.asarray(diag)             # worst shard (pmax)
+            self._tier_idx = advance_screen_tier(self._tier_idx, t_idx,
+                                                 worst, q_loc, sh_rows,
+                                                 self.k)
+        self._pending_diag = new_diag
 
     def local_update_range(self, n_rows: int, colmajor: bool = False):
         """[start, stop) of the NEXT `n_rows`-row batch this process must

@@ -145,10 +145,11 @@ class ShardedStreamingMaxSim:
     def __init__(self, queries, q_mask, k: int, mesh,
                  precision: str = "highest", engine: str = "auto",
                  screen_precision: str = "high"):
+        from neighborhoodwatch_tpu.ops.maxsim import resolve_maxsim_tier
         self.mesh = mesh
         self.k = k
         self.precision = precision
-        self.screen_precision = screen_precision
+        self.screen_precision = resolve_maxsim_tier(screen_precision)
         assert engine in ("auto", "exact", "screened"), \
             (f"unknown engine {engine!r}; expected auto/exact/screened "
              f"(a typo silently coerced to the auto heuristic would "
