@@ -514,10 +514,11 @@ def screened_knn(query, base, k: int, metric: str = "sqeuclidean",
     """Exact kNN via the fused Pallas screen kernel + certified re-rank.
 
     Screens the full base with bf16x3 ("high", ~2^-32 error), exact-q x
-    bf16-base ("medium" — the default: 2/3 the matmul cost of high with
-    a measured ~98.8% certificate pass rate on the headline workload
-    under the sound fold-proofed eps) or
-    bf16 ("default", 1 pass) MXU passes; the certificate eps for the
+    bf16-base ("medium": 2/3 the matmul cost of high with a measured
+    ~98.8% certificate pass rate on the headline workload under the
+    sound fold-proofed eps) or bf16 ("default", 1 pass) MXU passes;
+    "auto" (the library default since r4) = the 1-pass tier with the
+    lean merge plan (resolve_screen_tier). The certificate eps for the
     1/2-pass tiers is computed per call from the data's actual bf16
     residual norms (_screen_err_bounds); keeps the 4 smallest per lane
     bin on-chip (the 4th is certificate-only), exactly re-ranks the
