@@ -223,6 +223,9 @@ def compute_maxsim_knn(data_dir, query_filename, base_filename, k,
     leftover: np.ndarray | None = None    # tokens of the trailing open doc
     leftover_id = None
 
+    import jax as _jax
+    multiproc = mesh is not None and _jax.process_count() > 1
+
     def emit_tiles(docs, final=False):
         while len(docs) >= tile_docs or (final and docs):
             chunk, docs = docs[:tile_docs], docs[tile_docs:]
@@ -234,7 +237,15 @@ def compute_maxsim_knn(data_dir, query_filename, base_filename, k,
             tile, tmask = pad_token_lists(chunk, dim, max_tokens=td)
             if n_valid < tile_docs:
                 tmask[n_valid:] = False
-            engine.update(tile, tmask, n_valid=n_valid)
+            if multiproc:
+                # mesh spans hosts: every process tokenized the batch but
+                # ships ONLY its doc-slice of the tile (the process-local
+                # feed contract, cf. compute_knn_ds)
+                lo, hi = engine.local_update_range(n_valid)
+                engine.update(tile[lo:hi], tmask[lo:hi],
+                              global_docs=n_valid)
+            else:
+                engine.update(tile, tmask, n_valid=n_valid)
         return docs
 
     with timer.stage("stream_base"):
@@ -311,25 +322,31 @@ def compute_maxsim_knn(data_dir, query_filename, base_filename, k,
             prev_state = engine.state
             if checkpoint_every and (b + 1) % checkpoint_every == 0 \
                     and engine.docs_seen > done_docs:
-                # docs still pending/leftover are simply re-read on resume
-                _save_stream_ckpt(ckpt_path, engine, fingerprint)
+                # docs still pending/leftover are simply re-read on resume;
+                # multi-process: state_arrays allgathers on every process
+                # (collective) but only process 0 owns the file
+                if not multiproc or _jax.process_index() == 0:
+                    _save_stream_ckpt(ckpt_path, engine, fingerprint)
+                else:
+                    engine.state_arrays()
         if leftover is not None:
             pending_docs.append(leftover)
         emit_tiles(pending_docs, final=True)
 
     with timer.stage("finalize"):
-        scores, idx = engine.finalize()
+        scores, idx = engine.finalize()      # collective on a multi-host mesh
         n_docs = engine.docs_seen
         assert k <= n_docs, f"k={k} exceeds base doc count {n_docs}"
-        write_matrix_to_parquet(
-            naming.get_partial_indices_filename(data_dir, -1), idx)
-        write_matrix_to_parquet(
-            naming.get_partial_distances_filename(data_dir, -1), -scores)
-        if checkpoint_every and os.path.exists(ckpt_path):
-            # consume the checkpoint on success — a stale one would make
-            # a rerun over regenerated embeddings silently resume as
-            # "complete" and keep the old run's results (r3 review #2)
-            os.remove(ckpt_path)
+        if not multiproc or _jax.process_index() == 0:
+            write_matrix_to_parquet(
+                naming.get_partial_indices_filename(data_dir, -1), idx)
+            write_matrix_to_parquet(
+                naming.get_partial_distances_filename(data_dir, -1), -scores)
+            if checkpoint_every and os.path.exists(ckpt_path):
+                # consume the checkpoint on success — a stale one would
+                # make a rerun over regenerated embeddings silently resume
+                # as "complete" and keep the old run's results (r3 #2)
+                os.remove(ckpt_path)
     return timer, len(q_docs), n_docs
 
 

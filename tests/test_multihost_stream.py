@@ -165,6 +165,38 @@ _PHASE2 = _COMMON + textwrap.dedent("""
     got = pq.read_table(
         get_partial_indices_filename(dsdir, -1)).to_pandas().values
     np.testing.assert_array_equal(got, np.asarray(ref_ds_i))
+
+    # ---- compute_maxsim_knn over the 2-process mesh (doc-tracked token
+    # parquet -> tiled process-local feed -> process-0 finals)
+    from neighborhoodwatch_tpu.core.colbert_pipeline import compute_maxsim_knn
+    from neighborhoodwatch_tpu.ops.maxsim import pad_token_lists
+    msdir = os.path.join(workdir, "ms")
+    nqd, nbd, tpd, dim_t = 6, 120, 3, 16
+    qtok = rng.standard_normal((nqd * tpd, dim_t)).astype(np.float32)
+    btok = rng.standard_normal((nbd * tpd, dim_t)).astype(np.float32)
+    if pid == 0:
+        os.makedirs(os.path.join(msdir, "partial"), exist_ok=True)
+        for fname, mat, ndocs in (("q_tok.parquet", qtok, nqd),
+                                  ("b_tok.parquet", btok, nbd)):
+            cols = {"doc_id": np.repeat(np.arange(ndocs, dtype=np.int32),
+                                        tpd)}
+            cols.update({f"embedding_{j}": np.ascontiguousarray(mat[:, j])
+                         for j in range(dim_t)})
+            pq.write_table(pa.table(cols), os.path.join(msdir, fname))
+    multihost_utils.sync_global_devices("ms files written")
+    compute_maxsim_knn(msdir, os.path.join(msdir, "q_tok.parquet"),
+                       os.path.join(msdir, "b_tok.parquet"), k=5,
+                       tile_docs=48, batch_rows=100, checkpoint_every=2,
+                       mesh=mesh)
+    multihost_utils.sync_global_devices("ms done")
+    got_i = pq.read_table(
+        get_partial_indices_filename(msdir, -1)).to_pandas().values
+    qpad, qmsk = pad_token_lists([qtok[i*tpd:(i+1)*tpd] for i in range(nqd)],
+                                 dim_t)
+    bpad, bmsk = pad_token_lists([btok[i*tpd:(i+1)*tpd] for i in range(nbd)],
+                                 dim_t)
+    _, ref_ms_i = maxsim_topk(qpad, qmsk, bpad, bmsk, k=5, tile_docs=32)
+    np.testing.assert_array_equal(got_i, np.asarray(ref_ms_i))
     print("PHASE2_OK", pid)
 """)
 
