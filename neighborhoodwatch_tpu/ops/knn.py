@@ -1099,17 +1099,15 @@ class StreamingKNN:
         n = base_batch.shape[0]
         eng = _select_engine(self.engine, n)
         if eng == "screened" and self.screen_precision == "auto":
-            prev = self._pending_diag
+            used_tier = self._tier_idx
             base_batch = jnp.asarray(base_batch, dtype=jnp.float32)
             d, i, diag = screened_knn_traced(
                 self.query, base_batch, n, offset, min(self.k, n),
                 self.metric,
-                screen_precision=self._LADDER_ARGS[self._tier_idx],
+                screen_precision=self._LADDER_ARGS[used_tier],
                 with_diagnostics=True)
-            new_diag = (diag, self._tier_idx, self.query.shape[0], n)
-            self._pending_diag = prev
             self._harvest_diag()          # after the dispatch (see doc)
-            self._pending_diag = new_diag
+            self._pending_diag = (diag, used_tier, self.query.shape[0], n)
         else:
             d, i = knn(self.query, base_batch, k=min(self.k, n),
                        metric=self.metric, precision=self.precision,

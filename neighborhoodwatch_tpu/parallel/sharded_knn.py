@@ -18,6 +18,7 @@ overlaps shard compute with neighbor transfers of the running top-k.
 
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
@@ -41,11 +42,10 @@ def process_slice(sharding, global_shape, axis: int):
     contiguous for every mesh this module builds (make_mesh reshapes
     jax.devices() in order); a non-contiguous device order fails loudly in
     jax.make_array_from_process_local_data downstream."""
-    import jax as _jax
     imap = sharding.devices_indices_map(tuple(global_shape))
     lo = hi = None
     for dev, idx in imap.items():
-        if dev.process_index != _jax.process_index():
+        if dev.process_index != jax.process_index():
             continue
         sl = idx[axis]
         start = sl.start if sl.start is not None else 0
@@ -64,7 +64,6 @@ def _force_distinct_shards(arr) -> None:
     single [0, 0] probe missed (r3 review), and — unlike whole-array
     indexing — works when the array is only partially addressable (a mesh
     spanning processes)."""
-    import numpy as np
     seen = set()
     for s in arr.addressable_shards:
         if s.index in seen:
@@ -246,22 +245,23 @@ class ShardedStreamingKNN:
         self.mp = mesh.shape[MP_AXIS]
         # adaptive screen-tier controller (screen_precision == "auto"):
         # same ladder + per-batch repair-diagnostics harvest as
-        # ops.knn.StreamingKNN, with the diag psum'd across shards
+        # ops.knn.StreamingKNN, with the diag pmax'd across shards
         self._tier_idx = 0
         self._pending_diag = None     # (diag, tier_idx, q_rows, shard_rows)
 
         qsh = NamedSharding(mesh, P(DP_AXIS, None))
+        # zero query pad rows produce junk result rows sliced off in
+        # finalize; host-side numpy keeps multi-GB sets off the default
+        # device before the sharded placement
+        query = np.asarray(query, dtype=np.float32)
+        self._q_rows = query.shape[0]
+        pad = (-self._q_rows) % self.dp
+        if pad:
+            query = np.pad(query, ((0, pad), (0, 0)))
+        q = query.shape[0]
         if jax.process_count() > 1:
-            # every process passes the SAME full query set; each ships only
-            # its dp slice (jnp ops on host arrays would first materialize
-            # on the local default device)
-            import numpy as np
-            query = np.asarray(query, dtype=np.float32)
-            self._q_rows = query.shape[0]
-            pad = (-self._q_rows) % self.dp
-            if pad:
-                query = np.pad(query, ((0, pad), (0, 0)))
-            q = query.shape[0]
+            # every process passes the SAME full query set; each ships
+            # only its dp slice
             lo, hi = process_slice(qsh, query.shape, 0)
             self.query = jax.make_array_from_process_local_data(
                 qsh, query[lo:hi], query.shape)
@@ -273,13 +273,7 @@ class ShardedStreamingKNN:
                     qsh, np.zeros((rows, k), dtype=np.int32), (q, k)),
             )
         else:
-            query = jnp.asarray(query, dtype=jnp.float32)
-            self._q_rows = query.shape[0]
-            pad = (-self._q_rows) % self.dp
-            if pad:  # zero query rows produce junk rows sliced off in finalize
-                query = jnp.pad(query, ((0, pad), (0, 0)))
             self.query = jax.device_put(query, qsh)
-            q = query.shape[0]
             self.state = (
                 jax.device_put(jnp.full((q, k), jnp.inf, dtype=jnp.float32),
                                qsh),
@@ -318,19 +312,8 @@ class ShardedStreamingKNN:
         pad = self._batch_rows - n
         bsh = NamedSharding(self.mesh, P(MP_AXIS, None))
         if multiproc and not isinstance(base_batch, jax.Array):
-            import numpy as np
-            lo, hi = process_slice(
-                bsh, (self._batch_rows, base_batch.shape[1]), 0)
-            local = np.asarray(base_batch, dtype=np.float32)
-            expect = max(0, min(hi, n) - min(lo, n))
-            assert local.shape[0] == expect, \
-                (f"process-local batch has {local.shape[0]} rows; this "
-                 f"process owns rows [{lo}, {hi}) of the {n}-row batch "
-                 f"(padded to {self._batch_rows}) -> expected {expect}")
-            if local.shape[0] < hi - lo:     # tail pad, process-local
-                local = np.pad(local, ((0, hi - lo - local.shape[0]), (0, 0)))
-            base_batch = jax.make_array_from_process_local_data(
-                bsh, local, (self._batch_rows, base_batch.shape[1]))
+            base_batch = self._local_shard(
+                np.asarray(base_batch, dtype=np.float32), bsh, 0, n)
         elif isinstance(base_batch, jax.Array):
             # already on device (device-fed benches/tests): jnp ops are fine
             base_batch = jnp.asarray(base_batch, dtype=jnp.float32)
@@ -343,7 +326,6 @@ class ShardedStreamingKNN:
             # jnp.pad first materialized the batch (twice) on the default
             # device, an ~2x-batch HBM spike on chip 0 that defeats the
             # "per-chip HBM only holds batch/mp rows" contract (r3 review)
-            import numpy as np
             base_batch = np.asarray(base_batch, dtype=np.float32)
             if pad:
                 base_batch = np.pad(base_batch, ((0, pad), (0, 0)))
@@ -351,11 +333,32 @@ class ShardedStreamingKNN:
         self._fold(base_batch, offset, n)
         self._seen += n
 
+    def _local_shard(self, batch, bsh, axis: int, n: int):
+        """Place this process's slice of a host batch into the global
+        mp-sharded array (shared by update/update_colmajor): checks the
+        slice covers exactly this process's range of the real rows, pads
+        the process-local tail, and builds the global array from local
+        data."""
+        shape = list(batch.shape)
+        shape[axis] = self._batch_rows
+        lo, hi = process_slice(bsh, tuple(shape), axis)
+        expect = max(0, min(hi, n) - min(lo, n))
+        assert batch.shape[axis] == expect, \
+            (f"process-local batch has {batch.shape[axis]} rows on axis "
+             f"{axis}; this process owns [{lo}, {hi}) of the {n}-row batch "
+             f"(padded to {self._batch_rows}) -> expected {expect}")
+        if batch.shape[axis] < hi - lo:      # tail pad, process-local
+            width = [(0, 0)] * batch.ndim
+            width[axis] = (0, hi - lo - batch.shape[axis])
+            batch = np.pad(batch, width)
+        return jax.make_array_from_process_local_data(bsh, batch,
+                                                      tuple(shape))
+
     def _fold(self, batch, offset: int, n: int,
               colmajor: bool = False) -> None:
         """Dispatch one fold at the controller-chosen screen tier and keep
         the repair diagnostics pending for the next call's harvest (the
-        adaptive escalation of ops.knn.StreamingKNN, diag psum'd over the
+        adaptive escalation of ops.knn.StreamingKNN, diag pmax'd over the
         mesh — diagnostics are only requested when the screened kernel
         actually engages, so exact/verified folds stay diagnostics-free
         and fully async)."""
@@ -363,7 +366,6 @@ class ShardedStreamingKNN:
         from neighborhoodwatch_tpu.ops.knn import (
             SCREEN_TIER_AUTO_LADDER, advance_screen_tier,
         )
-        import numpy as np
 
         shard_rows = self._batch_rows // self.mp
         # self.engine is already resolved (_trace_safe_engine in __init__)
@@ -427,7 +429,6 @@ class ShardedStreamingKNN:
         the latter materialized the whole batch (twice) on chip 0
         (r3 review). On a mesh spanning processes, pass this process's
         COLUMN-slice plus `global_rows` (same contract as update())."""
-        import numpy as np
         from jax.sharding import NamedSharding
 
         if offset is None:
@@ -446,18 +447,7 @@ class ShardedStreamingKNN:
         bsh = NamedSharding(self.mesh, P(None, MP_AXIS))
         batch_t = np.asarray(batch_t, dtype=np.float32)
         if multiproc:
-            lo, hi = process_slice(bsh, (batch_t.shape[0], self._batch_rows),
-                                   1)
-            expect = max(0, min(hi, n) - min(lo, n))
-            assert batch_t.shape[1] == expect, \
-                (f"process-local batch has {batch_t.shape[1]} columns; this "
-                 f"process owns columns [{lo}, {hi}) of the {n}-row batch "
-                 f"(padded to {self._batch_rows}) -> expected {expect}")
-            if batch_t.shape[1] < hi - lo:
-                batch_t = np.pad(
-                    batch_t, ((0, 0), (0, hi - lo - batch_t.shape[1])))
-            batch_t = jax.make_array_from_process_local_data(
-                bsh, batch_t, (batch_t.shape[0], self._batch_rows))
+            batch_t = self._local_shard(batch_t, bsh, 1, n)
         else:
             pad = self._batch_rows - n
             if pad:
@@ -484,7 +474,6 @@ class ShardedStreamingKNN:
         multi-process mesh the dp-sharded state is allgathered so every
         process returns the FULL arrays (each host can then decide to
         write the checkpoint file; compute_knn_ds writes on process 0)."""
-        import numpy as np
         if jax.process_count() > 1 and not self.state[0].is_fully_addressable:
             from jax.experimental import multihost_utils
             return (np.asarray(
@@ -504,7 +493,6 @@ class ShardedStreamingKNN:
         expect = self.state[0].shape
         assert dist.shape == expect and idx.shape == expect, \
             (dist.shape, expect)
-        import numpy as np
         qsh = NamedSharding(self.mesh, P(DP_AXIS, None))
         if jax.process_count() > 1:
             # every process holds the full checkpoint arrays (the
