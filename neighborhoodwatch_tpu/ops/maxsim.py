@@ -196,9 +196,11 @@ def _maxsim_select(queries, q_mask, docs, d_mask, cand_neg, cand_doc,
     merge_n = n4[:, :, : keep - 1, :].reshape(q_count, -1)
     merge_d = d4[:, :, : keep - 1, :].reshape(q_count, -1)
 
-    negk, sel = jax.lax.top_k(-merge_n, m)
-    scr = -negk                                   # ascending negated score
-    doc_m = jnp.take_along_axis(merge_d, sel, axis=1)
+    # smallest-m of the negated scores: stable pair-sort + slice below the
+    # ~14k-width crossover, TopK beyond (ops.knn._merge_select's measured
+    # rule; identical selection + order either way)
+    from neighborhoodwatch_tpu.ops.knn import _merge_select
+    scr, doc_m = _merge_select(merge_n, merge_d, m)
     doc_m = jnp.minimum(doc_m, docs.shape[0] - 1)  # padded megas decode past D
 
     q_pad = (-q_count) % block
