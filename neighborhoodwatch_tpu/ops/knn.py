@@ -650,6 +650,56 @@ def advance_screen_tier(cur_idx: int, diag_idx: int, diag, q_rows: int,
     return cur_idx
 
 
+class ScreenTierController:
+    """Adaptive screen-tier ladder state shared by the streaming
+    accumulators (StreamingKNN / ShardedStreamingKNN): escalate via
+    `advance_screen_tier` when a batch's repair diagnostics threaten the
+    Chernoff budgets, and DE-ESCALATE one level after `DOWN_AFTER`
+    consecutive clean batches at an elevated tier — a long heterogeneous
+    stream that crossed one clustered region should not pay the elevated
+    tier for its remaining millions of rows. De-escalation can thrash on
+    a corpus that is persistently marginal (down -> one repair-heavy
+    batch -> up), but the hysteresis bounds that to ~one elevated-cost
+    batch per DOWN_AFTER+1, a few percent — and every batch is exact at
+    every tier regardless."""
+
+    DOWN_AFTER = 16
+
+    def __init__(self):
+        self.tier_idx = 0
+        self._streak = 0
+
+    @property
+    def tier_arg(self) -> str:
+        return SCREEN_TIER_AUTO_LADDER[self.tier_idx]
+
+    def observe(self, diag, diag_idx: int, q_rows: int, n_rows: int,
+                k: int) -> None:
+        """Fold one batch's (class-A, class-B, escalated) counts, taken at
+        ladder level `diag_idx`, into the tier decision."""
+        before = self.tier_idx
+        self.tier_idx = advance_screen_tier(self.tier_idx, diag_idx, diag,
+                                            q_rows, n_rows, k)
+        if self.tier_idx != before or diag_idx != before:
+            self._streak = 0
+            return
+        if self.tier_idx == 0:
+            return
+        n_bin, n_full, escal = (int(x) for x in np.asarray(diag))
+        tier, _ = resolve_screen_tier(SCREEN_TIER_AUTO_LADDER[diag_idx])
+        na = _chernoff_budget(q_rows, _BIN_FLAG_RATE[
+            screen_kernel.PASSES[tier]], k)
+        clean = not escal and n_full == 0 and n_bin <= na // 4
+        self._streak = self._streak + 1 if clean else 0
+        if self._streak >= self.DOWN_AFTER:
+            self.tier_idx -= 1
+            self._streak = 0
+            import sys
+            print(f"  [screen tier] de-escalating to "
+                  f"'{SCREEN_TIER_AUTO_LADDER[self.tier_idx]}' after "
+                  f"{self.DOWN_AFTER} clean batches", file=sys.stderr)
+
+
 def resolve_screen_tier(screen_precision: str) -> tuple[str, bool]:
     """Resolve a screen-precision request to (tier, lean_plan).
 
@@ -1077,33 +1127,38 @@ class StreamingKNN:
         self.state = (jnp.full((q, k), jnp.inf, dtype=jnp.float32),
                       jnp.zeros((q, k), dtype=jnp.int32))
         self._seen = 0
-        # adaptive tier controller state (screen_precision == "auto"):
-        # start at the fast lean 1-pass tier; per-batch repair diagnostics
+        # adaptive tier controller (screen_precision == "auto"): start at
+        # the fast lean 1-pass tier; per-batch repair diagnostics
         # (harvested one batch late, at the stream's existing sync point)
         # escalate the ladder when a clustered corpus threatens the
-        # in-trace repair budgets. Every tier is exact, so escalation is
-        # purely a perf decision and mixing tiers across batches is fine.
-        self._tier_idx = 0
+        # in-trace repair budgets, and de-escalate after a sustained
+        # clean streak. Every tier is exact, so tier moves are purely a
+        # perf decision and mixing tiers across batches is fine.
+        self._ctrl = ScreenTierController()
         self._pending_diag = None      # (diag, tier_idx, q_rows, n_rows)
 
     # ladder level -> screen_precision arg ("auto" = lean 1-pass plan)
     _LADDER_ARGS = SCREEN_TIER_AUTO_LADDER
 
+    @property
+    def _tier_idx(self) -> int:
+        """Current ladder level (bench/test observability)."""
+        return self._ctrl.tier_idx
+
     def _harvest_diag(self) -> None:
-        """Read the PREVIOUS screened batch's repair diagnostics and
-        escalate the tier if they threaten the repair budgets. Called
-        AFTER dispatching the current batch: the np read blocks until the
-        previous batch completes, and reading before the dispatch would
-        serialize this batch's transfer behind that compute, losing the
-        one-batch overlap the streaming loop maintains (r4 review —
-        escalation lags one extra batch, a fine trade). No extra device
-        syncs beyond the loop's existing backpressure."""
+        """Feed the PREVIOUS screened batch's repair diagnostics to the
+        tier controller. Called AFTER dispatching the current batch: the
+        np read blocks until the previous batch completes, and reading
+        before the dispatch would serialize this batch's transfer behind
+        that compute, losing the one-batch overlap the streaming loop
+        maintains (r4 review — tier moves lag one extra batch, a fine
+        trade). No extra device syncs beyond the loop's existing
+        backpressure."""
         if self._pending_diag is None:
             return
         diag, tier_idx, q_rows, n_rows = self._pending_diag
         self._pending_diag = None
-        self._tier_idx = advance_screen_tier(self._tier_idx, tier_idx, diag,
-                                             q_rows, n_rows, self.k)
+        self._ctrl.observe(diag, tier_idx, q_rows, n_rows, self.k)
 
     def update(self, base_batch, offset: int | None = None) -> None:
         if offset is None:
@@ -1113,7 +1168,7 @@ class StreamingKNN:
         n = base_batch.shape[0]
         eng = _select_engine(self.engine, n)
         if eng == "screened" and self.screen_precision == "auto":
-            used_tier = self._tier_idx
+            used_tier = self._ctrl.tier_idx
             base_batch = jnp.asarray(base_batch, dtype=jnp.float32)
             d, i, diag = screened_knn_traced(
                 self.query, base_batch, n, offset, min(self.k, n),

@@ -244,9 +244,10 @@ class ShardedStreamingKNN:
         self.dp = mesh.shape[DP_AXIS]
         self.mp = mesh.shape[MP_AXIS]
         # adaptive screen-tier controller (screen_precision == "auto"):
-        # same ladder + per-batch repair-diagnostics harvest as
-        # ops.knn.StreamingKNN, with the diag pmax'd across shards
-        self._tier_idx = 0
+        # same ladder/escalation/de-escalation as ops.knn.StreamingKNN,
+        # with the diag pmax'd across shards
+        from neighborhoodwatch_tpu.ops.knn import ScreenTierController
+        self._ctrl = ScreenTierController()
         self._pending_diag = None     # (diag, tier_idx, q_rows, shard_rows)
 
         qsh = NamedSharding(mesh, P(DP_AXIS, None))
@@ -363,16 +364,15 @@ class ShardedStreamingKNN:
         actually engages, so exact/verified folds stay diagnostics-free
         and fully async)."""
         from neighborhoodwatch_tpu.ops import screen_kernel
-        from neighborhoodwatch_tpu.ops.knn import (
-            SCREEN_TIER_AUTO_LADDER, advance_screen_tier,
-        )
+        from neighborhoodwatch_tpu.ops.knn import SCREEN_TIER_AUTO_LADDER
 
         shard_rows = self._batch_rows // self.mp
         # self.engine is already resolved (_trace_safe_engine in __init__)
         adaptive = (self.screen_precision == "auto"
                     and self.engine == "screened"
                     and shard_rows >= screen_kernel.MEGA)
-        tier = (SCREEN_TIER_AUTO_LADDER[self._tier_idx]
+        used_tier = self._ctrl.tier_idx
+        tier = (SCREEN_TIER_AUTO_LADDER[used_tier]
                 if self.screen_precision == "auto"
                 else self.screen_precision)
         run_d, run_i = self.state
@@ -383,7 +383,7 @@ class ShardedStreamingKNN:
             tier, colmajor=colmajor, with_diagnostics=adaptive)
         if adaptive:
             self.state = (out[0], out[1])
-            new_diag = (out[2], self._tier_idx,
+            new_diag = (out[2], used_tier,
                         self.state[0].shape[0] // self.dp, shard_rows)
         else:
             self.state = out
@@ -391,14 +391,17 @@ class ShardedStreamingKNN:
         # harvest the PREVIOUS batch's diagnostics AFTER dispatching this
         # one: the np read blocks until batch b-1 completes, and doing it
         # before the dispatch serialized b's transfer behind b-1's compute
-        # (r4 review — escalation now lags one extra batch, a fine trade)
+        # (r4 review — tier moves now lag one extra batch, a fine trade)
         if adaptive and self._pending_diag is not None:
             diag, t_idx, q_loc, sh_rows = self._pending_diag
-            worst = np.asarray(diag)             # worst shard (pmax)
-            self._tier_idx = advance_screen_tier(self._tier_idx, t_idx,
-                                                 worst, q_loc, sh_rows,
-                                                 self.k)
+            self._ctrl.observe(np.asarray(diag), t_idx, q_loc, sh_rows,
+                               self.k)
         self._pending_diag = new_diag
+
+    @property
+    def _tier_idx(self) -> int:
+        """Current ladder level (bench/test observability)."""
+        return self._ctrl.tier_idx
 
     def local_update_range(self, n_rows: int, colmajor: bool = False):
         """[start, stop) of the NEXT `n_rows`-row batch this process must

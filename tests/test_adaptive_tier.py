@@ -67,6 +67,31 @@ def test_advance_tier_ignores_stale_and_caps():
                                  10) == 2
 
 
+def test_controller_deescalates_after_clean_streak():
+    """One clustered region must not condemn a 100M-row stream to the
+    elevated tier forever: after DOWN_AFTER consecutive clean batches the
+    controller steps back down (hysteresis bounds any thrash)."""
+    ctrl = K.ScreenTierController()
+    q, n = 10_000, 1_000_000
+    ctrl.observe(np.array([0, 0, 1]), 0, q, n, 100)      # hard escalation
+    assert ctrl.tier_idx == 1
+    for _ in range(ctrl.DOWN_AFTER - 1):
+        ctrl.observe(np.array([0, 0, 0]), 1, q, n, 100)
+    assert ctrl.tier_idx == 1                            # not yet
+    ctrl.observe(np.array([0, 0, 0]), 1, q, n, 100)
+    assert ctrl.tier_idx == 0                            # back to lean
+    # a non-clean batch resets the streak
+    ctrl.observe(np.array([0, 0, 1]), 0, q, n, 100)
+    assert ctrl.tier_idx == 1
+    ctrl.observe(np.array([0, 5, 0]), 1, q, n, 100)      # class-B activity
+    for _ in range(ctrl.DOWN_AFTER - 1):
+        ctrl.observe(np.array([0, 0, 0]), 1, q, n, 100)
+    assert ctrl.tier_idx == 1                            # streak was reset
+    # stale diagnostics (taken at another tier) neither move nor count
+    ctrl.observe(np.array([0, 0, 0]), 0, q, n, 100)
+    assert ctrl.tier_idx == 1
+
+
 def test_resolve_screen_tier():
     assert K.resolve_screen_tier("auto") == ("default", True)
     assert K.resolve_screen_tier("medium") == ("medium", False)
