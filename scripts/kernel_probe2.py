@@ -39,6 +39,9 @@ def timeit(name, fn, iters=ITERS):
 VARIANTS = {
     "shipped": dict(sub=112),
     "dk512": dict(sub=112, dk_max=512),
+    "dk384": dict(sub=112, dk_max=384),
+    "dk256": dict(sub=112, dk_max=256),
+    "dk128": dict(sub=112, dk_max=128),
     "tb2048_dk256": dict(sub=56, tb=2048, dk_max=256),
     "tb2048_dk384": dict(sub=56, tb=2048, dk_max=384),
 }
