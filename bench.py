@@ -700,9 +700,9 @@ def main():
     args = parser.parse_args()
 
     if args.screen_precision is None:
-        # mode-aware tier default (see the flag's help text): the kNN
-        # headline runs the LIBRARY default — no bench-only tuning (r4)
-        args.screen_precision = "high" if args.maxsim else "auto"
+        # the LIBRARY default everywhere — no bench-only tuning (r4);
+        # since r5 MaxSim "auto" is the adaptive stream controller
+        args.screen_precision = "auto"
 
     if args.small:
         args.queries, args.base, args.dim, args.k = 256, 20_000, 384, 10

@@ -351,11 +351,13 @@ Some example commands:\n
     args = parser.parse_args(argv)
 
     if args.screen_precision is None:
-        # mode-aware tier default (see the flag's help text): the flat
-        # token-kNN path takes the library "auto" tier; MaxSim keeps the
-        # 3-pass tier (the only one whose sound certificate holds on
-        # concentrated MaxSim score distributions)
-        args.screen_precision = "high" if args.maxsim else "auto"
+        # "auto" everywhere since r5: the kNN paths run the lean 1-pass
+        # ladder, and the MaxSim streams run the adaptive controller
+        # (start at the 3-pass tier — the only one whose sound
+        # certificate holds on concentrated score distributions — and
+        # downshift when the batch diagnostics predict a cheaper tier
+        # certifies; ops.maxsim.MaxSimTierController)
+        args.screen_precision = "auto"
 
     assert args.model_name == EmbeddingModelName.COLBERT_V2.value, \
         "`ck` program is reserved for the ColBERT model"

@@ -129,7 +129,7 @@ def _read_doc_tokens(filename: str):
 def compute_maxsim_knn(data_dir, query_filename, base_filename, k,
                        tile_docs=None, precision="highest",
                        batch_rows=500_000, checkpoint_every=2, mesh=None,
-                       screen_precision="high"):
+                       screen_precision="auto"):
     """Doc-level ColBERT MaxSim ground truth: for every query passage,
     the top-k base passages by sum-of-max token similarity.
 

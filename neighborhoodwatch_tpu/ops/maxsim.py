@@ -169,10 +169,48 @@ def maxsim_topk(queries, q_mask, docs, d_mask, k: int,
     return run_s, run_i
 
 
-@partial(jax.jit, static_argnames=("k", "m", "block", "passes"))
+def _maxsim_tier_eps(queries, q_mask, q_scale, d_max, dlo_max, rerank_acc,
+                     g_sum, dim: int, passes: int):
+    """Per-query screening-error bound of a `passes`-pass MaxSim screen on
+    the score scale (the SOUND data-dependent eps — one definition shared
+    by the certificate and the adaptive tier probe, which evaluates it
+    for tiers OTHER than the one that ran). See _maxsim_select for the
+    derivation of each term."""
+    from neighborhoodwatch_tpu.ops import maxsim_kernel as mk
+
+    if passes >= 3:
+        # bf16x3 residual + worst-case fp32 accumulation + quantization
+        return mk.maxsim_eps3_rel(dim) * q_scale * d_max + rerank_acc
+    # 2-pass drops q_t . d_lo,s (d_lo = d - bf16(d), exactly
+    # representable by Sterbenz): per token <= |q_t| * max||d_lo||,
+    # computed from the data (~2.9x tighter than the static 2^-8
+    # worst case), PLUS the q-side double rounding — the kernel ships
+    # bf16(q_lo), dropping (q_lo - bf16(q_lo)) . d_hi (r3 review);
+    # + worst-case fp32 accumulation and key quantization on the
+    # score scale (mk.maxsim_acc_rel — one definition with the
+    # 3-pass bound)
+    eps = q_scale * dlo_max + rerank_acc \
+        + (mk.maxsim_acc_rel(dim) + mk.PACK_EPS_REL) * q_scale * d_max
+    # bf16_round, not astype: the astype round-trip folds to the
+    # identity under jit on TPU, zeroing qlo/qres and silently
+    # shrinking eps (screen_kernel.bf16_round doc)
+    qhi = mk.bf16_round(queries)
+    qlo = queries - qhi                        # exact (Sterbenz)
+    if passes == 1:
+        qres = qlo                             # drops q_lo . d_hi whole
+    else:
+        qres = qlo - mk.bf16_round(qlo)
+    qres_n = jnp.linalg.norm(qres, axis=2)
+    qres_scale = jnp.sum(jnp.where(q_mask, qres_n, 0.0), axis=1) * g_sum
+    # ||d_hi|| <= (1 + 2^-8) ||d||
+    return eps + qres_scale * 1.004 * d_max
+
+
+@partial(jax.jit, static_argnames=("k", "m", "block", "passes",
+                                   "with_diagnostics"))
 def _maxsim_select(queries, q_mask, docs, d_mask, cand_neg, cand_doc,
                    k: int, m: int, block: int = 128, passes: int = 3,
-                   doc_stats=None):
+                   doc_stats=None, with_diagnostics: bool = False):
     """Top-M merge of screened MaxSim candidates + exact fp32 re-rank +
     exactness certificate + in-trace class-A repair (the MaxSim analog of
     ops.knn._screened_select AND screened_knn_traced's suspicious-bin
@@ -184,7 +222,18 @@ def _maxsim_select(queries, q_mask, docs, d_mask, cand_neg, cand_doc,
     actual bf16 residual norms (cf. ops.knn._screen_err_bounds).
     `doc_stats` is screen_maxsim's fused (2,) [d_max, dlo_max] — without
     it the fallback here re-reads (and re-converts) the whole doc tensor
-    for the same two statistics (r3 review)."""
+    for the same two statistics (r3 review).
+
+    `with_diagnostics=True` adds a fourth output: a (Q, 2) bool
+    PREDICTION of per-query certificate failure at the cheaper tiers
+    [medium, default], evaluated from this screen's candidates with each
+    tier's own eps — a query is predicted-fail when its eps band would
+    overflow 3/4 of the merge width m or flag more than REPAIR_BINS
+    bins. The prediction is a tier-routing heuristic for the adaptive
+    stream controller (MaxSimTierController), never an exactness input;
+    the caller's doc_stats must then carry a REAL dlo_max
+    (screen_maxsim(..., want_dlo_stat=True)) or the sub-high bands are
+    underestimated and the controller downshifts too eagerly."""
     from neighborhoodwatch_tpu.ops import maxsim_kernel as mk
 
     q_count, tq, dim = queries.shape
@@ -250,7 +299,8 @@ def _maxsim_select(queries, q_mask, docs, d_mask, cand_neg, cand_doc,
         # pass doc_stats; this branch serves direct callers) via the ONE
         # shared definition (r3 review: a local copy could desync)
         doc_stats = mk.doc_cert_stats(docs, d_mask, dim,
-                                      need_dlo=passes < 3)
+                                      need_dlo=passes < 3
+                                      or with_diagnostics)
     d_max, dlo_max = doc_stats[0], doc_stats[1]
     d_max = jnp.maximum(d_max, 1e-6)
     # the re-rank recomputes every candidate score with its OWN fp32
@@ -258,34 +308,8 @@ def _maxsim_select(queries, q_mask, docs, d_mask, cand_neg, cand_doc,
     # MaxSim epilogue has no norms, so unlike ops.knn there is no norm-
     # consistency term; r3 review follow-up)
     rerank_acc = mk.maxsim_acc_rel(dim) * q_scale * d_max
-    if passes >= 3:
-        # bf16x3 residual + worst-case fp32 accumulation + quantization
-        eps = mk.maxsim_eps3_rel(dim) * q_scale * d_max + rerank_acc
-    else:
-        # 2-pass drops q_t . d_lo,s (d_lo = d - bf16(d), exactly
-        # representable by Sterbenz): per token <= |q_t| * max||d_lo||,
-        # computed from the data (~2.9x tighter than the static 2^-8
-        # worst case), PLUS the q-side double rounding — the kernel ships
-        # bf16(q_lo), dropping (q_lo - bf16(q_lo)) . d_hi (r3 review);
-        # + worst-case fp32 accumulation and key quantization on the
-        # score scale (mk.maxsim_acc_rel — one definition with the
-        # 3-pass bound)
-        eps = q_scale * dlo_max + rerank_acc \
-            + (mk.maxsim_acc_rel(dim) + mk.PACK_EPS_REL) * q_scale * d_max
-        # bf16_round, not astype: the astype round-trip folds to the
-        # identity under jit on TPU, zeroing qlo/qres and silently
-        # shrinking eps (screen_kernel.bf16_round doc)
-        qhi = mk.bf16_round(queries)
-        qlo = queries - qhi                        # exact (Sterbenz)
-        if passes == 1:
-            qres = qlo                             # drops q_lo . d_hi whole
-        else:
-            qres = qlo - mk.bf16_round(qlo)
-        qres_n = jnp.linalg.norm(qres, axis=2)
-        qres_scale = jnp.sum(jnp.where(q_mask, qres_n, 0.0),
-                             axis=1) * g_sum
-        # ||d_hi|| <= (1 + 2^-8) ||d||
-        eps = eps + qres_scale * 1.004 * d_max
+    eps = _maxsim_tier_eps(queries, q_mask, q_scale, d_max, dlo_max,
+                           rerank_acc, g_sum, dim, passes)
     thresh = (-tau + eps)[:, None]
 
     cert_bins = jnp.min(cert_last, axis=(1, 2)) >= thresh[:, 0]
@@ -408,7 +432,30 @@ def _maxsim_select(queries, q_mask, docs, d_mask, cand_neg, cand_doc,
     # queries; anything past the budget keeps ok=False and escalates
     repaired = jnp.zeros((q_count,), bool).at[rows_a].set(take_a)
     ok = jnp.logical_or(ok, repaired)
-    return sk, doc_k, ok
+    if not with_diagnostics:
+        return sk, doc_k, ok
+
+    # ---- adaptive-tier probe: predicted failure at the cheaper tiers ----
+    # Evaluated from THIS screen's candidates with each cheaper tier's own
+    # eps band: the band occupancy (vs 3/4 of the merge width, headroom
+    # for selection differences at the cheaper screen) and the flagged-bin
+    # count (vs the class-A repair's REPAIR_BINS) are exactly the two
+    # statistics whose overflow makes a sub-high tier escalate. A NaN
+    # thresh (garbage data) predicts failure — the sound direction.
+    pred = []
+    for p in (2, 1):
+        eps_p = _maxsim_tier_eps(queries, q_mask, q_scale, d_max, dlo_max,
+                                 rerank_acc, g_sum, dim, p)
+        thr_p = (-tau + eps_p)[:, None]
+        band_p = jnp.sum((merge_n < thr_p).astype(jnp.int32), axis=1)
+        susp_p = jnp.sum((cert_last < thr_p[:, :, None]).astype(jnp.int32),
+                         axis=(1, 2))
+        pfail = jnp.logical_or(band_p > (3 * m) // 4,
+                               susp_p > REPAIR_BINS)
+        pred.append(jnp.logical_or(pfail,
+                                   jnp.logical_not(
+                                       jnp.isfinite(thr_p[:, 0]))))
+    return sk, doc_k, ok, jnp.stack(pred, axis=1)
 
 
 def maxsim_bin_cap(n_docs: int) -> int:
@@ -422,14 +469,104 @@ def maxsim_bin_cap(n_docs: int) -> int:
 
 
 def resolve_maxsim_tier(screen_precision: str) -> str:
-    """Resolve the tier knob for the MaxSim paths. "auto" (the shared
-    CLI/bench default since r4) means "high" here: with the sound eps only
-    the 3-pass certificate holds on concentrated MaxSim score
-    distributions (maxsim_screen_plan's measurement record) — the kNN
-    engine's lean 1-pass auto would escalate every query. Sub-high tiers
-    stay explicit opt-ins for wide-score-gap corpora
-    (tests/test_maxsim_tiers.py)."""
+    """Resolve the tier knob for a SINGLE MaxSim call. "auto" means
+    "high" here: with the sound eps only the 3-pass certificate holds on
+    concentrated MaxSim score distributions (maxsim_screen_plan's
+    measurement record) — the kNN engine's lean 1-pass auto would
+    escalate every query, and a one-shot call has no batch history to
+    learn from. The STREAMING accumulators treat "auto" adaptively
+    instead (MaxSimTierController): start high, downshift when the
+    high-tier batches' free diagnostics predict the cheaper tier
+    certifies (wide-score-gap corpora — 2.1x, tests/test_maxsim_tiers.py),
+    re-escalate on realized failures."""
     return "high" if screen_precision == "auto" else screen_precision
+
+
+# adaptive-stream ladder, SAFEST first (index 0 = the tier that always
+# certifies); downshifts move right, re-escalations move left. The
+# direction is inverted vs ops.knn.SCREEN_TIER_AUTO_LADDER because the
+# economics invert: kNN's 1-pass certificates hold on realistic corpora
+# (start cheap, escalate on repairs), MaxSim's concentrate-and-fail
+# (start safe, downshift only when the high-tier probe says the cheap
+# band is sparse — a blind cheap start would pay a wholesale escalation
+# on the very first concentrated batch).
+MAXSIM_TIER_LADDER = ("high", "medium", "default")
+
+
+class MaxSimTierController:
+    """Adaptive screen-tier state for the MaxSim streaming accumulators
+    (StreamingMaxSim / ShardedStreamingMaxSim) — the MaxSim counterpart
+    of ops.knn.ScreenTierController, with the inverted ladder direction
+    (see MAXSIM_TIER_LADDER).
+
+    Every batch screened with diagnostics yields (a) the realized
+    certificate-failure count at the tier that ran and (b) per-query
+    PREDICTED failure at the two cheaper tiers, evaluated from the same
+    screen's candidates with each tier's own sound eps band
+    (_maxsim_select's probe — free: no extra device passes beyond one
+    doc-residual statistic). The controller downshifts to the cheapest
+    tier predicted clean for DOWN_AFTER consecutive batches, and
+    re-escalates one rung the moment realized failures exceed FAIL_FRAC
+    of the queries (those queries already paid the per-call escalation
+    to the 3-pass screen, so the damage is one batch deep). Each
+    re-escalation doubles the streak required before the next downshift
+    (capped), so a persistently marginal corpus converges to the safe
+    tier instead of thrashing. Every tier is exact — tier moves are
+    purely a perf decision (VERDICT r4 item 3)."""
+
+    DOWN_AFTER = 2
+    FAIL_FRAC = 0.05
+    MAX_DOWN_AFTER = 32
+
+    def __init__(self):
+        self.tier_idx = 0
+        self._streak = 0
+        self._target = 0
+        self._down_need = self.DOWN_AFTER
+
+    @property
+    def tier_arg(self) -> str:
+        return MAXSIM_TIER_LADDER[self.tier_idx]
+
+    def observe(self, diag, diag_idx: int, q_rows: int) -> None:
+        """Fold one batch's diagnostics, taken at ladder level
+        `diag_idx`: diag = (n_fail_realized, pred_fail_medium,
+        pred_fail_default) query counts."""
+        import sys
+        if diag_idx != self.tier_idx:
+            self._streak = 0
+            return
+        n_fail, pred_med, pred_low = (int(x) for x in np.asarray(diag))
+        if self.tier_idx > 0 and n_fail > max(1, int(q_rows
+                                                     * self.FAIL_FRAC)):
+            self.tier_idx -= 1
+            self._streak = 0
+            self._down_need = min(self.MAX_DOWN_AFTER, 2 * self._down_need)
+            print(f"  [maxsim tier] re-escalating to "
+                  f"'{MAXSIM_TIER_LADDER[self.tier_idx]}' "
+                  f"({n_fail}/{q_rows} certificates failed; the failed "
+                  f"queries were repaired exactly via escalation)",
+                  file=sys.stderr)
+            return
+        # cheapest tier predicted clean (within the per-batch tolerance)
+        tol = max(1, q_rows // 50)
+        target = self.tier_idx
+        if pred_med <= tol:
+            target = max(target, 1)
+        if pred_low <= tol:
+            target = max(target, 2)
+        if target <= self.tier_idx:
+            self._streak = 0
+            return
+        self._streak = self._streak + 1 if target == self._target else 1
+        self._target = target
+        if self._streak >= self._down_need:
+            self.tier_idx = target
+            self._streak = 0
+            print(f"  [maxsim tier] downshifting to "
+                  f"'{MAXSIM_TIER_LADDER[self.tier_idx]}' (the cheap-tier "
+                  f"eps band held for {self._down_need} consecutive "
+                  f"batches) — exactness unaffected", file=sys.stderr)
 
 
 def maxsim_screen_plan(n_docs: int, k: int, td: int, dim: int,
@@ -471,7 +608,8 @@ def maxsim_screen_plan(n_docs: int, k: int, td: int, dim: int,
 
 def maxsim_topk_screened(queries, q_mask, docs, d_mask, k: int,
                          m: int | None = None,
-                         screen_precision: str = "high"):
+                         screen_precision: str = "high",
+                         with_diagnostics: bool = False):
     """Exact top-k documents by MaxSim via the fused Pallas screen kernel
     (ops/maxsim_kernel.py) + certified fp32 re-rank. ~20x the XLA path's
     throughput on TPU for large doc sets. `screen_precision` trades MXU
@@ -486,7 +624,15 @@ def maxsim_topk_screened(queries, q_mask, docs, d_mask, k: int,
     failures on the 1k x 50k long-doc workload). Remaining failed
     queries at a sub-high tier escalate to the 3-pass screen (~4x
     cheaper than the exact XLA path); residual 3-pass failures (count
-    overflows / >2-bin collisions) fall back to the exact XLA path."""
+    overflows / >2-bin collisions) fall back to the exact XLA path.
+
+    `with_diagnostics=True` returns (scores, idx, diag) where diag is a
+    host (3,) int array (realized certificate failures, predicted
+    failures at the medium tier, predicted failures at the default tier)
+    for the adaptive stream controller — or None when the screen could
+    not run at all (maxsim_screen_plan said no). Costs one extra
+    doc-residual statistic pass; no extra device syncs (the ok
+    certificate is fetched either way)."""
     from neighborhoodwatch_tpu.ops import maxsim_kernel as mk
     from neighborhoodwatch_tpu.ops.screen_kernel import PASSES
     screen_precision = resolve_maxsim_tier(screen_precision)
@@ -502,17 +648,24 @@ def maxsim_topk_screened(queries, q_mask, docs, d_mask, k: int,
     plan_m, block, plan_ok = maxsim_screen_plan(
         n_docs, k, docs.shape[1], docs.shape[2], passes=passes)
     if not plan_ok:   # k unrepresentable / gather unaffordable -> exact
-        return maxsim_topk(queries, q_mask, docs, d_mask, k=k,
+        s, i = maxsim_topk(queries, q_mask, docs, d_mask, k=k,
                            tile_docs=2048)
+        return (s, i, None) if with_diagnostics else (s, i)
     if m is None:
         m = plan_m
     m = min(max(m, k), maxsim_bin_cap(n_docs))
 
     cand_neg, cand_doc, _, doc_stats = mk.screen_maxsim(
-        queries, q_mask, docs, d_mask, screen_precision=screen_precision)
-    scores, idx, ok = _maxsim_select(queries, q_mask, docs, d_mask,
-                                     cand_neg, cand_doc, k, m, block=block,
-                                     passes=passes, doc_stats=doc_stats)
+        queries, q_mask, docs, d_mask, screen_precision=screen_precision,
+        want_dlo_stat=with_diagnostics)
+    out = _maxsim_select(queries, q_mask, docs, d_mask,
+                         cand_neg, cand_doc, k, m, block=block,
+                         passes=passes, doc_stats=doc_stats,
+                         with_diagnostics=with_diagnostics)
+    if with_diagnostics:
+        scores, idx, ok, pred_fail = out
+    else:
+        scores, idx, ok = out
     ok_host = np.asarray(ok)
     if not ok_host.all():
         bad = np.nonzero(~ok_host)[0]
@@ -533,6 +686,12 @@ def maxsim_topk_screened(queries, q_mask, docs, d_mask, k: int,
         idx = np.array(idx)
         scores[bad] = np.asarray(s_f)[:n_bad]
         idx[bad] = np.asarray(i_f)[:n_bad]
+    if with_diagnostics:
+        pf = np.asarray(pred_fail)
+        diag = np.array([int((~ok_host).sum()),
+                         int(pf[:, 0].sum()), int(pf[:, 1].sum())],
+                        dtype=np.int64)
+        return scores, idx, diag
     return scores, idx
 
 
@@ -545,7 +704,14 @@ class StreamingMaxSim:
     pipeline to stream a corpus that never fits in HBM at once."""
 
     def __init__(self, queries, q_mask, k: int, precision: str = "highest",
-                 engine: str = "auto", screen_precision: str = "high"):
+                 engine: str = "auto", screen_precision: str = "auto"):
+        # "auto" on a STREAM is adaptive (MaxSimTierController): start at
+        # the always-certifying 3-pass tier, downshift when the batches'
+        # free diagnostics predict a cheaper tier certifies (2.1x on
+        # wide-score-gap corpora), re-escalate on realized failures.
+        # Every tier is exact; the ladder only prices the repair work.
+        self._adaptive = screen_precision == "auto"
+        self._ctrl = MaxSimTierController() if self._adaptive else None
         screen_precision = resolve_maxsim_tier(screen_precision)
         self.queries = jnp.asarray(queries, dtype=jnp.float32)
         self.q_mask = jnp.asarray(q_mask, dtype=bool)
@@ -581,9 +747,22 @@ class StreamingMaxSim:
         run_s, run_i = self.state
         if engine == "screened":
             kk = min(self.k, n)
-            ts, ti = maxsim_topk_screened(
-                self.queries, self.q_mask, doc_tile, tile_mask, k=kk,
-                screen_precision=self.screen_precision)
+            if self._adaptive:
+                tier_idx = self._ctrl.tier_idx
+                ts, ti, diag = maxsim_topk_screened(
+                    self.queries, self.q_mask, doc_tile, tile_mask, k=kk,
+                    screen_precision=self._ctrl.tier_arg,
+                    with_diagnostics=True)
+                if diag is not None:
+                    # no harvest delay needed: maxsim_topk_screened syncs
+                    # its ok certificate to the host either way, so the
+                    # diag read adds no device round-trip
+                    self._ctrl.observe(diag, tier_idx,
+                                       self.queries.shape[0])
+            else:
+                ts, ti = maxsim_topk_screened(
+                    self.queries, self.q_mask, doc_tile, tile_mask, k=kk,
+                    screen_precision=self.screen_precision)
             ts = jnp.asarray(ts)
             ti = (jnp.asarray(ti) + offset).astype(jnp.int32)
             md, mi = merge_topk(-run_s, run_i, -ts, ti, self.k)
@@ -598,6 +777,12 @@ class StreamingMaxSim:
     @property
     def docs_seen(self) -> int:
         return self._seen
+
+    @property
+    def _tier_idx(self) -> int:
+        """Current adaptive ladder level (bench/test observability);
+        0 = "high". Always 0 when a fixed tier was requested."""
+        return self._ctrl.tier_idx if self._adaptive else 0
 
     def force_state(self, state) -> None:
         """Backpressure sync (see ops.knn.StreamingKNN.force_state)."""

@@ -421,11 +421,12 @@ def _maxsim_screen_call(qhi_t, qlo_t, dhi_t, dlo_t, doc_bias,
 
 @partial(jax.jit, static_argnames=("Qp", "Dp", "tq", "td", "tdc", "db",
                                    "tqr", "dimp", "passes", "interpret",
-                                   "pipelined"))
+                                   "pipelined", "want_dlo_stat"))
 def _screen_exec(queries, q_mask, docs, d_mask, *, Qp: int, Dp: int,
                  tq: int, td: int, tdc: int, db: int, tqr: int,
                  dimp: int, passes: int, interpret: bool,
-                 pipelined: bool = PIPELINED_DEFAULT):
+                 pipelined: bool = PIPELINED_DEFAULT,
+                 want_dlo_stat: bool = False):
     """One fused program: mask/pad/duplicate/bf16-split/relayout the token
     tensors and run the screen kernel. Keeping the prep inside the jit
     matters — as ~12 eager dispatches it measured +0.05s per call on the
@@ -474,7 +475,7 @@ def _screen_exec(queries, q_mask, docs, d_mask, *, Qp: int, Dp: int,
     # fully-masked/padding rows are excluded by d_mask, so masking by
     # d_mask bounds every token that can influence a candidate score.
     doc_stats = doc_cert_stats(docs, d_mask, dim, dhi=dhi,
-                               need_dlo=passes < 3)
+                               need_dlo=passes < 3 or want_dlo_stat)
 
     # device relayouts: tq-major queries, td-major docs
     qhi_t = jnp.swapaxes(qhi, 0, 1)                       # (tq, Qp, dim)
@@ -498,7 +499,8 @@ def _screen_exec(queries, q_mask, docs, d_mask, *, Qp: int, Dp: int,
 def screen_maxsim(queries, q_mask, docs, d_mask, *,
                   screen_precision: str = "medium",
                   interpret: bool | None = None,
-                  pipelined: bool | None = None):
+                  pipelined: bool | None = None,
+                  want_dlo_stat: bool = False):
     """Fused MaxSim screen: (Q, Tq, dim) x (D, Td, dim) -> per-mega-tile
     candidate lists of (negated quantized score, doc id). The last KEEP-slab
     per mega is the certificate slab (4th-best score per 64-doc bin).
@@ -506,7 +508,11 @@ def screen_maxsim(queries, q_mask, docs, d_mask, *,
     Returns (cand_neg, cand_doc, n_mega, doc_stats); doc_stats is the
     (2,) f32 [d_max, dlo_max] certificate statistics, computed fused with
     the screen's operand prep (pass to _maxsim_select to avoid its
-    fallback corpus passes).
+    fallback corpus passes). At the 3-pass tier dlo_max is normally a 0
+    placeholder (the 3-pass eps never reads it); `want_dlo_stat=True`
+    forces the real residual statistic — required when the caller asks
+    _maxsim_select for adaptive-tier diagnostics, whose sub-high eps
+    bands are built from dlo_max.
 
     `screen_precision` picks the MXU passes (cf. the kNN screen tiers):
     "high" = bf16x3 (~2^-32), "medium" = full-q x bf16-docs (2 passes —
@@ -566,5 +572,6 @@ def screen_maxsim(queries, q_mask, docs, d_mask, *,
     cand_neg, cand_doc, doc_stats = _screen_exec(
         queries, q_mask, docs, d_mask, Qp=Qp, Dp=Dp, tq=tq, td=td,
         tdc=tdc, db=db, tqr=tqr, dimp=dimp, passes=passes,
-        interpret=interpret, pipelined=pipelined)
+        interpret=interpret, pipelined=pipelined,
+        want_dlo_stat=want_dlo_stat)
     return cand_neg, cand_doc, Dp // MEGA_DOCS, doc_stats

@@ -42,16 +42,24 @@ from neighborhoodwatch_tpu.parallel.sharded_knn import (
 
 
 @partial(jax.jit, static_argnames=("k", "engine", "precision", "mesh", "m",
-                                   "block", "screen_precision"))
+                                   "block", "screen_precision",
+                                   "with_diagnostics"))
 def _sharded_maxsim_tile(queries, q_mask, tile, tmask, offset, n_valid,
                          k: int, engine: str, precision: str, mesh,
                          m: int, block: int,
-                         screen_precision: str = "high"):
+                         screen_precision: str = "high",
+                         with_diagnostics: bool = False):
     """One sharded tile: returns dp-sharded per-tile (scores desc, global
     doc ids, cert_failed) lists. Per-shard selection width is the STATIC
     kk = min(k, shard_docs); m >= kk is guaranteed by the caller's
     maxsim_screen_plan (a dynamic width once crashed ragged tiles —
-    r3 code-review finding #1)."""
+    r3 code-review finding #1).
+
+    `with_diagnostics=True` (screened engine only) appends a dp-sharded
+    (Q, 2) bool output: per-query PREDICTED certificate failure at the
+    [medium, default] tiers, any-reduced over the mp shards (a query is
+    only cheap-tier-feasible for the tile if every shard's band holds) —
+    the adaptive controller's probe, cf. ops.maxsim._maxsim_select."""
     from neighborhoodwatch_tpu.ops import maxsim_kernel as mk
     from neighborhoodwatch_tpu.ops.maxsim import (
         _maxsim_select, maxsim_scores,
@@ -61,6 +69,7 @@ def _sharded_maxsim_tile(queries, q_mask, tile, tmask, offset, n_valid,
     shard_docs = tile.shape[0] // mp
     kk = min(k, shard_docs)
     assert engine != "screened" or m >= kk, (m, kk)
+    assert engine == "screened" or not with_diagnostics
 
     def _shard_fn(q_local, qm_local, t_local, m_local, offset, n_valid):
         my = jax.lax.axis_index(MP_AXIS)
@@ -70,16 +79,23 @@ def _sharded_maxsim_tile(queries, q_mask, tile, tmask, offset, n_valid,
         # padding docs past the tile's real row count lose every token
         m_local = jnp.logical_and(m_local,
                                   (doc_iota < local_valid)[:, None])
+        pf = None
         if engine == "screened":
             from neighborhoodwatch_tpu.ops.screen_kernel import PASSES
             cand_neg, cand_doc, _, doc_stats = mk.screen_maxsim(
                 q_local, qm_local, t_local, m_local,
-                screen_precision=screen_precision)
-            s, i, ok = _maxsim_select(q_local, qm_local, t_local, m_local,
-                                      cand_neg, cand_doc, kk, m,
-                                      block=block,
-                                      passes=PASSES[screen_precision],
-                                      doc_stats=doc_stats)
+                screen_precision=screen_precision,
+                want_dlo_stat=with_diagnostics)
+            out = _maxsim_select(q_local, qm_local, t_local, m_local,
+                                 cand_neg, cand_doc, kk, m,
+                                 block=block,
+                                 passes=PASSES[screen_precision],
+                                 doc_stats=doc_stats,
+                                 with_diagnostics=with_diagnostics)
+            if with_diagnostics:
+                s, i, ok, pf = out
+            else:
+                s, i, ok = out
             fail = jnp.logical_not(ok)
         else:
             scores = maxsim_scores(q_local, qm_local, t_local, m_local,
@@ -93,15 +109,31 @@ def _sharded_maxsim_tile(queries, q_mask, tile, tmask, offset, n_valid,
         all_i = jax.lax.all_gather(i, MP_AXIS)
         all_f = jax.lax.all_gather(fail, MP_AXIS)  # (mp, q_local)
         md, mi = merge_topk_many(-all_s, all_i, min(k, mp * kk))
-        return -md, mi, jnp.any(all_f, axis=0)
+        if pf is None:
+            return -md, mi, jnp.any(all_f, axis=0)
+        all_pf = jax.lax.all_gather(pf, MP_AXIS)   # (mp, q_local, 2)
+        return (-md, mi, jnp.any(all_f, axis=0),
+                jnp.any(all_pf, axis=0))
 
+    out_specs = (P(DP_AXIS, None), P(DP_AXIS, None), P(DP_AXIS))
+    if with_diagnostics:
+        out_specs = out_specs + (P(DP_AXIS, None),)
     return shard_map(
         _shard_fn, mesh=mesh,
         in_specs=(P(DP_AXIS, None, None), P(DP_AXIS, None),
                   P(MP_AXIS, None, None), P(MP_AXIS, None), P(), P()),
-        out_specs=(P(DP_AXIS, None), P(DP_AXIS, None), P(DP_AXIS)),
+        out_specs=out_specs,
         check_vma=False,
     )(queries, q_mask, tile, tmask, offset, n_valid)
+
+
+@jax.jit
+def _replace_rows(ts, ti, ts2, ti2, fail):
+    """Row-replace the escalated tile results into the original lists
+    (dp-sharded (Q, kk) arrays + (Q,) fail mask; jitted so the global
+    where works on multi-process non-addressable arrays)."""
+    f = fail[:, None]
+    return jnp.where(f, ts2, ts), jnp.where(f, ti2, ti)
 
 
 def merge_partial_topk_desc(all_s, all_i, k: int):
@@ -144,11 +176,19 @@ class ShardedStreamingMaxSim:
 
     def __init__(self, queries, q_mask, k: int, mesh,
                  precision: str = "highest", engine: str = "auto",
-                 screen_precision: str = "high"):
-        from neighborhoodwatch_tpu.ops.maxsim import resolve_maxsim_tier
+                 screen_precision: str = "auto"):
+        from neighborhoodwatch_tpu.ops.maxsim import (
+            MaxSimTierController, resolve_maxsim_tier,
+        )
         self.mesh = mesh
         self.k = k
         self.precision = precision
+        # "auto" on a stream is adaptive (cf. ops.maxsim.StreamingMaxSim):
+        # start at the always-certifying high tier, downshift when the
+        # batches' diagnostics predict a cheaper tier certifies,
+        # re-escalate on realized failures. Fixed tiers stay fixed.
+        self._adaptive = screen_precision == "auto"
+        self._ctrl = MaxSimTierController() if self._adaptive else None
         self.screen_precision = resolve_maxsim_tier(screen_precision)
         assert engine in ("auto", "exact", "screened"), \
             (f"unknown engine {engine!r}; expected auto/exact/screened "
@@ -308,9 +348,12 @@ class ShardedStreamingMaxSim:
         kk_shard = min(self.k, shard_docs)
         from neighborhoodwatch_tpu.ops.maxsim import maxsim_screen_plan
         from neighborhoodwatch_tpu.ops.screen_kernel import PASSES
+        used_idx = self._ctrl.tier_idx if self._adaptive else 0
+        used_tier = (self._ctrl.tier_arg if self._adaptive
+                     else self.screen_precision)
         m, block, plan_ok = maxsim_screen_plan(
             shard_docs, kk_shard, td, dim,
-            passes=PASSES[self.screen_precision])
+            passes=PASSES[used_tier])
         engine = self._engine(shard_docs, self.queries.shape[1], plan_ok,
                               dim)
         # a shard with fewer valid docs than its static selection width kk
@@ -335,11 +378,17 @@ class ShardedStreamingMaxSim:
         else:
             tile_d = jax.device_put(doc_tile, tsh)
             mask_d = jax.device_put(tile_mask, msh)
-        ts, ti, fail = _sharded_maxsim_tile(
+        want_diag = self._adaptive and engine == "screened"
+        out = _sharded_maxsim_tile(
             self.queries, self.q_mask, tile_d, mask_d,
             jnp.int32(offset), jnp.int32(n), self.k, engine,
             self.precision, self.mesh, m, block,
-            screen_precision=self.screen_precision)
+            screen_precision=used_tier, with_diagnostics=want_diag)
+        pf = None
+        if want_diag:
+            ts, ti, fail, pf = out
+        else:
+            ts, ti, fail = out
 
         # only the screened path can fail certificates; reading the mask
         # for the exact engine (a traced constant False) synced every
@@ -347,14 +396,36 @@ class ShardedStreamingMaxSim:
         # tiling of batch b+1 against device compute of batch b and
         # breaking the pure-async-dispatch contract colbert_pipeline's
         # backpressure relies on (r3 review)
-        if engine != "screened":
-            fail_h = None
-        elif multiproc and not fail.is_fully_addressable:
-            from jax.experimental import multihost_utils
-            fail_h = np.asarray(
-                multihost_utils.process_allgather(fail, tiled=True))
-        else:
-            fail_h = np.asarray(fail)
+        def _to_host(x):
+            if multiproc and not x.is_fully_addressable:
+                from jax.experimental import multihost_utils
+                return np.asarray(
+                    multihost_utils.process_allgather(x, tiled=True))
+            return np.asarray(x)
+
+        fail_h = None if engine != "screened" else _to_host(fail)
+        if want_diag:
+            # feed the controller BEFORE any escalation: diag reports the
+            # tier that actually ran. The sync is free — the screened
+            # path fetches fail_h either way.
+            pf_h = _to_host(pf)
+            diag = np.array([int(fail_h.sum()), int(pf_h[:, 0].sum()),
+                             int(pf_h[:, 1].sum())])
+            self._ctrl.observe(diag, used_idx, fail_h.shape[0])
+        if fail_h is not None and fail_h.any() and used_tier != "high":
+            # sub-high tier escalation, the sharded analog of
+            # maxsim_topk_screened's: re-run the tile at the 3-pass
+            # screen ON DEVICE (~4x cheaper than the host exact path the
+            # repair below uses) and replace the failed rows; residual
+            # high-tier failures take the host repair as before
+            ts2, ti2, fail2 = _sharded_maxsim_tile(
+                self.queries, self.q_mask, tile_d, mask_d,
+                jnp.int32(offset), jnp.int32(n), self.k, engine,
+                self.precision, self.mesh, m, block,
+                screen_precision="high")
+            ts, ti = _replace_rows(ts, ti, ts2, ti2, fail)
+            fail = fail2
+            fail_h = _to_host(fail)
         if fail_h is not None and fail_h.any():
             # exact host-path repair of certificate failures: REPLACE the
             # failed rows' per-tile lists before folding (a merge would
@@ -436,6 +507,12 @@ class ShardedStreamingMaxSim:
     @property
     def docs_seen(self) -> int:
         return self._seen
+
+    @property
+    def _tier_idx(self) -> int:
+        """Current adaptive ladder level (bench/test observability);
+        0 = "high". Always 0 when a fixed tier was requested."""
+        return self._ctrl.tier_idx if self._adaptive else 0
 
     def force_state(self, state) -> None:
         """Backpressure sync: one 4-byte element per distinct local shard

@@ -153,9 +153,12 @@ def test_sharded_maxsim_forced_repair_is_exact(monkeypatch):
 
     def failing_select(*args, **kwargs):
         calls.append(1)
-        sk_, dk_, ok = real_select(*args, **kwargs)
+        out = real_select(*args, **kwargs)
+        sk_, dk_, ok = out[:3]
         import jax.numpy as jnp
-        return sk_, dk_, jnp.zeros_like(ok)
+        # pass any adaptive-tier diagnostics through unchanged (the
+        # default screen_precision="auto" requests them since r5)
+        return (sk_, dk_, jnp.zeros_like(ok)) + tuple(out[3:])
 
     monkeypatch.setattr(ms, "_maxsim_select", failing_select)
 
