@@ -288,6 +288,141 @@ _WORKER_SHARDED = _HELPERS + textwrap.dedent("""
 """).format(repo=_REPO)
 
 
+_WORKER_TOKENIZER = _HELPERS + textwrap.dedent("""
+    import sys
+    import string
+    cache = sys.argv[1]
+    os.environ["HF_HOME"] = cache
+    os.environ["HF_HUB_CACHE"] = cache
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    sys.path.insert(0, {repo!r})
+
+    # ---- a synthetic but SCHEMA-REAL WordPiece tokenizer.json (the r4
+    # weights fix applied to tokenizers — VERDICT r4 item 4): real BERT
+    # special-token ids, real normalizer/pre-tokenizer/post-processor
+    # stack, subword continuation, punctuation entries for the ColBERT
+    # skiplist. Built BEFORE any HF import (cache dir is read at import).
+    vocab = {{"[PAD]": 0, "[unused0]": 1, "[unused1]": 2, "[UNK]": 100,
+              "[CLS]": 101, "[SEP]": 102, "[MASK]": 103,
+              "hello": 200, "world": 201, "tpu": 202, "systolic": 203,
+              "neighbor": 204, "##hood": 205, "##watch": 206,
+              "watch": 207, "query": 208, "passage": 209}}
+    for j, ch in enumerate(string.punctuation):
+        vocab[ch] = 300 + j
+    special = [
+        {{"id": i, "content": t, "single_word": False, "lstrip": False,
+          "rstrip": False, "normalized": False, "special": True}}
+        for t, i in (("[PAD]", 0), ("[UNK]", 100), ("[CLS]", 101),
+                     ("[SEP]", 102), ("[MASK]", 103))]
+    tokenizer_json = {{
+        "version": "1.0", "truncation": None, "padding": None,
+        "added_tokens": special,
+        "normalizer": {{"type": "BertNormalizer", "clean_text": True,
+                        "handle_chinese_chars": True,
+                        "strip_accents": None, "lowercase": True}},
+        "pre_tokenizer": {{"type": "BertPreTokenizer"}},
+        "post_processor": {{
+            "type": "TemplateProcessing",
+            "single": [
+                {{"SpecialToken": {{"id": "[CLS]", "type_id": 0}}}},
+                {{"Sequence": {{"id": "A", "type_id": 0}}}},
+                {{"SpecialToken": {{"id": "[SEP]", "type_id": 0}}}}],
+            "pair": [
+                {{"SpecialToken": {{"id": "[CLS]", "type_id": 0}}}},
+                {{"Sequence": {{"id": "A", "type_id": 0}}}},
+                {{"SpecialToken": {{"id": "[SEP]", "type_id": 0}}}},
+                {{"Sequence": {{"id": "B", "type_id": 1}}}},
+                {{"SpecialToken": {{"id": "[SEP]", "type_id": 1}}}}],
+            "special_tokens": {{
+                "[CLS]": {{"id": "[CLS]", "ids": [101],
+                           "tokens": ["[CLS]"]}},
+                "[SEP]": {{"id": "[SEP]", "ids": [102],
+                           "tokens": ["[SEP]"]}}}}}},
+        "decoder": {{"type": "WordPiece", "prefix": "##", "cleanup": True}},
+        "model": {{"type": "WordPiece", "unk_token": "[UNK]",
+                   "continuing_subword_prefix": "##",
+                   "max_input_chars_per_word": 100, "vocab": vocab}},
+    }}
+    tokenizer_config = {{"tokenizer_class": "BertTokenizerFast",
+                         "do_lower_case": True, "model_max_length": 512,
+                         "unk_token": "[UNK]", "cls_token": "[CLS]",
+                         "sep_token": "[SEP]", "pad_token": "[PAD]",
+                         "mask_token": "[MASK]"}}
+    install_repo(cache, E5_REPO, e5_config(),
+                 {{"model.safetensors": e5_small_state_dict(),
+                   "tokenizer.json": tokenizer_json,
+                   "tokenizer_config.json": tokenizer_config}})
+    install_repo(cache, COLBERT_REPO, colbert_config(),
+                 {{"model.safetensors": colbert_tiny_state_dict(),
+                   "tokenizer.json": tokenizer_json,
+                   "tokenizer_config.json": tokenizer_config}})
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    # ---- the REAL cached-load path: AutoTokenizer, not the hash
+    # fallback (tokenizer.py:95-108; reference model_generator.py:283-287
+    # brings SentenceTransformer's tokenizer, :427-433 the ColBERT one)
+    from neighborhoodwatch_tpu.models.tokenizer import (
+        HashTokenizer, HFTokenizer, load_tokenizer,
+    )
+    tok = load_tokenizer(E5_REPO)
+    assert isinstance(tok, HFTokenizer), type(tok)
+    assert tok.is_hashed is False
+
+    # ids/mask contract: [CLS] ... [SEP], known vocab ids, WordPiece
+    # subword split, power-of-two bucket padding
+    ids, mask = tok(["Hello world", "NeighborhoodWatch tpu!"],
+                    max_length=16)
+    assert ids.shape == (2, 16) and mask.shape == (2, 16), ids.shape
+    assert list(ids[0][:4]) == [101, 200, 201, 102], ids[0]
+    assert mask[0].sum() == 4 and ids[0][4:].sum() == 0
+    bang = 300 + string.punctuation.index("!")
+    assert list(ids[1][:7]) == [101, 204, 205, 206, 202, bang, 102], ids[1]
+    assert mask[1].sum() == 7
+
+    # truncation: the encoder's max_length budget is honored and the
+    # trailing [SEP] survives
+    ids, mask = tok(["hello world " * 20], max_length=8)
+    assert ids.shape == (1, 8)
+    assert ids[0][0] == 101 and ids[0][-1] == 102 and mask[0].sum() == 8
+
+    # ColBERT doc-marker insertion after [CLS] (colbert-ai DocTokenizer
+    # convention): marker budget reserves a slot so a FULL row keeps [SEP]
+    ids, mask = tok(["hello world " * 20], max_length=8,
+                    insert_after_cls=2)
+    assert list(ids[0][:3]) == [101, 2, 200], ids[0]
+    assert ids[0][-1] == 102 and mask[0].sum() == 8
+
+    # a repo absent from the cache still falls back to the hash tokenizer
+    fb = load_tokenizer("intfloat/e5-large-v2", quiet=True)
+    assert isinstance(fb, HashTokenizer) and fb.is_hashed is True
+
+    # ---- the ColBERT generator end-to-end on the cached tokenizer +
+    # cached tiny checkpoint: real-vocab doc encoding engages the doc
+    # marker and the punctuation skiplist (colbert_flax.py:106-136)
+    from neighborhoodwatch_tpu.models.bert_flax import BertConfig
+    from neighborhoodwatch_tpu.models.colbert_flax import (
+        ColbertFlaxEmbeddingGenerator,
+    )
+    tiny = BertConfig(hidden_size=64, num_layers=2, num_heads=4,
+                      intermediate_size=128)
+    cgen = ColbertFlaxEmbeddingGenerator(config=tiny)
+    assert cgen.pretrained and cgen.head_pretrained
+    assert not cgen.tokenizer.is_hashed
+    assert cgen.use_doc_marker, "real vocab + real head must use [D]"
+    dot = 300 + string.punctuation.index(".")
+    assert dot in cgen._skiplist and bang in cgen._skiplist
+    flat, counts = cgen.encode_passages(["Hello world.", "tpu systolic!"])
+    # per passage: [CLS] [D] w1 w2 [SEP] survive, punctuation dropped
+    assert counts == [5, 5], counts
+    assert flat.shape == (10, 128), flat.shape
+    np.testing.assert_allclose(np.linalg.norm(flat, axis=1), 1.0,
+                               atol=1e-3)
+    print("TOKENIZER_OK")
+""").format(repo=_REPO)
+
+
 def _run_worker(tmp_path, name, code):
     script = tmp_path / f"{name}.py"
     script.write_text(code)
@@ -313,3 +448,19 @@ def test_hf_cached_load_path_sharded_index(tmp_path):
     out = _run_worker(tmp_path, "sharded", _WORKER_SHARDED)
     assert "SHARDED_OK" in out
     assert "falling back to random init" not in out
+
+
+def test_hf_cached_tokenizer_load_path(tmp_path):
+    """The cached-TOKENIZER load path (VERDICT r4 item 4 — the exact
+    blind-spot class r4 closed for weights): a schema-real WordPiece
+    tokenizer.json in the tmp HF cache drives
+    load_tokenizer/HFTokenizer (tokenizer.py:53-108) end to end —
+    AutoTokenizer resolution, ids/mask contract, truncation, ColBERT's
+    insert_after_cls doc-marker path and punctuation skiplist,
+    is_hashed=False — code that otherwise runs only with a primed cache
+    (i.e. never in any observed environment)."""
+    out = _run_worker(tmp_path, "tokenizer", _WORKER_TOKENIZER)
+    assert "TOKENIZER_OK" in out
+    # the cached loads must never have warned into the hash fallback
+    # (the deliberate fallback probe passes quiet=True)
+    assert "using deterministic hash tokenizer" not in out
