@@ -125,17 +125,14 @@ def _numpy_knn_f64(queries, base, k, metric):
 
 def validate_files(data_dir, query_vector_fvec, base_vector_fvec, indices_ivec,
                    distances_fvec, atol=1e-4, metric="cosine") -> int:
-    """Metric-convention check + monotonicity + independent-engine
-    cross-check on mismatch (reference: parquet_to_format.py:386-491).
-    On mismatch the reference cross-checks with 4 engines (:427-466);
-    each has a counterpart here: full exact kNN recompute over the base
-    (≙ cuvs full rebuild :435-449), pairwise distance on the mismatching
-    neighbor vectors (≙ cuvs pairwise_distance :427-433, and the
-    single-vector check :450-456 — same computation, one query row),
-    float64 numpy brute force (≙ the torch matmul/topk engine :460-466;
-    shares no code with the JAX paths), plus validate_files_v0's
-    file-level per-neighbor dot products as the fourth, fully disjoint
-    path. Returns mismatch count."""
+    """Metric-convention check + monotonicity + FOUR-engine independent
+    cross-check on mismatch (reference: parquet_to_format.py:386-491,
+    whose mismatch escalation runs 4 engines :427-466). The four labeled
+    counterparts here: exact device rebuild (engine="exact", HIGHEST),
+    verified device engine (engine="verified" — approx_min_k selection,
+    a different device code path), float64 numpy brute force (host, no
+    JAX), and pairwise distance on the mismatching neighbor vectors.
+    Returns mismatch count."""
     queries = _read(data_dir, query_vector_fvec)
     indices = _read(data_dir, indices_ivec).astype(np.int64)
     distances = _read(data_dir, distances_fvec)
@@ -156,25 +153,42 @@ def validate_files(data_dir, query_vector_fvec, base_vector_fvec, indices_ivec,
     total_mismatch = int(mismatch.sum())
 
     if total_mismatch:
-        # Independent-engine cross-check (analog of the reference's cuvs /
-        # full-rebuild / single-vector / torch fallbacks :427-466).
+        # FOUR independent mismatch cross-check engines, labeled — full
+        # parity with the reference's 4-engine escalation
+        # (parquet_to_format.py:427-466):
+        #   1/4 exact device rebuild (XLA matmul + top_k, HIGHEST
+        #       precision)             ≙ cuvs full-corpus rebuild :435-449
+        #   2/4 verified device engine (approx_min_k + count certificate
+        #       — a DIFFERENT device selection path)
+        #                              ≙ cuvs single-vector :450-456
+        #   3/4 float64 numpy brute force (host, shares no code with the
+        #       JAX engines)           ≙ torch matmul/topk :460-466
+        #   4/4 pairwise distance on the mismatching neighbor vectors
+        #                              ≙ cuvs pairwise_distance :427-433
         bad_rows = np.unique(np.nonzero(mismatch)[0])[:8]
         k = indices.shape[1]
         if base is not None:
-            re_d, _ = knn(queries[bad_rows], base, k=k, metric=metric)
-            re_d = np.asarray(re_d)
+            ex_d, _ = knn(queries[bad_rows], base, k=k, metric=metric,
+                          engine="exact", precision="highest")
+            ex_d = np.asarray(ex_d)
+            ve_d, _ = knn(queries[bad_rows], base, k=k, metric=metric,
+                          engine="verified")
+            ve_d = np.asarray(ve_d)
             np_d, _ = _numpy_knn_f64(queries[bad_rows], base, k, metric)
         else:   # base too large to re-rank fully; pairwise check only
-            re_d = np_d = None
+            ex_d = ve_d = np_d = None
         for r, qi in enumerate(bad_rows):
             pw = np.asarray(pairwise_distance(
                 queries[qi:qi + 1], neighbors[qi][mismatch[qi]][:4],
                 metric=metric))
-            recomputed = re_d[r][:5] if re_d is not None else "(skipped)"
+            exact = ex_d[r][:5] if ex_d is not None else "(skipped)"
+            verified = ve_d[r][:5] if ve_d is not None else "(skipped)"
             numpy64 = np_d[r][:5] if np_d is not None else "(skipped)"
-            print(f"query {qi}: recomputed top-k dists {recomputed}; "
-                  f"float64 numpy {numpy64} "
-                  f"vs file {distances[qi][:5]}; pairwise cross-check {pw[0]}")
+            print(f"query {qi} vs file {distances[qi][:5]}: "
+                  f"[1/4 exact-device] {exact}; "
+                  f"[2/4 verified-device] {verified}; "
+                  f"[3/4 float64-numpy] {numpy64}; "
+                  f"[4/4 pairwise] {pw[0]}")
     print(f"Total mismatch count: {total_mismatch}")
     return total_mismatch
 

@@ -114,6 +114,46 @@ def test_cosine_metric_validator(dataset_dir, normalized_vectors):
     assert validate_files(data_dir, qf, bf, inf, df) == 0
 
 
+def test_validator_four_engine_crosscheck_on_planted_corruption(
+        dataset_dir, normalized_vectors, capsys):
+    """Reference parity for the mismatch escalation
+    (parquet_to_format.py:427-466): a planted distance corruption must
+    (a) be counted, and (b) trigger all FOUR labeled independent
+    cross-check engines — exact device rebuild, verified device engine,
+    float64 numpy, pairwise — whose outputs agree with each other and
+    expose the corrupt file value."""
+    data_dir, qfile, bfile = dataset_dir
+    cleanup_partial_parquet(f"{data_dir}/partial")
+    compute_knn_ds(data_dir, DIMENSIONS, qfile, QUERY_COUNT, bfile,
+                   BASE_COUNT, k=K, metric="cosine")
+    prefix = naming.get_model_prefix(MODEL) + "corr"
+    files = generate_output_files(
+        data_dir, prefix, DIMENSIONS, bfile, qfile, BASE_COUNT, QUERY_COUNT,
+        naming.get_partial_indices_filename(data_dir, -1),
+        naming.get_partial_distances_filename(data_dir, -1),
+        K, output_hdf5=False)
+    qf, bf, inf, df = files
+
+    # corrupt the LAST distance column of two rows upward (preserves
+    # per-row monotonicity so the coherence assert still passes and the
+    # cross-check engines are what must catch it)
+    dpath = naming.get_full_filename(data_dir, df)
+    d = fvec.read_vectors(dpath)
+    d[1, -1] += 0.25
+    d[3, -1] += 0.25
+    fvec.write_vectors(dpath, d)
+
+    mismatches = validate_files(data_dir, qf, bf, inf, df)
+    out = capsys.readouterr().out
+    assert mismatches == 2, out
+    for label in ("[1/4 exact-device]", "[2/4 verified-device]",
+                  "[3/4 float64-numpy]", "[4/4 pairwise]"):
+        assert label in out, f"missing cross-check engine {label}:\n{out}"
+    # engine agreement: the four independent recomputes of query 1's
+    # distances appear and the corrupted file value is visibly larger
+    assert "query 1 vs file" in out and "query 3 vs file" in out
+
+
 def test_tuner_plans_are_deterministic():
     p1 = plan_knn(10_000, 1536, 100, base_count=10_000_000)
     p2 = plan_knn(10_000, 1536, 100, base_count=10_000_000)
