@@ -175,6 +175,27 @@ def bf16_round(x):
 # kernel stays available via screen_candidates(pipelined=False).
 PIPELINED_DEFAULT = True
 
+# default for the FUSED-DEPTH kernel variant (_kernel_fused, r5): one
+# grid step per sub-tile — no depth-chunk grid dimension, no fp32
+# accumulator scratch (the full-D contraction runs as one dot into the
+# retire buffer), bf16 query operands (the 1/2-pass tiers never read
+# fp32 q in-kernel), tb=512/sub-doubled tiles (IDENTICAL mega/bin
+# geometry to tb=1024: bin = sub*(tb/128) rows, so every certificate
+# property is unchanged), a 2q-prescaled l2 epilogue (bf16(2q) =
+# 2*bf16(q) exactly, killing the 2.0* multiply; max(,0)+abs collapsed
+# to abs — identical for true d >= 0, and a rounding-negative packs as
+# |d| <= the accumulation eps the certificate already budgets), and a
+# selection-network insert (sorted pairs -> odd-even merge -> bitonic
+# lowest-4; 22 min/max tile-ops per 4-slice sub-tile vs the sequential
+# insert's 28). Measured on v5e (10k x 1M x 1536 1-pass, same-day
+# baseline shipped=0.292s): fused 0.2196 -> +2q 0.2167 -> +network
+# 0.2111s, vs a 0.1820s epilogue-free ablation floor and a 0.156s MXU
+# floor (scripts/fused_probe.py, r5 probes). Gated to passes <= 2 and
+# dims where the full-D operands fit VMEM (_fused_ok); the 3-pass tier
+# and big dims keep the pipelined dk kernel.
+FUSED_DEFAULT = True
+FUSED_TB = 512
+
 SCREEN_PRECISIONS = ("default", "medium", "high")
 # MXU passes per precision: "default" = one bf16 pass (input rounding
 # 2^-7 relative), "medium" = q.bhi via hi+lo q (the base rounding 2^-8
@@ -405,12 +426,206 @@ def _kernel_pipelined(qn_ref, bn_ref, q_ref, b_ref, *rest,
         ret_ref[:] = acc_ref[:]
 
 
+def _cmp(a, b):
+    return jnp.minimum(a, b), jnp.maximum(a, b)
+
+
+def _sort4_bitonic(v):
+    """Sort a 4-element BITONIC tile sequence ascending (4 comparators)."""
+    a0, a1, a2, a3 = v
+    a0, a2 = _cmp(a0, a2)
+    a1, a3 = _cmp(a1, a3)
+    a0, a1 = _cmp(a0, a1)
+    a2, a3 = _cmp(a2, a3)
+    return [a0, a1, a2, a3]
+
+
+def _lowest4_merge(a, b):
+    """Lowest 4 of two sorted-ascending 4-lists, sorted (8 comparators):
+    the bitonic mins m_i = min(a_i, b_3-i) are exactly the union's 4
+    smallest, as a bitonic sequence; one bitonic sort-4 orders them.
+    Same selected multiset and order as KEEP sequential inserts (int
+    min/max on the packed keys is a total order)."""
+    m = [jnp.minimum(a[i], b[3 - i]) for i in range(4)]
+    return _sort4_bitonic(m)
+
+
+def _insert_net(ks, kjs):
+    """Merge 4 or 8 new key tiles into the running sorted-KEEP via a
+    selection network: 22 min/max tile-ops for 4 new keys (vs 4x7
+    sequential), 44 for 8 (vs 56). Output identical to the sequential
+    insert (r5 fused_probe: match-verified, 0.2167 -> 0.2111s on the
+    headline)."""
+    p = []
+    for i in range(0, len(kjs), 2):
+        lo, hi = _cmp(kjs[i], kjs[i + 1])
+        p.append((lo, hi))
+    s4 = []
+    for i in range(0, len(p), 2):
+        (a0, a1), (b0, b1) = p[i], p[i + 1]
+        c0, d0 = _cmp(a0, b0)
+        c3hi = jnp.maximum(a1, b1)
+        c1, c2 = _cmp(jnp.minimum(a1, b1), d0)
+        s4.append([c0, c1, c2, c3hi])
+    new4 = s4[0] if len(s4) == 1 else _lowest4_merge(s4[0], s4[1])
+    return _lowest4_merge(list(ks), new4)
+
+
+def _kernel_fused(qn_ref, bn_ref, *rest, epilogue: str, passes: int,
+                  tq: int, sub: int, tb: int):
+    """Fused-depth screen kernel (r5): ONE grid step per base sub-tile.
+
+    The full-D contraction runs as a single dot into the retire buffer
+    (no dk grid dimension, no separate fp32 accumulator), and sub-tile
+    bi-1's epilogue retires during sub-tile bi's MXU pass — the same
+    software pipeline as _kernel_pipelined with 3x fewer grid steps,
+    which removes most of the measured ~0.8us/step scalar-core overhead
+    (r5 decomposition: epilogue-free ablation 0.204s at 3 dk-steps vs
+    0.182s fused). Query operands arrive PRE-CONVERTED bf16 (qhi, and
+    qlo at 2 passes); for the l2 epilogue they are PRE-SCALED by 2
+    (exact: bf16(2x) = 2*bf16(x)), so the epilogue computes
+    |qn + bn - acc| with no multiply and no max-clamp — identical
+    distances for true d >= 0, and a rounding-negative packs as |d|
+    within the fp32-accumulation eps the certificate already budgets."""
+    if passes >= 2:
+        qhi_ref, qlo_ref, b_ref, out_ref, ret_ref, mk_ref = rest
+    else:
+        qhi_ref, b_ref, out_ref, ret_ref, mk_ref = rest
+    bi = pl.program_id(1)
+    r = bi - 1
+    live = r >= 0
+
+    @pl.when(jnp.logical_and(live, r % sub == 0))
+    def _():
+        mk_ref[:] = jnp.full(mk_ref.shape, jnp.int32(0x7FFFFFFF))
+
+    n_slices = tb // LANES
+    pos0 = (r % sub) * n_slices
+
+    @pl.when(live)
+    def _():
+        ks = [mk_ref[t] for t in range(KEEP)]
+        kjs = []
+        for j in range(n_slices):
+            cols = slice(j * LANES, (j + 1) * LANES)
+            acc = ret_ref[:, cols]
+            bn = bn_ref[:, cols]
+            if epilogue == "l2":
+                # 2q-prescaled operands: acc == 2 q.b exactly
+                d = jnp.abs(qn_ref[:] + bn - acc)
+                bits = jax.lax.bitcast_convert_type(d, jnp.int32)
+            else:
+                if epilogue == "dot":
+                    d = jnp.where(jnp.isinf(bn), jnp.inf, -acc)
+                else:       # "rdot"
+                    d = jnp.where(jnp.isinf(bn), jnp.inf,
+                                  -acc * jax.lax.rsqrt(
+                                      jnp.maximum(bn, 1e-30)))
+                d = jnp.where(jnp.isnan(d), jnp.inf, d)
+                bits = jax.lax.bitcast_convert_type(d, jnp.int32)
+                neg = jax.lax.shift_right_arithmetic(bits, 31)
+                bits = bits ^ (neg & jnp.int32(0x7FFFFFFF))
+            kjs.append((bits & jnp.int32(~POS_MASK)) | (pos0 + j))
+        ks = _insert_net(ks, kjs)
+        for t in range(KEEP):
+            mk_ref[t] = ks[t]
+
+    @pl.when(jnp.logical_and(live, r % sub == sub - 1))
+    def _():
+        for t in range(KEEP):
+            out_ref[:, t * LANES:(t + 1) * LANES] = mk_ref[t]
+
+    dims = (((1,), (1,)), ((), ()))
+    dot = partial(jax.lax.dot_general, dimension_numbers=dims,
+                  preferred_element_type=jnp.float32)
+    part = dot(qhi_ref[:], b_ref[:])
+    if passes >= 2:
+        part = part + dot(qlo_ref[:], b_ref[:])
+    ret_ref[:] = part
+
+
+@partial(jax.jit, static_argnames=("epilogue", "passes", "tq", "sub",
+                                   "tb", "interpret"))
+def _screen_call_fused(qhi, qlo, bhi, qn, bn, epilogue: str, passes: int,
+                       tq: int, sub: int, tb: int, interpret: bool):
+    """pallas_call wrapper for the fused-depth kernel: grid (n_q, n_b+1)
+    with full-D operand blocks; bn/out follow the retiring sub-tile."""
+    Qp, Dp = qhi.shape
+    Bp = bn.shape[1]
+    n_q = Qp // tq
+    n_b = Bp // tb
+    n_mega = Bp // (tb * sub)
+    b_last = (bhi.shape[0] - 1) // tb
+    kernel = partial(_kernel_fused, epilogue=epilogue, passes=passes,
+                     tq=tq, sub=sub, tb=tb)
+    out_shape = jax.ShapeDtypeStruct((Qp, n_mega * CAND_PER_MEGA), jnp.int32)
+    q_spec = pl.BlockSpec((tq, Dp), lambda qi, bi: (qi, 0),
+                          memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((tq, 1), lambda qi, bi: (qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tb), lambda qi, bi: (0, jnp.maximum(bi - 1, 0)),
+                     memory_space=pltpu.VMEM),
+        q_spec,
+    ]
+    operands = [qn, bn, qhi]
+    if passes >= 2:
+        in_specs.append(q_spec)
+        operands.append(qlo)
+    in_specs.append(pl.BlockSpec(
+        (tb, Dp), lambda qi, bi: (jnp.minimum(bi, b_last), 0),
+        memory_space=pltpu.VMEM))
+    operands.append(bhi)
+    keys = pl.pallas_call(
+        kernel,
+        grid=(n_q, n_b + 1),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (tq, CAND_PER_MEGA),
+            lambda qi, bi: (qi, jnp.maximum(bi - 1, 0) // sub),
+            memory_space=pltpu.VMEM),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((tq, tb), jnp.float32),          # retire buffer
+            pltpu.VMEM((KEEP, tq, LANES), jnp.int32),    # running keys
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Qp * Bp * Dp * passes,
+            bytes_accessed=int(Qp * Dp * 2 * passes + Bp * Dp * 2 * n_q),
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(*operands)
+    return _decode_keys(keys, epilogue, tb, sub)
+
+
+def _fused_ok(passes: int, tq: int, tb: int, d_padded: int) -> bool:
+    """VMEM-feasibility gate for the fused-depth kernel: full-D operand
+    blocks must fit the ~16MB scoped budget with Pallas double-buffering
+    (measured: tq=512/tb=1024 at D=1536 1-pass overflows by 1.4MB;
+    tq=512/tb=512 fits). 3-pass needs a second full-D base stream —
+    keep it on the pipelined dk kernel."""
+    if passes > 2:
+        return False
+    q_ops = 1 if passes == 1 else 2
+    est = (2 * tq * d_padded * 2 * q_ops          # q operand blocks x2buf
+           + 2 * tb * d_padded * 2                # base block x2buf
+           + tq * tb * 4                          # retire buffer
+           + 2 * tq * CAND_PER_MEGA * 4           # out block x2buf
+           + KEEP * tq * LANES * 4)               # running keys
+    return est <= 14 * (1 << 20)                  # ~2MB headroom
+
+
 def _pick_dk(d: int, dk_max: int = 384) -> int:
     # 384 (then 256) keeps the double-buffered base block + accumulator +
     # trio inside the 16MB VMEM budget at the default tq/tb (dk=512
     # overflowed by ~3.4MB on v5e); larger dk = fewer grid steps and
     # accumulator round-trips. Bigger tq/tb tiles need a smaller dk cap.
-    for dk in (512, 384, 256, 128):
+    # The >512 entries are probe-reachable only (r5 epilogue probes:
+    # dk=768/1536 at the 1-pass tier measured SLOWER than 512 — see
+    # docs/DESIGN.md r5 — so no default requests them).
+    for dk in (1536, 1024, 768, 512, 384, 256, 128):
         if dk <= dk_max and d % dk == 0:
             return dk
     raise AssertionError(f"dim {d} not a multiple of 128 after padding")
@@ -514,7 +729,12 @@ def _screen_call(q, bhi, blo, qn, bn, epilogue: str, passes: int, tq: int,
         interpret=interpret,
     )(*operands)
 
-    # ---- decode keys -> (quantized distance, exact global row id) ----
+    return _decode_keys(keys, epilogue, tb, sub)
+
+
+def _decode_keys(keys, epilogue: str, tb: int, sub: int):
+    """packed keys -> (quantized distance, exact global row id); shared
+    by the dk-chunked and fused-depth call paths (identical packing)."""
     signed = epilogue != "l2"
     vbits = keys & jnp.int32(~POS_MASK)
     if signed:
@@ -537,7 +757,7 @@ def screen_candidates(q, base, *, n_rows: int | None = None,
                       tb: int | None = None, dk_max: int | None = None,
                       interpret: bool | None = None,
                       n_valid=None, pipelined: bool | None = None,
-                      bn_row=None, bhi=None):
+                      bn_row=None, bhi=None, fused: bool | None = None):
     """Fused distance+screen: (Q, D) x (B, D) -> (Q, C) candidate
     (distance, global index) lists, C = KEEP*128 per (TB*sub)-row mega-tile.
 
@@ -575,6 +795,24 @@ def screen_candidates(q, base, *, n_rows: int | None = None,
     Q, D = q.shape
     B = base.shape[0] if n_rows is None else n_rows
     assert B <= base.shape[0]
+    # fused-depth kernel (r5, FUSED_DEFAULT doc): one grid step per
+    # sub-tile at tb=512 (same mega/bin geometry after the sub rescale
+    # below). Callers pinning tb or dk_max are asking for the dk-chunked
+    # kernels; the VMEM gate falls big dims / 3-pass back to them too.
+    if fused is None:
+        fused = FUSED_DEFAULT
+    explicit_tb = tb is not None
+    if fused and tb is None and dk_max is None:
+        dp_est = -(-D // LANES) * LANES
+        tq_f = tq if tq is not None else (512 if Q >= 1024 else TQ)
+        if tq is None and not _fused_ok(passes, tq_f, FUSED_TB, dp_est):
+            tq_f = TQ           # a smaller query block may still fit
+        fused = _fused_ok(passes, tq_f, FUSED_TB, dp_est)
+        if fused:
+            tb = FUSED_TB
+            tq = tq_f
+    else:
+        fused = False
     if tq is None:
         # 512-row query blocks halve the dominant HBM term (the base is
         # re-read once per query block). The old full-tile epilogue
@@ -590,6 +828,15 @@ def screen_candidates(q, base, *, n_rows: int | None = None,
         sub = pick_sub(B)       # callers that know k pass sub explicitly
         if tb != TB:            # keep the mega row count comparable
             sub = max(1, (sub * TB) // tb)
+    elif not explicit_tb and tb != TB:
+        # the caller's `sub` is in TB(=1024)-row units (pick_sub results
+        # from ops.knn's plans/budgets) and the FUSED default picked a
+        # smaller tb: rescale so the MEGA row count — and with it the
+        # bin size sub*(tb/128), the candidate width, and every
+        # certificate property — is IDENTICAL (fused tb=512: sub 112 ->
+        # 224, bins stay 896 rows). A caller pinning BOTH tb and sub
+        # (probe sweeps) means actual units and is left alone.
+        sub = max(1, (sub * TB) // tb)
     # the packed key's POS_BITS field must address every row of a bin
     assert sub * (tb // LANES) <= (1 << POS_BITS), \
         f"sub={sub} x {tb // LANES} lane-slices exceeds {POS_BITS}-bit positions"
@@ -660,7 +907,21 @@ def screen_candidates(q, base, *, n_rows: int | None = None,
         bhi_f = bhi.astype(jnp.float32)
     blo = ((base - bhi_f).astype(jnp.bfloat16)
            if passes >= 3 else None)
-    cand_d, cand_i = _screen_call(q, bhi, blo, qn, bn, epilogue, passes,
-                                  tq, sub, tb, dk_max, interpret,
-                                  pipelined=pipelined)
+    if fused:
+        # bf16 query operands, PRE-SCALED by 2 for the l2 epilogue:
+        # bf16(2x) = 2*bf16(x) exactly (power-of-two scale), so the
+        # screened distances and every certificate eps term are
+        # identical to the dk-chunked kernels' (see _kernel_fused)
+        qs = q * 2.0 if epilogue == "l2" else q
+        qhi_f = bf16_round(qs)
+        qhi_op = qhi_f.astype(jnp.bfloat16)
+        qlo_op = ((qs - qhi_f).astype(jnp.bfloat16)
+                  if passes >= 2 else None)
+        cand_d, cand_i = _screen_call_fused(qhi_op, qlo_op, bhi, qn, bn,
+                                            epilogue, passes, tq, sub, tb,
+                                            interpret)
+    else:
+        cand_d, cand_i = _screen_call(q, bhi, blo, qn, bn, epilogue,
+                                      passes, tq, sub, tb, dk_max,
+                                      interpret, pipelined=pipelined)
     return cand_d[:Q], cand_i[:Q], Bp // mega

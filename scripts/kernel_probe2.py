@@ -38,6 +38,8 @@ def timeit(name, fn, iters=ITERS):
 
 VARIANTS = {
     "shipped": dict(sub=112),
+    "dk1536": dict(sub=112, dk_max=1536),
+    "dk768": dict(sub=112, dk_max=768),
     "dk512": dict(sub=112, dk_max=512),
     "dk384": dict(sub=112, dk_max=384),
     "dk256": dict(sub=112, dk_max=256),
