@@ -108,6 +108,7 @@ class ColbertFlaxEmbeddingGenerator(EmbeddingGenerator):
         self.tokenizer = load_tokenizer(COLBERT_HF_REPO, quiet=True)
         if self.tokenizer.is_hashed:
             self.tokenizer = load_tokenizer(hf_backbone)
+        self.tokens_seen = 0       # pipeline-level tokens/s accounting
         self.model = ColbertModel(config)
         self.head_pretrained = False
         if params is None:
@@ -190,6 +191,7 @@ class ColbertFlaxEmbeddingGenerator(EmbeddingGenerator):
             batch = texts[s:s + batch_size]
             ids, mask = self.tokenizer(batch, max_length=self.max_length,
                                        insert_after_cls=marker)
+            self.tokens_seen += int(mask.sum())
             dev = self._forward(self.params, jnp.asarray(ids),
                                 jnp.asarray(mask))
             pending.append((dev, ids, mask))

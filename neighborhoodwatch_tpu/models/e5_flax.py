@@ -30,6 +30,7 @@ class E5FlaxEmbeddingGenerator(EmbeddingGenerator):
         self.config = E5_CONFIGS[model_name]
         self.max_length = max_length
         self.tokenizer = load_tokenizer(model_name)
+        self.tokens_seen = 0       # pipeline-level tokens/s accounting
         self.model = BertEncoder(self.config)
         if params is None:
             params = load_hf_weights(model_name, self.config)
@@ -63,6 +64,7 @@ class E5FlaxEmbeddingGenerator(EmbeddingGenerator):
         for chunk in self._iter_chunks(text_list):
             try:
                 ids, mask = self.tokenizer(chunk, max_length=self.max_length)
+                self.tokens_seen += int(mask.sum())
                 dev = self._forward(self.params, jnp.asarray(ids),
                                     jnp.asarray(mask))
                 pending.append((dev, len(chunk)))

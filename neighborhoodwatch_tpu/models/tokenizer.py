@@ -23,17 +23,34 @@ _WORD_RE = re.compile(r"[A-Za-z0-9]+|[^\sA-Za-z0-9]")
 
 
 class HashTokenizer:
-    """Deterministic, dependency-free tokenizer fallback."""
+    """Deterministic, dependency-free tokenizer fallback.
+
+    Word ids are memoized (r5): real text vocabulary is Zipfian, so the
+    blake2s digest runs once per DISTINCT word instead of once per token
+    — measured 0.56 -> 1.10 Mtok/s on the 1-vCPU harness (the residual
+    is the word-split regex), where tokenization was otherwise slower
+    than the device encode it feeds.
+    The cache is capped to bound memory on adversarial all-distinct
+    streams (ids stay deterministic either way — the cache only skips
+    recomputing the digest)."""
 
     is_hashed = True
+    _CACHE_CAP = 1 << 20
 
     def __init__(self, vocab_size: int = 30522):
         self.vocab_size = vocab_size
+        self._cache: dict = {}
 
     def _word_id(self, word: str) -> int:
+        cached = self._cache.get(word)
+        if cached is not None:
+            return cached
         digest = hashlib.blake2s(word.lower().encode(), digest_size=4).digest()
         span = self.vocab_size - _HASH_FLOOR
-        return _HASH_FLOOR + int.from_bytes(digest, "little") % span
+        wid = _HASH_FLOOR + int.from_bytes(digest, "little") % span
+        if len(self._cache) < self._CACHE_CAP:
+            self._cache[word] = wid
+        return wid
 
     def __call__(self, texts, max_length: int = 512, insert_after_cls=None):
         # reserve one slot for the marker (mirrors HFTokenizer) so _insert
