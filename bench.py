@@ -112,11 +112,23 @@ def run_encode(args):
     excluded; it is host-side and overlaps generation in the pipeline)."""
     import jax
     import jax.numpy as jnp
-    from neighborhoodwatch_tpu.models.e5_flax import E5FlaxEmbeddingGenerator
 
     model = args.encode_model
-    gen = E5FlaxEmbeddingGenerator(model_name=model)
-    batch, seqlen = 512, 256
+    if model == "colbertv2.0":
+        # the `ck` pipeline's hot encode loop (reference
+        # model_generator.py:392-439) — BERT-base backbone + 128-d
+        # per-token head, seq 224 ~ ColBERT doc_maxlen
+        from neighborhoodwatch_tpu.models.colbert_flax import (
+            ColbertFlaxEmbeddingGenerator,
+        )
+        gen = ColbertFlaxEmbeddingGenerator()
+        batch, seqlen = 512, 224
+    else:
+        from neighborhoodwatch_tpu.models.e5_flax import (
+            E5FlaxEmbeddingGenerator,
+        )
+        gen = E5FlaxEmbeddingGenerator(model_name=model)
+        batch, seqlen = 512, 256
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(1000, 20_000, (batch, seqlen)), jnp.int32)
     mask = jnp.ones((batch, seqlen), jnp.int32)
@@ -143,9 +155,11 @@ def run_encode(args):
 
     cfg = gen.config
     # encoder FLOPs/token ~ 12 * hidden^2 (attn+mlp matmuls) * layers
+    # (ColBERT's 128-d projection head adds ~0.2%, ignored)
     flops_tok = 12 * cfg.hidden_size * cfg.hidden_size * 4 * cfg.num_layers / 2
+    prefix = "colbert" if model == "colbertv2.0" else "e5"
     result = {
-        "metric": f"e5_encode_tokens_per_s_{model.split('/')[-1]}",
+        "metric": f"{prefix}_encode_tokens_per_s_{model.split('/')[-1]}",
         "value": round(tokens_per_s / 1e6, 3),
         "unit": "Mtokens/s",
         "vs_baseline": 0.0,
