@@ -506,16 +506,24 @@ class MaxSimTierController:
     (_maxsim_select's probe — free: no extra device passes beyond one
     doc-residual statistic). The controller downshifts to the cheapest
     tier predicted clean for DOWN_AFTER consecutive batches, and
-    re-escalates one rung the moment realized failures exceed FAIL_FRAC
-    of the queries (those queries already paid the per-call escalation
-    to the 3-pass screen, so the damage is one batch deep). Each
-    re-escalation doubles the streak required before the next downshift
-    (capped), so a persistently marginal corpus converges to the safe
-    tier instead of thrashing. Every tier is exact — tier moves are
-    purely a perf decision (VERDICT r4 item 3)."""
+    re-escalates when realized failures exceed FAIL_FRAC of the queries
+    — one rung, or straight to "high" past JUMP_FRAC (wholesale
+    failure). FAIL_FRAC is deliberately lenient (25%): failed queries
+    already paid the per-call escalation to the 3-pass screen, and that
+    escalation is CHEAPER than running a safer tier on every batch
+    until the failure fraction is large — measured on the streamed
+    wide-gap bench (1k x 1M, k=32, v5e): pinned default with ~14% of
+    queries escalating = 0.143 s/tile vs medium 0.184 vs high 0.233;
+    the original 5% threshold parked the stream at medium, 28% slower
+    than tolerating the escalations. Each re-escalation doubles the
+    streak required before the next downshift (capped), so a
+    persistently marginal corpus converges to the safe tier instead of
+    thrashing. Every tier is exact — tier moves are purely a perf
+    decision (VERDICT r4 item 3)."""
 
     DOWN_AFTER = 2
-    FAIL_FRAC = 0.05
+    FAIL_FRAC = 0.25
+    JUMP_FRAC = 0.60
     MAX_DOWN_AFTER = 32
 
     def __init__(self):
@@ -539,7 +547,10 @@ class MaxSimTierController:
         n_fail, pred_med, pred_low = (int(x) for x in np.asarray(diag))
         if self.tier_idx > 0 and n_fail > max(1, int(q_rows
                                                      * self.FAIL_FRAC)):
-            self.tier_idx -= 1
+            if n_fail > q_rows * self.JUMP_FRAC:
+                self.tier_idx = 0          # wholesale failure: go safe
+            else:
+                self.tier_idx -= 1
             self._streak = 0
             self._down_need = min(self.MAX_DOWN_AFTER, 2 * self._down_need)
             print(f"  [maxsim tier] re-escalating to "

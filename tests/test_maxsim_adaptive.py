@@ -110,15 +110,31 @@ def test_controller_targets_medium_when_only_medium_predicts_clean():
     assert c.tier_arg == "medium"
 
 
+def test_controller_tolerates_moderate_failures_at_the_cheap_tier():
+    """Below FAIL_FRAC (25%), per-call escalation of the failed queries
+    is cheaper than a safer tier every batch (measured: default+14%
+    escalations 0.143 s/tile vs medium 0.184) — the controller must NOT
+    re-escalate on moderate failure counts."""
+    c = MaxSimTierController()
+    q = 1000
+    for _ in range(c.DOWN_AFTER):
+        c.observe(np.array([0, 0, 0]), 0, q)
+    assert c.tier_arg == "default"
+    for _ in range(4):
+        c.observe(np.array([140, 0, 0]), c.tier_idx, q)
+        assert c.tier_arg == "default"
+
+
 def test_controller_reescalates_on_realized_failures_with_hysteresis():
     c = MaxSimTierController()
     q = 1000
     for _ in range(c.DOWN_AFTER):
         c.observe(np.array([0, 0, 0]), 0, q)
     assert c.tier_arg == "default"
-    # realized failures above FAIL_FRAC at the cheap tier: one rung up
-    c.observe(np.array([900, 0, 0]), c.tier_idx, q)
+    # failures above FAIL_FRAC but below JUMP_FRAC: one rung up
+    c.observe(np.array([400, 0, 0]), c.tier_idx, q)
     assert c.tier_arg == "medium"
+    # wholesale failure: straight to the safe tier
     c.observe(np.array([900, 0, 0]), c.tier_idx, q)
     assert c.tier_arg == "high"
     # hysteresis: after re-escalations the downshift needs a 4x streak
