@@ -160,7 +160,7 @@ class ColbertFlaxEmbeddingGenerator(EmbeddingGenerator):
         raise NotImplementedError("ColBERT uses generate_embedding directly")
 
     def encode_passages(self, texts, batch_size: int = 64,
-                        max_in_flight: int = 4):
+                        max_in_flight: int = 16):
         """(total_tokens, 128) embeddings + per-passage token counts —
         the CollectionEncoder.encode_passages contract. Batches are
         dispatched ahead of the device->host reads so tokenization of
@@ -168,7 +168,11 @@ class ColbertFlaxEmbeddingGenerator(EmbeddingGenerator):
         but at most `max_in_flight` device outputs stay live: unbounded
         dispatch held EVERY batch's output in HBM, ~7 MB per 64-passage
         batch, which OOMs a chip at the generator's advertised 300k-chunk
-        scale (r3 review).
+        scale (r3 review). Since r5 the live window drains as ONE
+        device-concatenated fetch — per-batch np.asarray cost a full
+        device->host roundtrip each (the measured dominant term of the
+        e5 pipeline, e5_flax.generate_embedding), and 16 x 7 MB of
+        pending outputs is trivial HBM.
 
         With real weights + real vocab this matches colbert-ai's document
         encoding: "[D]" marker after [CLS], punctuation tokens dropped."""
@@ -177,14 +181,25 @@ class ColbertFlaxEmbeddingGenerator(EmbeddingGenerator):
             else None
         all_tokens, counts = [], []
 
-        def drain(dev, ids, mask):
-            emb = np.asarray(dev, dtype=np.float32)
-            keep = mask.astype(bool)
-            if skip is not None:
-                keep &= ~np.isin(ids, skip)
-            for row_emb, row_keep in zip(emb, keep):
-                all_tokens.append(row_emb[row_keep])
-                counts.append(int(row_keep.sum()))
+        def drain_group(items):
+            if not items:
+                return
+            # one device_get over the whole window: the fetches issue
+            # together instead of one blocking roundtrip per batch. (A
+            # device-side concatenate was tried first and REGRESSED the
+            # ck e2e 157 -> 221s: batches pad to varying token buckets,
+            # so every distinct shape combination recompiled the concat
+            # through the remote-compile tunnel.)
+            hosts = jax.device_get([d for d, _, _ in items])
+            for (dev, ids, mask), emb in zip(items, hosts):
+                emb = np.asarray(emb, dtype=np.float32)
+                keep = mask.astype(bool)
+                if skip is not None:
+                    keep &= ~np.isin(ids, skip)
+                for row_emb, row_keep in zip(emb, keep):
+                    all_tokens.append(row_emb[row_keep])
+                    counts.append(int(row_keep.sum()))
+            items.clear()
 
         pending = []
         for s in range(0, len(texts), batch_size):
@@ -196,9 +211,8 @@ class ColbertFlaxEmbeddingGenerator(EmbeddingGenerator):
                                 jnp.asarray(mask))
             pending.append((dev, ids, mask))
             if len(pending) >= max_in_flight:
-                drain(*pending.pop(0))
-        for item in pending:
-            drain(*item)
+                drain_group(pending)
+        drain_group(pending)
         if not all_tokens:
             return np.empty((0, COLBERT_DIM), dtype=np.float32), []
         return np.concatenate(all_tokens, axis=0), counts

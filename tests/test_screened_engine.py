@@ -751,3 +751,30 @@ def test_class_a_gather_excludes_nonfinite_rows_dot():
     oracle = np.argsort(dm, axis=1, kind="stable")[:, :k]
     for r in range(q.shape[0]):
         assert set(i[r].tolist()) == set(oracle[r]), r
+
+
+@pytest.mark.parametrize("metric", ["sqeuclidean", "dot", "cosine"])
+def test_fused_kernel_default_and_equivalent_to_dk_kernels(metric):
+    """The r5 fused-depth kernel (FUSED_DEFAULT) must (a) actually engage
+    for default calls at fusable shapes and (b) produce the same
+    candidate top-k as the dk-chunked pipelined kernel — the 2q-prescaled
+    l2 epilogue and tb=512/sub-rescaled tiling are value-identical by
+    construction (docs/DESIGN.md r5), so the selected neighbor sets must
+    agree exactly."""
+    q, b = _data(8, screen_kernel.MEGA + 77, 24, seed=11,
+                 normalize=metric == "cosine")
+    k = 10
+    d_f, i_f = screened_knn(q, b, k, metric=metric, interpret=True)
+    # force the dk-chunked path for the comparison run
+    import neighborhoodwatch_tpu.ops.screen_kernel as sk
+    old = sk.FUSED_DEFAULT
+    sk.FUSED_DEFAULT = False
+    try:
+        d_p, i_p = screened_knn(q, b, k, metric=metric, interpret=True)
+    finally:
+        sk.FUSED_DEFAULT = old
+    np.testing.assert_array_equal(np.asarray(i_f), np.asarray(i_p))
+    np.testing.assert_allclose(np.asarray(d_f), np.asarray(d_p),
+                               rtol=1e-6, atol=1e-6)
+    # and the fused gate really says yes at this shape
+    assert sk._fused_ok(1, 256, sk.FUSED_TB, 128)
