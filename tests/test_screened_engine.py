@@ -778,3 +778,23 @@ def test_fused_kernel_default_and_equivalent_to_dk_kernels(metric):
                                rtol=1e-6, atol=1e-6)
     # and the fused gate really says yes at this shape
     assert sk._fused_ok(1, 256, sk.FUSED_TB, 128)
+
+
+def test_fused_l2_epilogue_exact_duplicates_and_zero_distance():
+    """The fused kernel's abs-only clamp (no max(,0)) must keep exact
+    self-distances at the front: plant exact copies of queries in the
+    base — their screen-space distance is 0 up to fp32 rounding, which
+    the abs maps to |delta| within the certificate's accumulation eps —
+    and the engine must return them first with distance ~0."""
+    q, b = _data(6, MEGA + 31, 32, seed=13)
+    for r in range(6):
+        b[100 + 97 * r] = q[r]
+    k = 4
+    d_s, i_s = screened_knn(q, b, k, metric="sqeuclidean", interpret=True)
+    d_s, i_s = np.asarray(d_s), np.asarray(i_s)
+    for r in range(6):
+        assert i_s[r, 0] == 100 + 97 * r, (r, i_s[r])
+        assert abs(d_s[r, 0]) < 1e-4, d_s[r]
+    oracle = _oracle_sets(q, b, k, "sqeuclidean")
+    for r in range(6):
+        assert set(i_s[r]) == set(oracle[r])
