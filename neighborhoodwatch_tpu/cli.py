@@ -319,13 +319,15 @@ Some example commands:\n
                         choices=["auto", "default", "medium", "high"],
                         help="screened engine's MXU-pass tier (every tier "
                              "is exact via the certificates + repair; see "
-                             "nw --screen-precision). Default: 'auto' for "
-                             "the flat token kNN (lean 1-pass plan + "
-                             "adaptive escalation), 'high' with --maxsim — "
-                             "the only tier whose sound certificate holds "
-                             "on concentrated MaxSim score distributions "
-                             "('default' wins on wide-score-gap corpora: "
-                             "docs/DESIGN.md)")
+                             "nw --screen-precision). Default: 'auto' — "
+                             "the flat token kNN runs the lean 1-pass "
+                             "plan with adaptive escalation, and --maxsim "
+                             "streams run the adaptive controller (start "
+                             "at the 3-pass tier, downshift when the "
+                             "batch diagnostics predict a cheaper tier "
+                             "certifies — 2.1x on wide-score-gap corpora "
+                             "— and re-escalate on failures; pin a tier "
+                             "to opt out: docs/DESIGN.md r5)")
     parser.add_argument("--synthetic", action="store_true",
                         help="use synthetic source text (hermetic, no network)")
     parser.add_argument("--maxsim", action="store_true",

@@ -92,21 +92,43 @@ class E5FlaxEmbeddingGenerator(EmbeddingGenerator):
         # pipeline vs the encoder's 1.38 Mtok/s kernel rate; one fetch
         # per generate_embedding call removes ~all of that latency (a
         # local TPU-VM sees the same dispatch-overhead win, smaller).
+        # Every grouped chunk keeps the FULL padded (chunk_size, dim)
+        # shape — tail rows are dropped host-side after the fetch — so
+        # the concatenate sees only a handful of distinct shapes per
+        # process (each distinct shape recompiles through the
+        # remote-compile path; r5 review finding).
         embeddings = []
-        group: list = []
+        group: list = []          # (dev (chunk_size, dim), real rows)
 
         def drain_group():
             if not group:
                 return
-            dev_all = group[0] if len(group) == 1 else \
-                jnp.concatenate(group, axis=0)
-            rows = int(dev_all.shape[0])
+            devs = [d for d, _ in group]
+            dev_all = devs[0] if len(devs) == 1 else \
+                jnp.concatenate(devs, axis=0)
             try:
-                embeddings.extend(np.asarray(dev_all, dtype=np.float32))
+                host = np.asarray(dev_all, dtype=np.float32)
             except Exception as exc:
-                print(f"   !! embedding readback failed ({exc}); "
-                      f"emitting zero vectors for {rows} rows")
-                embeddings.extend([self._zero_fallback()] * rows)
+                # blast-radius control (r5 review): retry per chunk so a
+                # transient fetch failure zeroes at most one chunk, not
+                # the whole accumulated group
+                print(f"   !! grouped embedding readback failed ({exc}); "
+                      f"retrying per chunk")
+                for d, n in group:
+                    try:
+                        embeddings.extend(
+                            np.asarray(d, dtype=np.float32)[:n])
+                    except Exception as exc2:
+                        print(f"   !! embedding readback failed ({exc2}); "
+                              f"emitting zero vectors for {n} rows")
+                        embeddings.extend([self._zero_fallback()] * n)
+                group.clear()
+                return
+            off = 0
+            for d, n in group:
+                rows = int(d.shape[0])
+                embeddings.extend(host[off:off + n])
+                off += rows
             group.clear()
 
         for dev, n in pending:
@@ -114,8 +136,7 @@ class E5FlaxEmbeddingGenerator(EmbeddingGenerator):
                 drain_group()
                 embeddings.extend([self._zero_fallback()] * n)
                 continue
-            # drop tail-padding rows (device-side view; stays async)
-            group.append(dev if int(dev.shape[0]) == n else dev[:n])
+            group.append((dev, n))
         drain_group()
         return embeddings
 

@@ -787,6 +787,7 @@ def screen_candidates(q, base, *, n_rows: int | None = None,
     passes = PASSES[screen_precision]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    explicit_pipelined = pipelined is not None
     if pipelined is None:
         pipelined = PIPELINED_DEFAULT
 
@@ -800,7 +801,11 @@ def screen_candidates(q, base, *, n_rows: int | None = None,
     # below). Callers pinning tb or dk_max are asking for the dk-chunked
     # kernels; the VMEM gate falls big dims / 3-pass back to them too.
     if fused is None:
-        fused = FUSED_DEFAULT
+        # an explicit pipelined= request asks for a specific dk-chunked
+        # kernel variant (probe sweeps, the plain-kernel escape hatch);
+        # honoring it must not silently route to the fused kernel
+        # (r5 review finding)
+        fused = FUSED_DEFAULT and not explicit_pipelined
     explicit_tb = tb is not None
     if fused and tb is None and dk_max is None:
         dp_est = -(-D // LANES) * LANES

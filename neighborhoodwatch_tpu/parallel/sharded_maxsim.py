@@ -412,12 +412,18 @@ class ShardedStreamingMaxSim:
             diag = np.array([int(fail_h.sum()), int(pf_h[:, 0].sum()),
                              int(pf_h[:, 1].sum())])
             self._ctrl.observe(diag, used_idx, fail_h.shape[0])
-        if fail_h is not None and fail_h.any() and used_tier != "high":
+        if (fail_h is not None and used_tier != "high"
+                and fail_h.sum() > max(4, fail_h.shape[0] // 20)):
             # sub-high tier escalation, the sharded analog of
             # maxsim_topk_screened's: re-run the tile at the 3-pass
-            # screen ON DEVICE (~4x cheaper than the host exact path the
-            # repair below uses) and replace the failed rows; residual
-            # high-tier failures take the host repair as before
+            # screen ON DEVICE and replace the failed rows; residual
+            # high-tier failures take the host repair as before. The
+            # re-run screens the WHOLE tile for ALL queries (subsetting
+            # dp-sharded queries to a dynamic failed set would need a
+            # fresh compile per bucket), so it only pays off for MASS
+            # failures — a sub-5% trickle goes straight to the host
+            # repair below, which recomputes only the failed rows
+            # (r5 review finding)
             ts2, ti2, fail2 = _sharded_maxsim_tile(
                 self.queries, self.q_mask, tile_d, mask_d,
                 jnp.int32(offset), jnp.int32(n), self.k, engine,
