@@ -127,9 +127,16 @@ _PHASE2 = _COMMON + textwrap.dedent("""
     qt2 = (center[None] + 0.05 * rng.standard_normal((3, 4, 32))
            ).astype(np.float32)
     qm2 = np.ones((3, 4), dtype=bool)
+    # "auto" = the ADAPTIVE tier (r5): the screened update computes
+    # per-query cheap-tier predictions, any-reduced over mp and
+    # allgathered ACROSS PROCESSES for the controller — this is the only
+    # coverage of that diag path on a mesh spanning hosts. The planted
+    # >REPAIR_BINS collisions still force the multi-process host repair
+    # (bin-geometry failures are tier-independent).
     sacc = ShardedStreamingMaxSim(qt2, qm2, k=4, mesh=mesh,
                                   engine="screened",
-                                  screen_precision="default")
+                                  screen_precision="auto")
+    assert sacc._adaptive
     lo, hi = sacc.local_update_range(nd)
     sacc.update(docs2[lo:hi], dm2[lo:hi], 0, global_docs=nd)
     ss, si = sacc.finalize()
