@@ -207,6 +207,10 @@ VARIANTS = {
     "fusednet_tb512": ("fusednet", 512, 512, 224),
     "fused2q_tq384": ("fused2q", 384, 1024, 112),
     "fusednoepi_tb512": ("fusednoepi", 512, 512, 224),
+    # taller query blocks: fewer base re-reads (20 -> 16/14 blocks at
+    # 10k queries) and fewer grid steps; VMEM-borderline
+    "fusednet_tq640": ("fusednet", 640, 512, 224),
+    "fusednet_tq768": ("fusednet", 768, 512, 224),
 }
 
 
